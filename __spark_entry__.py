@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` / `oracle_sql()` expose the engine's named plans (see
+metadata_wrangler_spark.plans) — one entry per implemented operator
+family from SURVEY.md §2, each paired (where SQL-expressible) with a
+DuckDB oracle. `entry()` runs the flagship query at sf0.001.
 """
 
 from __future__ import annotations
@@ -13,26 +12,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from metadata_wrangler_spark import plans
+
+
+def _plans() -> tuple[dict, dict]:
+    plans.load_all_plans()
+    return plans.QUERIES, plans.ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the catalog revenue
+    rollup (3-way dimension join + grouped aggregate) — one of the
+    engine's J2/A2 obligations."""
+    queries, _ = _plans()
+    return queries["j_dim_3way_broadcast"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    q, _ = _plans()
+    return dict(q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each hash-checkable query.
+    Keys missing here (vs `queries()`) are approximate/streaming ops
+    that get the driver's weaker rows-only check."""
+    _, o = _plans()
+    return dict(o)

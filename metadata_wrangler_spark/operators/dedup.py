@@ -1,0 +1,248 @@
+"""Document deduplication operators for the training-data pipeline.
+
+Four tiers, cheapest first — each one is a `queries()` entry over the
+driver's ``documents`` table (see plans/documents.py):
+
+  exact        hash-groupBy on a canonical fingerprint; one shuffle.
+  ngram        exact n-gram (shingle) Jaccard similarity join:
+               candidate pairs via equi-join on shared shingle, then
+               exact score. Correct but quadratic within a shingle
+               bucket — the verification tier.
+  minhash_lsh  MinHash signatures + banded LSH: candidate pairs come
+               from equality on band keys, so the join is a plain
+               equi-join whose cost scales with the number of true
+               near-dups, not n². The 100 TB path.
+  simhash      64-bit SimHash fingerprints; near-dups differ in few
+               bits — banded into 4×16-bit keys for Hamming ≤ 3
+               candidate generation.
+
+All hashing is built from ``md5`` so every stage stays inside
+whole-stage codegen (no Python UDFs) and is reproducible in ANSI SQL
+for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared hashing helpers (expression-level, codegen-friendly)
+# ---------------------------------------------------------------------------
+
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT.
+
+    Portable: DuckDB spells it CAST('0x' || substr(md5(x),1,15) AS BIGINT),
+    Spark spells it conv(substr(md5(x),1,15),16,10).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def shingles(n: int = 3, words_col: str = "w") -> Column:
+    """Contiguous word n-grams joined by '_', as an array column.
+
+    Expects the word array in column ``words_col``; built with the
+    higher-order ``transform`` over start indices (JVM-side, no UDF).
+    """
+    w = words_col
+    joiner = "concat_ws('_', " + ", ".join(f"{w}[i + {k}]" for k in range(n)) + ")"
+    return F.expr(
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(sequence(0, size({w}) - {n}), i -> {joiner}) "
+        f"ELSE array() END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Group documents by canonical-text fingerprint.
+
+    Returns (fingerprint STRING, canonical_id BIGINT, n_docs BIGINT):
+    one row per distinct content, min-id canonical. A single
+    hash-aggregate — at 100 TB this is one shuffle on a high-entropy
+    key with map-side partial aggregation, no skew.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        docs.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity join (exact near-dup)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard near-duplicate pairs.
+
+    Candidate generation is an equi-join on shared shingle (never a
+    cross join); the exact score then filters candidates. Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    sh = (
+        docs.withColumn("w", words)
+        .select(F.col(id_col).alias("id"), F.explode(shingles(n)).alias("sh"))
+        .dropDuplicates()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sh_b"))
+    jac = F.col("n_shared") / (F.col("sh_a") + F.col("sh_b") - F.col("n_shared"))
+    return (
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-document MinHash signature.
+
+    Hash family: h_k(s) = md5_long(k || '#' || s) — independent-ish
+    permutations derived from one codegen-able primitive. Computed as
+    explode → groupBy(min per hash) so the whole signature costs one
+    shuffle regardless of num_hashes.
+    Returns (id, mh_0 … mh_{num_hashes-1}).
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    sh = docs.withColumn("w", words).select(
+        F.col(id_col).alias("id"), F.explode(shingles(n)).alias("sh")
+    ).dropDuplicates()
+    aggs = [
+        F.min(md5_long(F.concat(F.lit(f"{k}#"), F.col("sh")))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash
+    signatures: documents agreeing on all rows of any band collide.
+
+    With 16 hashes in 4 bands of 4, the collision probability is
+    ~s^4 per band (s = true Jaccard) — near-dups (s ≥ 0.8) are
+    caught with ≥ 97% probability while unrelated pairs almost never
+    collide, so the candidate join output is linear in the number of
+    true duplicates. Returns distinct (id_a, id_b) candidates,
+    id_a < id_b; feed them to `ngram_jaccard_pairs`-style exact
+    scoring for verification.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.md5(F.concat_ws(
+            "_", F.lit(str(bnd)),
+            *[F.col(f"mh_{bnd * rows + r}").cast("string") for r in range(rows)],
+        )).alias(f"band_{bnd}")
+        for bnd in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    # One row per (doc, band) — the LSH bucket table.
+    bucket = banded.selectExpr(
+        "id",
+        "stack({}, {}) as (band_no, bucket)".format(
+            bands, ", ".join(f"'{b}', band_{b}" for b in range(bands))
+        ),
+    )
+    a = bucket.alias("a")
+    b = bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-document SimHash fingerprint over word features.
+
+    Each word hashes to `bits` bits; the fingerprint's bit b is 1 iff
+    the sum over words of (+1 if bit set else −1) is positive.
+    Near-duplicate texts differ in O(1) bits. Computed with
+    explode + conditional sums — one shuffle, no UDFs.
+    Returns (id, simhash BIGINT).
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(words).alias("w")
+    )
+    h = md5_long(F.col("w"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    sums = tok.groupBy("id").agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        fp = bit if fp is None else (fp + bit)
+    return sums.select("id", fp.cast("bigint").alias("simhash"))

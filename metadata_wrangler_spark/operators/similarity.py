@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers:
+
+  cosine_topk      brute-force exact top-k for a bounded query set —
+                   broadcast the queries, one pass over the corpus,
+                   per-query top-k via window. Linear in corpus size,
+                   embarrassingly parallel; the correctness baseline.
+  lsh_cosine_topk  random-hyperplane LSH bucketing: corpus and
+                   queries hash to sign-pattern buckets, candidates
+                   come from an equi-join on bucket key, exact score
+                   re-ranks. The 100 TB path — cost scales with
+                   bucket occupancy, not corpus size.
+
+Dot products use `zip_with` + `aggregate` (higher-order functions,
+JVM-side, sequential left fold => deterministic and portable to the
+oracle's list_sum/list_transform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic sequential-fold dot product in DOUBLE."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest
+    corpus vectors (self-matches excluded).
+
+    Queries are broadcast — the corpus is scanned once however many
+    executors exist; the only shuffle is the per-query window, keyed
+    on query_id (naturally balanced). Ties break on rounded
+    similarity then corpus id, so results are stable across
+    partitionings and engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )
+    sim = dot(F.col("qvec"), F.col("cvec")) / (
+        norm(F.col("qvec")) * norm(F.col("cvec"))
+    )
+    # Round for cross-engine stability before ranking.
+    sim_r = sim.cast("decimal(18,6)").cast("double")
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", sim_r.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-pattern LSH bucket per vector: bit i = sign(v·plane_i).
+
+    ``planes`` are fixed pseudo-random hyperplanes supplied by the
+    caller (deterministic — derived from a seed, not Math.random, so
+    plans are reproducible and resumable).
+    """
+    bucket = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else (bucket + bit)
+    return df.select(
+        F.col(id_col), F.col(vec_col), bucket.cast("int").alias("bucket")
+    )
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share the hyperplane
+    bucket, exact cosine re-ranks within the bucket.
+
+    At scale, bucket the corpus ONCE (write bucketed parquet /
+    cluster by bucket) and this becomes a bucket-pruned scan per
+    query batch instead of a full pass.
+    """
+    cb = hyperplane_buckets(corpus, planes, id_col, vec_col).withColumnsRenamed(
+        {id_col: "corpus_id", vec_col: "cvec"}
+    )
+    qb = hyperplane_buckets(queries, planes, id_col, vec_col).withColumnsRenamed(
+        {id_col: "query_id", vec_col: "qvec"}
+    )
+    sim = dot(F.col("qvec"), F.col("cvec")) / (
+        norm(F.col("qvec")) * norm(F.col("cvec"))
+    )
+    sim_r = sim.cast("decimal(18,6)").cast("double")
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", sim_r.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -1,0 +1,125 @@
+"""Text-analysis operators for the training-data pipeline: token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+Everything is built from JVM-side expressions (split/replace/length)
+— at 100 TB these run inside whole-stage codegen with zero Python.
+Counting marker substrings uses the replace-length trick rather than
+regex so the arithmetic is trivially portable to the oracle dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.operators.dedup import normalize_text
+
+# Tiny per-language marker vocabularies for the n-gram/stopword
+# language-ID heuristic (SURVEY.md: language-ID as an engine op; the
+# reference itself trusts upstream `language` fields, e.g.
+# `oclc/classify.py:966`, so the heuristic is an LLM-pipeline add-on).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "la", "les"),
+    "de": ("der", "die", "und"),
+    "zh": ("的", "是", "在"),
+}
+
+
+def count_occurrences(text: Column, token: str) -> Column:
+    """Number of occurrences of ``' token '`` in ``' text '`` —
+    computed as (len(x) - len(replace(x, t, ''))) / len(t)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {token} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: token count (whitespace), char
+    count, mean token length, distinct-token ratio."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    return docs.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars_actual"),
+        (F.length(F.regexp_replace(normalize_text(F.col(text_col)), " ", ""))
+         / F.size(words)).alias("mean_token_len"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("distinct_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: length band, stopword ratio,
+    repetition. Mirrors the length/stopword/punctuation family of
+    filters used in large-scale corpus cleaning (C4/Gopher-style)."""
+    norm = normalize_text(F.col(text_col))
+    words = F.split(norm, " ")
+    n_tokens = F.size(words)
+    stop_hits = None
+    for tok in ("the", "a", "and", "is", "of"):
+        c = count_occurrences(norm, tok)
+        stop_hits = c if stop_hits is None else (stop_hits + c)
+    stopword_ratio = (stop_hits / n_tokens).alias("stopword_ratio")
+    distinct_ratio = F.size(F.array_distinct(words)) / n_tokens
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        stopword_ratio,
+        distinct_ratio.alias("distinct_ratio"),
+        (
+            F.when(n_tokens < 10, 0.0)
+            .otherwise(
+                0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+                + 0.5 * distinct_ratio
+            )
+        ).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic: count per-language marker
+    hits, pick the argmax (ties broken by language code order).
+
+    Emitted as a greatest/when cascade so the scoring is one codegen
+    pass; at 100 TB swap markers for larger per-language tables
+    without changing the plan shape.
+    """
+    norm = normalize_text(F.col(text_col))
+    scores = {
+        lang: sum(
+            (count_occurrences(norm, t) for t in toks[1:]),
+            start=count_occurrences(norm, toks[0]),
+        )
+        for lang, toks in LANG_MARKERS.items()
+    }
+    langs = sorted(scores)  # deterministic tie order
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = None
+    for lang in langs:
+        clause = (scores[lang] == best, F.lit(lang))
+        pred = F.when(*clause) if pred is None else pred.when(*clause)
+    return docs.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        F.when(best <= 0, F.lit("und")).otherwise(pred).alias("predicted_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stable document fingerprint: md5 of the canonical text plus a
+    coarse locality key (first 5 normalized tokens) for blocking."""
+    norm = normalize_text(F.col(text_col))
+    words = F.split(norm, " ")
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.md5(F.concat_ws(" ", F.slice(words, 1, 5))).alias("prefix_key"),
+    )

@@ -1,0 +1,356 @@
+"""Training-data pipeline plans over the ``documents`` table:
+deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash), text
+analysis (tokens, quality, language-ID, fingerprints), and the
+multimodal binary-column plumbing.
+
+Oracle SQL for the hash-based operators is generated from the same
+parameters as the Spark plans so the two stay in lockstep; the only
+dialect differences are spelled out in `_md5_long_sql` /
+`_norm_sql`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from metadata_wrangler_spark.catalog import load
+from metadata_wrangler_spark.operators import dedup, textstats
+from metadata_wrangler_spark.plans import register
+
+# --- shared SQL fragments (DuckDB dialect) ---------------------------------
+
+# canonical text normalization — mirrors operators.dedup.normalize_text
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# word array over normalized text
+_WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+# 3-gram shingle list
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, len(w) - 2), "
+    "i -> concat_ws('_', w[i], w[i+1], w[i+2]))"
+)
+
+
+def _md5_long_sql(expr: str) -> str:
+    """DuckDB spelling of operators.dedup.md5_long."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# dedup tier 1: exact
+# ---------------------------------------------------------------------------
+
+@register(
+    "dd_exact_groups",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical-fingerprint hash-groupBy.
+    One shuffle on a high-entropy key; see operators.dedup."""
+    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup tier 2: exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+@register(
+    "dd_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT id, sh FROM (
+            SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS sh
+            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) t0
+        ) t1
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b,
+           s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.id = s.id_a
+    JOIN sizes sb ON sb.id = s.id_b
+    WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.12
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram-shingle Jaccard (threshold
+    tuned to the synthetic corpus's 31-word vocabulary)."""
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.12
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup tier 3: MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS = _NUM_HASHES // _BANDS
+
+
+def _minhash_sig_sql() -> str:
+    parts = []
+    for k in range(_NUM_HASHES):
+        hashed = _md5_long_sql(f"concat('{k}#', sh)")
+        parts.append(f"MIN({hashed}) AS mh_{k}")
+    aggs = ",\n           ".join(parts)
+    return f"""
+        SELECT id, {aggs}
+        FROM (
+            SELECT DISTINCT id, sh FROM (
+                SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS sh
+                FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) t0
+            ) t1
+        ) sh_tbl
+        GROUP BY id
+    """
+
+
+def _lsh_oracle_sql() -> str:
+    band_exprs = ", ".join(
+        "md5(concat_ws('_', '{b}', {cols})) AS band_{b}".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    stacked = "\n        UNION ALL\n        ".join(
+        f"SELECT id, '{b}' AS band_no, band_{b} AS bucket FROM banded"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    banded AS (SELECT id, {band_exprs} FROM sig),
+    bucket AS (
+        {stacked}
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bucket a
+    JOIN bucket b ON a.band_no = b.band_no AND a.bucket = b.bucket
+                 AND a.id < b.id
+    """
+
+
+@register("dd_minhash_lsh", oracle=_lsh_oracle_sql())
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidate pairs — the linear-cost
+    near-dup path for 100 TB corpora. Candidates only; exact Jaccard
+    verification is `dd_ngram_jaccard` composed downstream."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup tier 4: SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_oracle_sql() -> str:
+    h = _md5_long_sql("w")
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id AS id, unnest({_WORDS_SQL}) AS w FROM documents
+    ), sums AS (
+        SELECT id,
+               {bit_sums}
+        FROM tok GROUP BY id
+    )
+    SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register("dd_simhash", oracle=_simhash_oracle_sql())
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash fingerprint (near-dups differ in
+    few bits; band the fingerprint for Hamming candidate join)."""
+    return dedup.simhash(load(spark, sf_dir, "documents"),
+                         bits=_SIMHASH_BITS)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "txt_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_WORDS_SQL}) AS INT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           length(replace({_NORM_SQL}, ' ', '')) / len({_WORDS_SQL}) AS mean_token_len,
+           len(list_distinct({_WORDS_SQL})) / len({_WORDS_SQL}) AS distinct_ratio
+    FROM documents
+    """,
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + repetition stats (whitespace tokenizer)."""
+    return textstats.token_stats(load(spark, sf_dir, "documents"))
+
+
+def _count_sql(token: str) -> str:
+    padded = f"concat(' ', {_NORM_SQL}, ' ')"
+    needle = f" {token} "
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
+        f" / {len(needle)} AS INT)"
+    )
+
+
+@register(
+    "txt_quality_score",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len({_WORDS_SQL}) AS INT) AS n_tokens,
+               {' + '.join(_count_sql(t) for t in ('the', 'a', 'and', 'is', 'of'))} AS stop_hits,
+               len(list_distinct({_WORDS_SQL})) AS n_distinct
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           stop_hits / n_tokens AS stopword_ratio,
+           n_distinct / n_tokens AS distinct_ratio,
+           CASE WHEN n_tokens < 10 THEN 0.0
+                ELSE 0.5 * least(n_tokens / 100.0, 1.0)
+                     + 0.5 * (n_distinct / n_tokens) END AS quality
+    FROM base
+    """,
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning quality heuristics (length band, stopword
+    ratio, repetition)."""
+    return textstats.quality_score(load(spark, sf_dir, "documents"))
+
+
+def _langid_oracle_sql() -> str:
+    scores = {
+        lang: " + ".join(_count_sql(t) for t in toks)
+        for lang, toks in textstats.LANG_MARKERS.items()
+    }
+    langs = sorted(scores)
+    score_cols = ",\n           ".join(
+        f"{scores[lang]} AS score_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cascade = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH scored AS (
+        SELECT doc_id,
+           {score_cols}
+        FROM documents
+    )
+    SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+           CASE WHEN {best} <= 0 THEN 'und' ELSE {cascade} END AS predicted_lang
+    FROM scored
+    """
+
+
+@register("txt_language_id", oracle=_langid_oracle_sql())
+def txt_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (argmax over per-language
+    marker counts, deterministic tie order)."""
+    return textstats.language_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "txt_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS fingerprint,
+           md5(array_to_string(list_slice({_WORDS_SQL}, 1, 5), ' ')) AS prefix_key
+    FROM documents
+    """,
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint + blocking prefix key."""
+    return textstats.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing: binary column + Pandas-UDF feature extraction
+# ---------------------------------------------------------------------------
+
+_MM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("content_md5", T.StringType()),
+    T.StructField("fake_brightness", T.LongType()),
+])
+
+
+def _extract_features(batches):
+    """mapInPandas worker: Arrow batches in, feature rows out.
+
+    The decode step for real image/audio payloads is stubbed (the
+    container ships no codec libs — see SURVEY.md); the deterministic
+    stand-in hashes the payload, so the full Spark plumbing (binary
+    column → Arrow batch → pandas → typed rows) is exercised and
+    oracle-checkable.
+    """
+    for pdf in batches:
+        payload = pdf["payload"]
+        md5s = payload.map(lambda b: hashlib.md5(b).hexdigest())
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": payload.map(len).astype("int64"),
+            "content_md5": md5s,
+            # stand-in for decoded-image mean brightness
+            "fake_brightness": md5s.map(lambda h: int(h[:15], 16) % 256),
+        })
+
+
+@register(
+    "mm_binary_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST({_md5_long_sql('text')} % 256 AS BIGINT) AS fake_brightness
+    FROM documents
+    """,
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: text → BINARY payload column →
+    Arrow-batched `mapInPandas` feature extraction (decode stubbed,
+    schema/partitioning/batch shape real).
+
+    This is the pattern for image/audio/video columns at scale:
+    opaque bytes + typed metadata, decoded in vectorized Python
+    batches, never row-at-a-time.
+    """
+    docs = load(spark, sf_dir, "documents")
+    binary = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return binary.mapInPandas(_extract_features, schema=_MM_SCHEMA)

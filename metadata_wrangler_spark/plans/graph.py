@@ -1,0 +1,118 @@
+"""Graph plans — equivalency-edge hops and the bounded closure
+(SURVEY.md §2.3 J3/J4) phrased over the star schema.
+
+The driver's tables have no explicit edge table, so we derive a
+deterministic one from ``customer``: every customer key gets two
+out-edges computed with pure modular arithmetic (chains, cycles and
+dense components all occur), each with a strength in [0.5, 1.02).
+Both engines build the identical edge set, so results are
+hash-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.catalog import load
+from metadata_wrangler_spark.operators.closure import equivalent_ids
+from metadata_wrangler_spark.plans import register
+
+# Shared edge definition (SQL fragment used verbatim by the DuckDB
+# oracle; the Spark side mirrors it with Column arithmetic).
+EDGES_SQL = """
+    SELECT c_custkey AS src,
+           (c_custkey * 7 + 3) % (SELECT COUNT(*) FROM customer) AS dst,
+           0.5 + (c_custkey % 53) / 100.0 AS strength
+    FROM customer
+    UNION ALL
+    SELECT c_custkey AS src,
+           (c_custkey * 13 + 5) % (SELECT COUNT(*) FROM customer) AS dst,
+           0.5 + (c_custkey % 29) / 100.0 AS strength
+    FROM customer
+"""
+
+
+def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic equivalency edges over customer keys
+    (keys are dense 0..N-1 in the test data)."""
+    c = load(spark, sf_dir, "customer")
+    n = c.count()  # dimension-sized; one cheap metadata-only job
+    k = F.col("c_custkey")
+    e1 = c.select(
+        k.alias("src"),
+        ((k * 7 + 3) % n).alias("dst"),
+        (0.5 + (k % 53) / 100.0).alias("strength"),
+    )
+    e2 = c.select(
+        k.alias("src"),
+        ((k * 13 + 5) % n).alias("dst"),
+        (0.5 + (k % 29) / 100.0).alias("strength"),
+    )
+    return e1.unionByName(e2)
+
+
+@register(
+    "g_edge_one_hop",
+    oracle=f"""
+    WITH edges AS ({EDGES_SQL})
+    SELECT e.src, e.dst, e.strength, c.c_name AS dst_name
+    FROM edges e
+    JOIN customer c ON c.c_custkey = e.dst
+    WHERE e.src % 97 = 1 AND e.strength > 0.7
+    """,
+)
+def g_edge_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: one graph hop via the edge table (identifier → equivalent
+    identifiers with names), with the reference's 0.7 strength cutoff.
+
+    Reference: `monitor.py:74-89` (self-join via equivalents),
+    `oclc/linked_data.py:822-830` (strength cutoff).
+    """
+    edges = build_edges(spark, sf_dir).where(
+        (F.col("src") % 97 == 1) & (F.col("strength") > 0.7)
+    )
+    c = load(spark, sf_dir, "customer")
+    return edges.join(c, edges.dst == c.c_custkey).select(
+        "src", "dst", "strength", F.col("c_name").alias("dst_name")
+    )
+
+
+@register(
+    "g_transitive_closure",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({EDGES_SQL}),
+    seeds AS (SELECT c_custkey AS node FROM customer WHERE c_custkey % 97 = 1),
+    walk(node, level) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, w.level + 1
+        FROM walk w
+        JOIN edges e ON e.src = w.node
+        WHERE w.level < 6 AND e.strength > 0.7
+    )
+    SELECT node, CAST(MIN(level) AS INT) AS level
+    FROM walk
+    GROUP BY node
+    """,
+)
+def g_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: bounded weighted transitive closure — levels=6,
+    strength threshold 0.7, min-hop-distance per reached node.
+
+    Reference: `scripts.py:493-496`
+    (`recursively_equivalent_identifier_ids(levels=6)`),
+    `oclc/linked_data.py:820-830,958-962`.
+
+    The engine implementation is `operators.closure.equivalent_ids`
+    (BFS with per-level lineage checkpointing); the oracle is the
+    equivalent recursive CTE.
+    """
+    edges = build_edges(spark, sf_dir)
+    seeds = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 97 == 1)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    out = equivalent_ids(edges, seeds, levels=6, threshold=0.7)
+    return out.select(F.col("node"), F.col("level").cast("int").alias("level"))

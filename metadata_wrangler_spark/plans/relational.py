@@ -1,0 +1,878 @@
+"""Relational core — SURVEY.md §2.11 obligations over the star schema.
+
+Each plan re-expresses an operator family observed in the reference
+(citations in docstrings point into /root/reference) as idiomatic
+DataFrame code: declarative, Catalyst-optimizable, no Python in the
+hot path. Filters and projections are written so they push down to
+the parquet scan; dimension joins are broadcast; windows carry full
+deterministic tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.catalog import load
+from metadata_wrangler_spark.plans import register
+
+
+def dsum(col: F.Column) -> F.Column:
+    """Order-independent sum of a DOUBLE column, portable across
+    engines: quantize each value to 1e-4 with floor(x*10^4 + 0.5)
+    (pure IEEE ops — bit-identical everywhere), sum exactly as
+    BIGINT, divide back. See plans/__init__ docstring."""
+    return (F.sum(F.floor(col * 10000 + F.lit(0.5)).cast("bigint"))
+            / F.lit(10000.0))
+
+
+def davg(col: F.Column) -> F.Column:
+    """Order-independent mean built from the exact decimal sum."""
+    return (dsum(col) / F.count(col)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# P1-P9 — projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "p_projection_filter",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_quantity > 30
+    """,
+)
+def p_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P7: column projection + range/time predicates.
+
+    Reference: `controller.py:661-663` (projection),
+    `scripts.py:624` (time-range predicate). Both the projection and
+    the conjunctive filter reach the parquet scan (PushedFilters /
+    ReadSchema in `.explain`), so at 100 TB only matching row groups
+    and 4 columns are read.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 30)
+        )
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "p_compound_predicates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus IN ('F', 'P') AND o_totalprice > 150000.0)
+       OR (o_orderpriority = '1-URGENT' AND o_orderdate IS NOT NULL
+           AND o_totalprice <= 1000.0)
+    """,
+)
+def p_compound_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/P5/P6: IN-list, IS NOT NULL, OR/AND compounds.
+
+    Reference: `monitor.py:42-44` (IN + null tests),
+    `monitor.py:110-113` (OR), `controller.py:777-780` (AND).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderstatus").isin("F", "P") & (F.col("o_totalprice") > 150000.0))
+        | (
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.col("o_orderdate").isNotNull()
+            & (F.col("o_totalprice") <= 1000.0)
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+             "o_totalprice")
+
+
+@register(
+    "p_like_blacklist",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE p_name LIKE '%widget%'
+      AND lower(p_brand) NOT IN ('brand#13', 'brand#19')
+    """,
+)
+def p_like_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9: LIKE plus a lower()-normalized string blacklist.
+
+    Reference: `migration/20180626-move-cover-s3-bucket.sql:3` (LIKE),
+    `oclc/linked_data.py:127-137,600-606` (blacklists with case
+    normalization).
+    """
+    p = load(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_name").like("%widget%")
+        & ~F.lower(F.col("p_brand")).isin("brand#13", "brand#19")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# J1-J8 — joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "j_fk_inner_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+    """,
+)
+def j_fk_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: FK equi-join with pushed-down filters on both sides.
+
+    Reference: `monitor.py:118-120`, `oclc/classify.py:1234-1239`.
+    Catalyst picks broadcast/sort-merge by size; both filters are
+    applied before the join so the shuffle carries only matches.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, o.o_custkey == c.c_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "j_dim_3way_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(floor((c.c_acctbal) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS total_acctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j_dim_3way_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: chained dimension joins, explicitly broadcast.
+
+    Reference: `overdrive.py:76-90` (3-way config join). nation and
+    region are tiny at any scale — broadcasting removes two shuffles;
+    the only shuffle left is the final aggregation.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "j_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE c.c_mktsegment = 'MACHINERY'
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J8: catalog-membership probe as a left-semi join.
+
+    Reference: `controller.py:776-785` (membership probe),
+    `controller.py:1028-1035` (bulk key-list probe). Semi-join ships
+    only the join key of the probe side and never duplicates rows.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "MACHINERY")
+    urgent = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j_anti_join_queue",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j_anti_join_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: the reference's "needs coverage" anti-join.
+
+    Reference: `controller.py:661-672` (outer-join-to-subquery
+    rewritten as NOT EXISTS), `migration/20181220-register-isbns-for-
+    oclc-coverage.sql:10-16`. left_anti is the direct Spark form.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "j_left_outer_null_split",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(DISTINCT CASE WHEN o.o_orderkey IS NOT NULL
+                               THEN c.c_custkey END) AS with_orders,
+           COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                               THEN c.c_custkey END) AS without_orders
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+)
+def j_left_outer_null_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: left outer join + IS (NOT) NULL split, as in the backlog
+    report. Reference: `scripts.py:676-694`."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("o_orderkey").isNotNull(), F.col("c_custkey"))
+            ).alias("with_orders"),
+            F.countDistinct(
+                F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
+            ).alias("without_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1-A10 — aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "a_group_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(floor((o_totalprice) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a_group_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: groupBy + count + countDistinct.
+
+    Reference: `scripts.py:574-581` (new pools by type),
+    `controller.py:495-498` (catalog size).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "a_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_qty,
+           CAST(SUM(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_base_price,
+           CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_charge,
+           CAST(SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 / COUNT(l_quantity) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A5: the multi-aggregate grouped summary (TPC-H Q1 shape),
+    mirroring the reference's weight-accumulation aggregations.
+
+    Reference: `scripts.py:442-454` (multi-column grouped counts),
+    `oclc/classify.py:155-228` (holdings sums). Map-side partial
+    aggregation makes the shuffle carry one row per (flag, status)
+    per partition — the canonical scale-safe aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        (dsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "a_daily_buckets",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def a_daily_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 / §2.9: time-bucketed counts — the reference's
+    `report_the_past` 7-day loop collapsed into one grouped pass.
+
+    Reference: `scripts.py:613-632`. One scan + one shuffle instead
+    of 7 sequential filtered scans.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "a_token_explode_sum",
+    oracle="""
+    SELECT word,
+           COUNT(*) AS n_parts,
+           CAST(SUM(p_size) AS BIGINT) AS total_size
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word, p_size FROM part) t
+    GROUP BY word
+    """,
+)
+def a_token_explode_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/F3: split → explode → sum-by-key.
+
+    Reference: `oclc/classify.py:396-464` (pipe-split multi-author),
+    `oclc/classify.py:233-249` (weight accumulation).
+    """
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split(F.col("p_name"), " ")).alias("word"), "p_size")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("p_size").cast("bigint").alias("total_size"),
+        )
+    )
+
+
+@register(
+    "a_mode_top1",
+    oracle="""
+    SELECT p_type, p_brand AS top_brand, cnt
+    FROM (
+        SELECT p_type, p_brand, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY p_type
+                                  ORDER BY COUNT(*) DESC, p_brand ASC) AS rn
+        FROM part
+        GROUP BY p_type, p_brand
+    ) t
+    WHERE rn = 1
+    """,
+)
+def a_mode_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/W4: mode (top-1 by frequency) per group with a
+    deterministic tiebreak — the reference's "most popular sort
+    name" pattern.
+
+    Reference: `viaf.py:533-539,613-614`,
+    `oclc/linked_data.py:437-471` (best-name with tiebreaks).
+    """
+    p = load(spark, sf_dir, "part")
+    counts = p.groupBy("p_type", "p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("p_type").orderBy(F.desc("cnt"), F.asc("p_brand"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_type", F.col("p_brand").alias("top_brand"), "cnt")
+    )
+
+
+@register(
+    "a_conditional_max",
+    oracle="""
+    SELECT event_type,
+           MAX(value) AS lifetime_max,
+           MAX(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN value END) AS recent_max,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                         THEN CAST(floor(value * 10000 + 0.5) AS BIGINT) END) AS BIGINT)
+           / 10000.0 AS recent_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_conditional_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: conditional max with a recency cutoff — the popularity
+    estimate pattern (`max(recent) vs max(lifetime)`).
+
+    Reference: `content_cafe.py:396-423`.
+    """
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    recent = F.when(F.col("ts") >= cutoff, F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.max("value").alias("lifetime_max"),
+        F.max(recent).alias("recent_max"),
+        (F.sum(F.floor(recent * 10000 + F.lit(0.5)).cast("bigint"))
+         / F.lit(10000.0)).alias("recent_sum"),
+    )
+
+
+@register(
+    "a_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_acctbal,
+               ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM customer
+    )
+    SELECT p, c_acctbal AS value
+    FROM ranked
+    JOIN (VALUES (0.25), (0.50), (0.75), (0.90)) pcts(p)
+      ON rn = CAST(floor((n - 1) * p) AS BIGINT) + 1
+    """,
+)
+def a_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: discrete percentiles (exact data values, no interpolation
+    — engine-portable by construction).
+
+    Reference: `bin/util/calculate_percentile:11-36`. The global sort
+    is acceptable here because percentile calibration in the
+    reference runs over one measurement quantity at a time; at scale
+    swap in `percentile_approx` (sketch-based, single pass, no global
+    sort) — provided by the engine as the default path.
+    """
+    c = load(spark, sf_dir, "customer")
+    ranked = c.select(
+        "c_acctbal",
+        F.row_number().over(W.orderBy("c_acctbal", "c_custkey")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    pcts = spark.createDataFrame([(0.25,), (0.50,), (0.75,), (0.90,)], "p double")
+    return (
+        ranked.join(
+            F.broadcast(pcts),
+            ranked.rn == (F.floor((ranked.n - 1) * pcts.p) + 1),
+        )
+        .select("p", F.col("c_acctbal").alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2-W4 — windows / top-k / pagination
+# ---------------------------------------------------------------------------
+
+@register(
+    "w_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: ranked top-k per group with deterministic tiebreak — the
+    VIAF candidate-ranking shape.
+
+    Reference: `viaf.py:393-450,800-826`. row_number + rn<=k is
+    shuffle-once and AQE-skew-splittable, unlike a sorted collect.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "w_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders
+    ) t
+    WHERE rn BETWEEN 101 AND 135
+    """,
+)
+def w_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: offset/limit pagination re-expressed as a deterministic
+    row_number slice (page 3 of size 35, the reference's feed size).
+
+    Reference: `controller.py:429,675-678`, `scripts.py:85-96`.
+    Serving-layer note: at scale, prefer keyset predicates
+    (`o_orderkey > last_seen LIMIT n`) — provided by
+    operators.pagination — because a global row_number re-sorts
+    everything; this plan exists for parity with the offset API.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("rn", F.row_number().over(W.orderBy("o_orderkey")))
+        .where(F.col("rn").between(101, 135))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SO1-SO4 — set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "so_except_intersect",
+    oracle="""
+    SELECT 'never_ordered' AS op, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        EXCEPT
+        SELECT o_custkey FROM orders
+    ) a
+    UNION ALL
+    SELECT 'urgent_buyer' AS op, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) b
+    """,
+)
+def so_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1/SO2/SO4: EXCEPT + INTERSECT + UNION ALL — the
+    needs-adding / already-in-catalog set split.
+
+    Reference: `controller.py:522-531,736-744`.
+    """
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    ).select("c_custkey")
+    o = load(spark, sf_dir, "orders")
+    never = c.subtract(o.select(F.col("o_custkey").alias("c_custkey")))
+    urgent = c.intersect(
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return never.select(F.lit("never_ordered").alias("op"), "c_custkey").unionByName(
+        urgent.select(F.lit("urgent_buyer").alias("op"), "c_custkey")
+    )
+
+
+@register(
+    "so_drop_duplicates",
+    oracle="""
+    SELECT DISTINCT l_orderkey, l_partkey, l_returnflag
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def so_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO3: dedup within a stream of values.
+
+    Reference: `content_cafe.py:243-262` (`already_seen` set),
+    `oclc/linked_data.py:186-223` (`processed_uris`).
+    """
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return li.select("l_orderkey", "l_partkey", "l_returnflag").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# F1-F15 — scalar function families (JVM-side, no Python UDFs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f_regex_extract_ids",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS name_id,
+           regexp_extract(o_orderpriority, '^([0-9])-', 1) AS priority_code
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 100 = 0
+    """,
+)
+def f_regex_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F10: regexp_extract families (lifespan/role/URL-id
+    extraction in the reference).
+
+    Reference: `viaf.py:70-96`, `oclc/classify.py:360-394`,
+    `oclc/linked_data.py:96-104`.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    return c.join(o, o.o_custkey == c.c_custkey).select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), r"Customer#([0-9]+)", 1)
+        .cast("bigint").alias("name_id"),
+        F.regexp_extract(F.col("o_orderpriority"), r"^([0-9])-", 1)
+        .alias("priority_code"),
+    )
+
+
+@register(
+    "f_normalize_fingerprint",
+    oracle="""
+    SELECT p_partkey,
+           lower(replace(replace(p_name, ' ', '_'), '-', '_')) AS norm_name,
+           md5(concat(lower(p_name), '|', lower(p_brand), '|',
+                      lower(p_type))) AS permanent_id
+    FROM part
+    """,
+)
+def f_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F13: normalization + permanent-work-ID hash.
+
+    Reference: `scripts.py:42,396-414` (WorkIDCalculator = hash of
+    normalized title/author/medium), `oclc/linked_data.py:456-458`.
+    """
+    p = load(spark, sf_dir, "part")
+    norm = F.lower(F.replace(F.replace(F.col("p_name"), F.lit(" "), F.lit("_")),
+                             F.lit("-"), F.lit("_")))
+    pid = F.md5(F.concat_ws("|", F.lower(F.col("p_name")),
+                            F.lower(F.col("p_brand")), F.lower(F.col("p_type"))))
+    return p.select("p_partkey", norm.alias("norm_name"),
+                    pid.alias("permanent_id"))
+
+
+@register(
+    "f_levenshtein_ratio",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS lev,
+           100.0 * (1.0 - levenshtein(a.c_name, b.c_name) /
+                    greatest(length(a.c_name), length(b.c_name))) AS ratio
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey % 10 = 0 AND b.c_custkey % 10 = 0
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def f_levenshtein_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: fuzzy-match ratio = 100*(1 - lev/maxlen), thresholded —
+    the reference's name-verification check.
+
+    Reference: `scripts.py:304-344` (ratio >= 40 verify),
+    `viaf.py:326-388` (threshold cascade). Candidate pairs are
+    blocked on a cheap equi-key (nation) before the quadratic
+    scorer — the same candidate-generation-then-score shape the
+    engine uses for fuzzy entity resolution at scale.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
+    a = c.alias("a")
+    b = c.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    ratio = 100.0 * (
+        1.0 - lev / F.greatest(F.length("a.c_name"), F.length("b.c_name"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(lev <= 2)
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            lev.alias("lev"),
+            ratio.alias("ratio"),
+        )
+    )
+
+
+@register(
+    "f_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+)
+def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: parse/extract/bucket/shift dates.
+
+    Reference: `controller.py:417-427`, `content_cafe.py:384-394`
+    (month buckets), `scripts.py:617-624` (now − interval).
+    """
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date")
+        .alias("order_month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )
+
+
+@register(
+    "f_isbn10_to_13",
+    oracle="""
+    WITH ten AS (
+        SELECT p_partkey, lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS body9
+        FROM part WHERE p_partkey % 3 = 0
+    ), checked AS (
+        SELECT p_partkey, body9,
+               (11 - ((10*CAST(body9[1] AS INT) + 9*CAST(body9[2] AS INT)
+                     + 8*CAST(body9[3] AS INT) + 7*CAST(body9[4] AS INT)
+                     + 6*CAST(body9[5] AS INT) + 5*CAST(body9[6] AS INT)
+                     + 4*CAST(body9[7] AS INT) + 3*CAST(body9[8] AS INT)
+                     + 2*CAST(body9[9] AS INT)) % 11)) % 11 AS cd10
+        FROM ten
+    ), thirteen AS (
+        SELECT p_partkey,
+               body9 || (CASE WHEN cd10 = 10 THEN 'X' ELSE CAST(cd10 AS VARCHAR) END) AS isbn10,
+               '978' || body9 AS body12
+        FROM checked
+    )
+    SELECT p_partkey, isbn10,
+           body12 || CAST((10 - ((CAST(body12[1] AS INT) + 3*CAST(body12[2] AS INT)
+                 + CAST(body12[3] AS INT) + 3*CAST(body12[4] AS INT)
+                 + CAST(body12[5] AS INT) + 3*CAST(body12[6] AS INT)
+                 + CAST(body12[7] AS INT) + 3*CAST(body12[8] AS INT)
+                 + CAST(body12[9] AS INT) + 3*CAST(body12[10] AS INT)
+                 + CAST(body12[11] AS INT) + 3*CAST(body12[12] AS INT)) % 10)) % 10 AS VARCHAR) AS isbn13
+    FROM thirteen
+    """,
+)
+def f_isbn10_to_13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: ISBN-10 → ISBN-13 conversion with checksum math, done
+    entirely with built-in expressions (JVM codegen — no Python UDF
+    in the hot path, unlike the reference's isbnlib call).
+
+    Reference: `oclc/linked_data.py:693-702`, `monitor.py:92-95`.
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 3 == 0)
+    body9 = F.lpad(F.col("p_partkey").cast("string"), 9, "0")
+
+    def digit(col, i):
+        return F.substring(col, i, 1).cast("int")
+
+    cd10_sum = sum(((11 - i) * digit(body9, i) for i in range(2, 10)),
+                   start=10 * digit(body9, 1))
+    cd10 = (11 - (cd10_sum % 11)) % 11
+    isbn10 = F.concat(
+        body9, F.when(cd10 == 10, F.lit("X")).otherwise(cd10.cast("string"))
+    )
+    body12 = F.concat(F.lit("978"), body9)
+    cd13_sum = sum(
+        ((3 if i % 2 == 0 else 1) * digit(body12, i) for i in range(2, 13)),
+        start=digit(body12, 1),
+    )
+    cd13 = (10 - (cd13_sum % 10)) % 10
+    isbn13 = F.concat(body12, cd13.cast("string"))
+    return p.select("p_partkey", isbn10.alias("isbn10"), isbn13.alias("isbn13"))
+
+
+@register(
+    "f_title_token_jaccard",
+    oracle="""
+    WITH tok AS (
+        SELECT p_partkey, p_brand, unnest(string_split(p_name, ' ')) AS w
+        FROM part
+    ), sets AS (
+        SELECT p_partkey, p_brand, COUNT(DISTINCT w) AS n_tokens
+        FROM tok GROUP BY 1, 2
+    ), shared AS (
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               COUNT(DISTINCT a.w) AS n_shared
+        FROM tok a
+        JOIN tok b ON a.w = b.w AND a.p_brand = b.p_brand
+                   AND a.p_partkey < b.p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT s.key_a, s.key_b,
+           s.n_shared / (sa.n_tokens + sb.n_tokens - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sets sa ON sa.p_partkey = s.key_a
+    JOIN sets sb ON sb.p_partkey = s.key_b
+    WHERE s.n_shared / (sa.n_tokens + sb.n_tokens - s.n_shared) >= 0.5
+    """,
+)
+def f_title_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15/A9: token-set Jaccard similarity join, blocked on brand —
+    the reference's title-similarity measure re-expressed as
+    candidate-generation (equi-join on shared token within a block)
+    + exact score, instead of Python pairwise loops.
+
+    Reference: `oclc/classify.py:816-839` (threshold 0.25 token
+    overlap), `oclc/linked_data.py:1095-1104` (proportion overlap).
+    """
+    p = load(spark, sf_dir, "part")
+    tok = p.select(
+        "p_partkey", "p_brand",
+        F.explode(F.split(F.col("p_name"), " ")).alias("w"),
+    ).dropDuplicates()
+    sets = tok.groupBy("p_partkey", "p_brand").agg(
+        F.countDistinct("w").alias("n_tokens")
+    )
+    a = tok.alias("a")
+    b = tok.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .groupBy(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+        )
+        .agg(F.countDistinct("a.w").alias("n_shared"))
+    )
+    sa = sets.select(F.col("p_partkey").alias("key_a"),
+                     F.col("n_tokens").alias("tokens_a"))
+    sb = sets.select(F.col("p_partkey").alias("key_b"),
+                     F.col("n_tokens").alias("tokens_b"))
+    jac = F.col("n_shared") / (F.col("tokens_a") + F.col("tokens_b")
+                               - F.col("n_shared"))
+    return (
+        shared.join(sa, "key_a").join(sb, "key_b")
+        .where(jac >= 0.5)
+        .select("key_a", "key_b", jac.alias("jaccard"))
+    )

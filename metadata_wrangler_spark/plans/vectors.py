@@ -1,0 +1,86 @@
+"""Similarity-search plans over the ``embeddings`` table
+(`array<float>` column) — brute-force exact cosine top-k as the
+correctness baseline, hyperplane-LSH bucketing as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.catalog import load
+from metadata_wrangler_spark.operators import similarity
+from metadata_wrangler_spark.plans import register
+
+# Query set: a deterministic slice of the corpus.
+_QUERY_PRED = "vec_id % 101 = 0"
+_K = 5
+
+# DuckDB spelling of the deterministic sequential-fold dot product /
+# norm used by operators.similarity (both engines fold doubles left
+# to right, so values match bit-for-bit before the safety rounding).
+_DOT = ("list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), "
+        "CAST({b} AS DOUBLE[])), x -> x[1] * x[2]))")
+_NORM = ("sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]), "
+         "x -> x * x)))")
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE {_QUERY_PRED}
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS corpus_id,
+               CAST(CAST(
+                   {_DOT.format(a='q.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='q.qvec')} * {_NORM.format(a='c.embedding')})
+               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        FROM embeddings c
+        JOIN q ON q.query_id <> c.vec_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+        SELECT query_id, corpus_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= {_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a broadcast query set —
+    one corpus scan, per-query window rank. The baseline ANN tier."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(_QUERY_PRED))
+    return similarity.cosine_topk(emb, queries, k=_K)
+
+
+@register("sim_lsh_topk")  # rows-only check: LSH bucketing is approximate
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed cosine top-k — the 100 TB path.
+
+    Planes are derived from a fixed seed (reproducible); candidates
+    share a 6-bit sign-pattern bucket, exact cosine re-ranks. No SQL
+    oracle: result quality is validated in tests against the exact
+    tier (recall@k), the driver records a rows-only check.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(_QUERY_PRED))
+    planes = _fixed_planes(n_planes=6, dim=64, seed=42)
+    return similarity.lsh_cosine_topk(emb, queries, planes, k=_K)
+
+
+def _fixed_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no RNG state,
+    reproducible across runs and languages)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+        planes.append(row)
+    return planes

@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Local test runs use ``local[N]`` (single JVM); the configuration is
+written so the same code lands well on a multi-executor cluster:
+AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), shuffle partitions sized to the parallelism at hand,
+Arrow enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "metadata_wrangler_spark",
+              cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``spark.sql.shuffle.partitions`` is set to the core count rather
+    than the 200 default: at local scale 200 tiny partitions are pure
+    scheduling overhead, and on a real cluster AQE coalescing makes
+    the initial number a ceiling, not a target.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder
+        .master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.default.parallelism", str(max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The driver's events table stores TIMESTAMP(NANOS), which the
+        # Spark parquet reader rejects natively; read as long and let
+        # catalog.load convert to a microsecond timestamp column.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,133 @@
+"""Local mirror of the driver's correctness gate: run every
+`queries()` entry on Spark and its `oracle_sql()` twin on DuckDB over
+the same parquet tables, then compare row count, column names, and an
+order-insensitive value hash.
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from metadata_wrangler_spark.catalog import TABLES
+from metadata_wrangler_spark.session import get_spark
+
+
+def _normalize_cell(v):
+    import datetime
+    import decimal
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_normalize_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        spark_secs = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
+                  f"[{spark_secs:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [c.lower() for c in rel.columns]
+            orows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        scols_l = [c.lower() for c in scols]
+        problems = []
+        if sorted(scols_l) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols_l)} duck={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rows spark={len(srows)} duck={len(orows)}")
+        if not problems:
+            sh = value_hash(scols_l, [tuple(r) for r in srows])
+            oh = value_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash spark={sh} duck={oh}")
+                # show a few differing lines to debug
+                sset = {tuple(_normalize_cell(v) for v in r) for r in
+                        (tuple(x[i] for i in sorted(range(len(scols_l)),
+                         key=lambda j: scols_l[j])) for x in
+                         (tuple(r) for r in srows))}
+                oset = {tuple(_normalize_cell(v) for v in r) for r in
+                        (tuple(x[i] for i in sorted(range(len(ocols)),
+                         key=lambda j: ocols[j])) for x in
+                         (tuple(r) for r in orows))}
+                for d in list(sset - oset)[:3]:
+                    print(f"        spark-only: {d}")
+                for d in list(oset - sset)[:3]:
+                    print(f"        duck-only:  {d}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{spark_secs:.1f}s]")
+
+    print()
+    if failures:
+        print(f"{len(failures)} failing: {failures}")
+        return 1
+    print("all green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
