@@ -91,19 +91,19 @@ def ev_incremental_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_sessionized_gaps",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events
     ), flagged AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type,
                CASE WHEN prev_ts IS NULL
                          OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 3600
                     THEN 1 ELSE 0 END AS new_session
         FROM ordered
     ), sessions AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type,
                SUM(new_session) OVER (PARTITION BY user_id
-                                      ORDER BY ts
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_no
         FROM flagged
     )
@@ -124,11 +124,13 @@ def ev_sessionized_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
-    run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tiebreak: with two events at the same (user_id, ts)
+    # the cumulative sum would otherwise depend on partition order.
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, 0
     )
     flagged = ev.select(
-        "user_id", "ts", "event_type",
+        "user_id", "ts", "event_id", "event_type",
         F.when(
             F.lag("ts").over(by_user).isNull()
             | (

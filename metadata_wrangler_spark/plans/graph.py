@@ -35,16 +35,22 @@ EDGES_SQL = """
 
 def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic equivalency edges over customer keys
-    (keys are dense 0..N-1 in the test data)."""
+    (keys are dense 0..N-1 in the test data).
+
+    The row count enters the plan as a broadcast 1-row aggregate
+    (scalar-subquery shape), not a driver-side ``count()`` — building
+    the plan stays lazy, so no job runs until the query executes."""
     c = load(spark, sf_dir, "customer")
-    n = c.count()  # dimension-sized; one cheap metadata-only job
+    cnt = c.agg(F.count(F.lit(1)).alias("_n"))
+    base = c.crossJoin(F.broadcast(cnt))
     k = F.col("c_custkey")
-    e1 = c.select(
+    n = F.col("_n")
+    e1 = base.select(
         k.alias("src"),
         ((k * 7 + 3) % n).alias("dst"),
         (0.5 + (k % 53) / 100.0).alias("strength"),
     )
-    e2 = c.select(
+    e2 = base.select(
         k.alias("src"),
         ((k * 13 + 5) % n).alias("dst"),
         (0.5 + (k % 29) / 100.0).alias("strength"),

@@ -57,21 +57,6 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=_K)
 
 
-@register("sim_lsh_topk")  # rows-only check: LSH bucketing is approximate
-def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed cosine top-k — the 100 TB path.
-
-    Planes are derived from a fixed seed (reproducible); candidates
-    share a 6-bit sign-pattern bucket, exact cosine re-ranks. No SQL
-    oracle: result quality is validated in tests against the exact
-    tier (recall@k), the driver records a rows-only check.
-    """
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.expr(_QUERY_PRED))
-    planes = _fixed_planes(n_planes=6, dim=64, seed=42)
-    return similarity.lsh_cosine_topk(emb, queries, planes, k=_K)
-
-
 def _fixed_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no RNG state,
     reproducible across runs and languages)."""
@@ -84,3 +69,61 @@ def _fixed_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
             row.append(((state >> 33) / float(1 << 31)) - 1.0)
         planes.append(row)
     return planes
+
+
+_PLANES = _fixed_planes(n_planes=6, dim=64, seed=42)
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of the hyperplane bucketing: the plane constants
+    are embedded as DOUBLE[] literals (repr round-trips the exact
+    bits), so both engines compute identical sign-pattern buckets."""
+    plane_lits = [
+        "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        for row in _PLANES
+    ]
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_DOT.format(a=vec, b=p)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(plane_lits)
+        )
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {bucket_expr('embedding')} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, bucket
+        FROM b WHERE {_QUERY_PRED}
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS corpus_id,
+               CAST(CAST(
+                   {_DOT.format(a='q.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='q.qvec')} * {_NORM.format(a='c.embedding')})
+               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        FROM b c
+        JOIN q ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+        SELECT query_id, corpus_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= {_K}
+    """
+
+
+@register("sim_lsh_topk", oracle=_lsh_oracle_sql())
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed cosine top-k — the 100 TB path.
+
+    Planes are derived from a fixed seed (reproducible), so the
+    DuckDB oracle embeds the same plane constants and hash-checks the
+    bucketed result exactly; recall@k vs the exact tier is asserted
+    in tests/test_similarity.py.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(_QUERY_PRED))
+    return similarity.lsh_cosine_topk(emb, queries, _PLANES, k=_K)
