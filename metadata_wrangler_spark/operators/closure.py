@@ -58,10 +58,14 @@ def equivalent_ids(
         .dropDuplicates()
     )
 
-    visited = seeds.select(
+    frontier = seeds.select(
         F.col(seed_col).cast("bigint").alias("node"), F.lit(0).alias("level")
     ).dropDuplicates(["node"]).localCheckpoint(eager=True)
-    frontier = visited
+    # The visited set is a lazy union of already-checkpointed
+    # frontiers — one materialization per level total (the frontier
+    # checkpoint), instead of separately checkpointing the union.
+    frontiers = [frontier]
+    visited = frontier
 
     for lvl in range(1, levels + 1):
         nxt = (
@@ -72,11 +76,16 @@ def equivalent_ids(
             .withColumn("level", F.lit(lvl))
         )
         # Truncate lineage: each iteration's plan must not embed the
-        # previous iterations' joins.
+        # previous iterations' joins. The eager checkpoint doubles as
+        # the emptiness probe's materialization, so isEmpty() below
+        # reads cached blocks instead of re-running the join.
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontiers.append(nxt)
+        visited = frontiers[0]
+        for f in frontiers[1:]:
+            visited = visited.unionByName(f)
         frontier = nxt
 
     return visited

@@ -11,10 +11,13 @@ driver's ``documents`` table (see plans/documents.py):
   minhash_lsh  MinHash signatures + banded LSH: candidate pairs come
                from equality on band keys, so the join is a plain
                equi-join whose cost scales with the number of true
-               near-dups, not n². The 100 TB path.
-  simhash      64-bit SimHash fingerprints; near-dups differ in few
-               bits — banded into 4×16-bit keys for Hamming ≤ 3
-               candidate generation.
+               near-dups, not n². The 100 TB path. Each shingle is
+               md5-hashed ONCE; the k signature slots come from
+               affine rehashes (a_k·h + b_k) mod p — k× cheaper than
+               k independent md5s with the same collision behavior.
+  simhash      32-bit SimHash fingerprints; near-dups differ in few
+               bits — banded into 4×8-bit keys for Hamming ≤ 3
+               candidate generation (simhash_pairs).
 
 All hashing is built from ``md5`` so every stage stays inside
 whole-stage codegen (no Python UDFs) and is reproducible in ANSI SQL
@@ -104,12 +107,7 @@ def ngram_jaccard_pairs(
     cross join); the exact score then filters candidates. Returns
     (id_a, id_b, jaccard) with id_a < id_b.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    sh = (
-        docs.withColumn("w", words)
-        .select(F.col(id_col).alias("id"), F.explode(shingles(n)).alias("sh"))
-        .dropDuplicates()
-    )
+    sh = distinct_shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -134,6 +132,40 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime; a·h+b stays < 2^62 (no
+                           # BIGINT overflow in either engine)
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) affine-rehash constants — LCG-derived,
+    no RNG state, identical in the generated oracle SQL."""
+    params = []
+    state = 20240817
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state >> 16) % (MINHASH_P - 1) + 1  # nonzero
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (state >> 16) % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def distinct_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh) rows, one per distinct shingle per doc.
+
+    Within-document dedup happens JVM-side via ``array_distinct``
+    BEFORE the explode — no dropDuplicates shuffle on the (much
+    larger) exploded table.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    return docs.withColumn("w", words).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(n))).alias("sh"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -143,21 +175,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature.
 
-    Hash family: h_k(s) = md5_long(k || '#' || s) — independent-ish
-    permutations derived from one codegen-able primitive. Computed as
-    explode → groupBy(min per hash) so the whole signature costs one
-    shuffle regardless of num_hashes.
+    Hash family: one md5 per shingle (h = md5_long(sh) mod p), then
+    h_k = (a_k·h + b_k) mod p — the standard universal-hash rehash
+    family. One hash evaluation per shingle row instead of
+    ``num_hashes``; the whole signature still costs one shuffle
+    (explode → groupBy(min per slot)).
     Returns (id, mh_0 … mh_{num_hashes-1}).
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    sh = docs.withColumn("w", words).select(
-        F.col(id_col).alias("id"), F.explode(shingles(n)).alias("sh")
-    ).dropDuplicates()
+    sh = distinct_shingles(docs, id_col, text_col, n)
+    hp = (md5_long(F.col("sh")) % MINHASH_P).alias("hp")
+    hashed = sh.select("id", hp)
     aggs = [
-        F.min(md5_long(F.concat(F.lit(f"{k}#"), F.col("sh")))).alias(f"mh_{k}")
-        for k in range(num_hashes)
+        F.min((F.lit(a) * F.col("hp") + F.lit(b)) % MINHASH_P).alias(f"mh_{k}")
+        for k, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -219,7 +251,7 @@ def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 32,
 ) -> DataFrame:
     """Per-document SimHash fingerprint over word features.
 
@@ -246,3 +278,52 @@ def simhash(
         bit = F.when(F.col(f"s_{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         fp = bit if fp is None else (fp + bit)
     return sums.select("id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: banded candidate generation +
+    exact Hamming filter.
+
+    Pigeonhole guarantee: with ``bands`` bands, any pair within
+    Hamming distance ``bands - 1`` agrees exactly on at least one
+    band, so the equi-join on (band_no, band_value) finds every such
+    pair — never an all-pairs comparison. ``bit_count(a XOR b)`` then
+    filters exactly. Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    assert max_hamming <= bands - 1, "banding misses pairs beyond bands-1"
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fp = simhash(docs, id_col, text_col, bits)
+    bands_arr = F.array(*[
+        F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ])
+    bucket = fp.select(
+        "id", "simhash", F.posexplode(bands_arr).alias("band_no", "band_val")
+    )
+    a, b = bucket.alias("a"), bucket.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

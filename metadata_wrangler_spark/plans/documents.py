@@ -105,19 +105,23 @@ _ROWS = _NUM_HASHES // _BANDS
 
 
 def _minhash_sig_sql() -> str:
-    parts = []
-    for k in range(_NUM_HASHES):
-        hashed = _md5_long_sql(f"concat('{k}#', sh)")
-        parts.append(f"MIN({hashed}) AS mh_{k}")
+    p = dedup.MINHASH_P
+    parts = [
+        f"MIN(({a} * hp + {b}) % {p}) AS mh_{k}"
+        for k, (a, b) in enumerate(dedup.minhash_params(_NUM_HASHES))
+    ]
     aggs = ",\n           ".join(parts)
     return f"""
         SELECT id, {aggs}
         FROM (
-            SELECT DISTINCT id, sh FROM (
-                SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS sh
-                FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) t0
-            ) t1
-        ) sh_tbl
+            SELECT id, ({_md5_long_sql('sh')}) % {p} AS hp
+            FROM (
+                SELECT DISTINCT id, sh FROM (
+                    SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS sh
+                    FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) t0
+                ) t1
+            ) sh_tbl
+        ) hashed
         GROUP BY id
     """
 
@@ -164,7 +168,9 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup tier 4: SimHash
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4
+_SIMHASH_MAX_HAMMING = 3
 
 
 def _simhash_oracle_sql() -> str:
@@ -191,10 +197,46 @@ def _simhash_oracle_sql() -> str:
 
 @register("dd_simhash", oracle=_simhash_oracle_sql())
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 16-bit SimHash fingerprint (near-dups differ in
-    few bits; band the fingerprint for Hamming candidate join)."""
+    """Per-document 32-bit SimHash fingerprint (near-dups differ in
+    few bits; `dd_simhash_pairs` bands it for the candidate join)."""
     return dedup.simhash(load(spark, sf_dir, "documents"),
                          bits=_SIMHASH_BITS)
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    band_bits = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    bands_vals = ", ".join(f"({b})" for b in range(_SIMHASH_BANDS))
+    return f"""
+    WITH fp AS ({_simhash_oracle_sql()}),
+    bucket AS (
+        SELECT id, simhash, bn.band_no,
+               (simhash >> (bn.band_no * {band_bits})) & {mask} AS band_val
+        FROM fp, (VALUES {bands_vals}) AS bn(band_no)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bucket a
+    JOIN bucket b ON a.band_no = b.band_no AND a.band_val = b.band_val
+                 AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    """
+
+
+@register("dd_simhash_pairs", oracle=_simhash_pairs_oracle_sql())
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×8-bit banded candidate equi-join
+    (pigeonhole-complete for Hamming ≤ 3) + exact bit_count filter.
+    Never an all-pairs comparison — the scale path for bitwise
+    near-dup detection."""
+    out = dedup.simhash_pairs(
+        load(spark, sf_dir, "documents"),
+        bits=_SIMHASH_BITS, bands=_SIMHASH_BANDS,
+        max_hamming=_SIMHASH_MAX_HAMMING,
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metadata_wrangler_spark.catalog import load
-from metadata_wrangler_spark.operators.closure import equivalent_ids
+from metadata_wrangler_spark.operators.closure import (
+    connected_components,
+    equivalent_ids,
+)
 from metadata_wrangler_spark.plans import register
 
 # Shared edge definition (SQL fragment used verbatim by the DuckDB
@@ -122,3 +125,38 @@ def g_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = equivalent_ids(edges, seeds, levels=6, threshold=0.7)
     return out.select(F.col("node"), F.col("level").cast("int").alias("level"))
+
+
+@register(
+    "g_connected_components",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({EDGES_SQL}),
+    strong AS (SELECT src, dst FROM edges WHERE strength > 0.85),
+    sym AS (
+        SELECT src AS a, dst AS b FROM strong
+        UNION
+        SELECT dst AS a, src AS b FROM strong
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.a, r.r FROM sym s JOIN reach r ON r.node = s.b
+    )
+    SELECT node, MIN(r) AS component
+    FROM reach
+    GROUP BY node
+    """,
+)
+def g_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the strong-edge subgraph (strength
+    > 0.85) — the Work-consolidation clustering: every identifier
+    cluster gets one canonical (min-id) label.
+
+    Reference: work clustering / contributor merge canonicalization
+    (`viaf.py:777-798`, `oclc/classify.py:1311-1346`). Engine
+    implementation is `operators.closure.connected_components`
+    (min-label propagation to fixpoint, checkpointed per round); the
+    oracle is the equivalent recursive reachability CTE.
+    """
+    edges = build_edges(spark, sf_dir).where(F.col("strength") > 0.85)
+    return connected_components(edges)

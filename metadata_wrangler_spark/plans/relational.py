@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from metadata_wrangler_spark.catalog import load
+from metadata_wrangler_spark.operators import pagination
 from metadata_wrangler_spark.plans import register
 
 
@@ -472,26 +473,66 @@ def a_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: discrete percentiles (exact data values, no interpolation
     — engine-portable by construction).
 
-    Reference: `bin/util/calculate_percentile:11-36`. The global sort
-    is acceptable here because percentile calibration in the
-    reference runs over one measurement quantity at a time; at scale
-    swap in `percentile_approx` (sketch-based, single pass, no global
-    sort) — provided by the engine as the default path.
+    Reference: `bin/util/calculate_percentile:11-36`. Plan shape:
+    groupBy(value) count → cumulative sum over the (much smaller)
+    distinct-value table → rank-range probe. No row-level global
+    sort; the single ordered pass sees |distinct values| rows after
+    map-side partial aggregation. `a_percentile_cont` is the
+    single-pass aggregate variant.
     """
     c = load(spark, sf_dir, "customer")
-    ranked = c.select(
+    # Pre-aggregate to per-value counts first: the only ordered pass
+    # is the cumulative sum over |distinct values| rows (map-side
+    # partial agg shrinks the shuffle; no row-level global sort).
+    counts = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = W.orderBy("c_acctbal").rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.select(
         "c_acctbal",
-        F.row_number().over(W.orderBy("c_acctbal", "c_custkey")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("cnt").over(cum_w).alias("cum"),
+        (F.sum("cnt").over(cum_w) - F.col("cnt")).alias("prev"),
     )
+    total = c.agg(F.count(F.lit(1)).alias("n"))
     pcts = spark.createDataFrame([(0.25,), (0.50,), (0.75,), (0.90,)], "p double")
+    targets = pcts.crossJoin(F.broadcast(total)).select(
+        "p", (F.floor((F.col("n") - 1) * F.col("p")) + 1).alias("rn")
+    )
+    # The percentile value is the one whose cumulative range covers
+    # the target rank.
     return (
-        ranked.join(
-            F.broadcast(pcts),
-            ranked.rn == (F.floor((ranked.n - 1) * pcts.p) + 1),
+        cum.join(
+            F.broadcast(targets),
+            (F.col("prev") < F.col("rn")) & (F.col("cum") >= F.col("rn")),
         )
         .select("p", F.col("c_acctbal").alias("value"))
     )
+
+
+@register(
+    "a_percentile_cont",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(CAST(quantile_cont(o_totalprice, 0.50) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
+           CAST(CAST(quantile_cont(o_totalprice, 0.90) AS DECIMAL(18,4)) AS DOUBLE) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (scale path): exact continuous percentiles as a true
+    AGGREGATE — partial-aggregable, one shuffle on the group key, no
+    ordered pass at all. Spark `percentile()` and DuckDB
+    `quantile_cont` share the p·(n−1) linear-interpolation
+    definition.
+
+    Reference: `bin/util/calculate_percentile:11-36`.
+    """
+    o = load(spark, sf_dir, "orders")
+    def q(p: float, alias: str):
+        return (
+            F.expr(f"percentile(o_totalprice, {p})")
+            .cast("decimal(18,4)").cast("double").alias(alias)
+        )
+    return o.groupBy("o_orderpriority").agg(q(0.50, "p50"), q(0.90, "p90"))
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +569,7 @@ def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w_keyset_pagination",
+    "w_offset_pagination",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM (
@@ -539,15 +580,13 @@ def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn BETWEEN 101 AND 135
     """,
 )
-def w_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: offset/limit pagination re-expressed as a deterministic
-    row_number slice (page 3 of size 35, the reference's feed size).
+def w_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: offset/limit pagination via a deterministic row_number
+    slice (page 3 of size 35, the reference's feed size).
 
     Reference: `controller.py:429,675-678`, `scripts.py:85-96`.
-    Serving-layer note: at scale, prefer keyset predicates
-    (`o_orderkey > last_seen LIMIT n`) — provided by
-    operators.pagination — because a global row_number re-sorts
-    everything; this plan exists for parity with the offset API.
+    Single-partition window — serving-layer parity only; the scale
+    path is `w_keyset_pagination` (operators.pagination).
     """
     o = load(spark, sf_dir, "orders")
     return (
@@ -555,6 +594,30 @@ def w_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn").between(101, 135))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "w_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey > 400
+    ORDER BY o_orderkey
+    LIMIT 35
+    """,
+)
+def w_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (scale path): seek-method pagination — cursor predicate +
+    TakeOrdered limit. The `o_orderkey > cursor` filter pushes down
+    to the scan, so page cost is independent of how deep the cursor
+    is; no global sort, no window.
+
+    Reference: replaces the offset loops at `scripts.py:85-96,159-167`.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return pagination.keyset_page(o, "o_orderkey", 400, 35)
 
 
 # ---------------------------------------------------------------------------
@@ -676,15 +739,27 @@ def f_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f_levenshtein_ratio",
     oracle="""
-    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-           levenshtein(a.c_name, b.c_name) AS lev,
-           100.0 * (1.0 - levenshtein(a.c_name, b.c_name) /
-                    greatest(length(a.c_name), length(b.c_name))) AS ratio
-    FROM customer a
-    JOIN customer b
-      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-    WHERE a.c_custkey % 10 = 0 AND b.c_custkey % 10 = 0
-      AND levenshtein(a.c_name, b.c_name) <= 2
+    WITH sample_c AS (
+        SELECT c_custkey, c_name, substr(c_name, 10) AS digits
+        FROM customer WHERE c_custkey % 10 = 0
+    ), bucket AS (
+        SELECT c_custkey, c_name, bn.band_no,
+               substr(digits, bn.band_no * 3 + 1, 3) AS band_val
+        FROM sample_c, (VALUES (0), (1), (2)) AS bn(band_no)
+    ), cand AS (
+        SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               a.c_name AS name_a, b.c_name AS name_b
+        FROM bucket a
+        JOIN bucket b ON a.band_no = b.band_no
+                     AND a.band_val = b.band_val
+                     AND a.c_custkey < b.c_custkey
+    )
+    SELECT key_a, key_b,
+           levenshtein(name_a, name_b) AS lev,
+           100.0 * (1.0 - levenshtein(name_a, name_b) /
+                    greatest(length(name_a), length(name_b))) AS ratio
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 2
     """,
 )
 def f_levenshtein_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,31 +767,55 @@ def f_levenshtein_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's name-verification check.
 
     Reference: `scripts.py:304-344` (ratio >= 40 verify),
-    `viaf.py:326-388` (threshold cascade). Candidate pairs are
-    blocked on a cheap equi-key (nation) before the quadratic
-    scorer — the same candidate-generation-then-score shape the
-    engine uses for fuzzy entity resolution at scale.
+    `viaf.py:326-388` (threshold cascade).
+
+    Blocking: the name's digit body is banded into three positional
+    3-char chunks; any pair within 2 substitutions agrees on at
+    least one chunk (pigeonhole), so the candidate join is an
+    equi-join on a HIGH-cardinality (band_no, band_val) key — no
+    25-value nation block, no quadratic blow-up per block at scale.
+    The exact levenshtein filter then verifies candidates.
     """
-    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
-    a = c.alias("a")
-    b = c.alias("b")
-    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    ratio = 100.0 * (
-        1.0 - lev / F.greatest(F.length("a.c_name"), F.length("b.c_name"))
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey", "c_name",
+            F.substring(F.col("c_name"), 10, 9).alias("digits"),
+        )
     )
-    return (
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_no"),
+            F.substring(F.col("digits"), i * 3 + 1, 3).alias("band_val"),
+        )
+        for i in range(3)
+    ])
+    bucket = c.select(
+        "c_custkey", "c_name", F.explode(bands).alias("band")
+    ).select("c_custkey", "c_name", "band.band_no", "band.band_val")
+    a, b = bucket.alias("a"), bucket.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .where(lev <= 2)
         .select(
             F.col("a.c_custkey").alias("key_a"),
             F.col("b.c_custkey").alias("key_b"),
-            lev.alias("lev"),
-            ratio.alias("ratio"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
         )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    ratio = 100.0 * (
+        1.0 - lev / F.greatest(F.length("name_a"), F.length("name_b"))
+    )
+    return cand.where(lev <= 2).select(
+        "key_a", "key_b", lev.alias("lev"), ratio.alias("ratio")
     )
 
 
