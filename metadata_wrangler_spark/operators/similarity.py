@@ -113,9 +113,17 @@ def lsh_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the hyperplane
     bucket, exact cosine re-ranks within the bucket.
+
+    ``probe_hamming`` enables multi-probe LSH: each query also
+    probes buckets within that Hamming distance of its own (sign
+    bits near a hyperplane are the ones that flip for near
+    neighbours). Recall rises steeply for a linear cost in probes —
+    still an equi-join, the probe set is exploded on the (small)
+    query side, never the corpus side.
 
     At scale, bucket the corpus ONCE (write bucketed parquet /
     cluster by bucket) and this becomes a bucket-pruned scan per
@@ -127,6 +135,17 @@ def lsh_cosine_topk(
     qb = hyperplane_buckets(queries, planes, id_col, vec_col).withColumnsRenamed(
         {id_col: "query_id", vec_col: "qvec"}
     )
+    if probe_hamming > 0:
+        probes = [F.col("bucket")]
+        for i in range(len(planes)):
+            probes.append(F.col("bucket").bitwiseXOR(F.lit(1 << i)))
+        if probe_hamming > 1:
+            for i in range(len(planes)):
+                for j in range(i + 1, len(planes)):
+                    probes.append(
+                        F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                    )
+        qb = qb.withColumn("bucket", F.explode(F.array(*probes)))
     sim = dot(F.col("qvec"), F.col("cvec")) / (
         norm(F.col("qvec")) * norm(F.col("cvec"))
     )
@@ -136,6 +155,58 @@ def lsh_cosine_topk(
         .where(F.col("query_id") != F.col("corpus_id"))
         .select("query_id", "corpus_id", sim_r.alias("cosine"))
     )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def lsh_cosine_topk_multitable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH: L independent hyperplane tables; a candidate
+    pair needs to collide in ANY table. The standard recall lever
+    when neighbours sit at wide angles (catch probability
+    1-(1-p^b)^L vs p^b for one table).
+
+    Implementation is one equi-join on (table_no, bucket): each side
+    carries L bucket rows per vector (explode on table_no), so the
+    join stays an equi-join and candidate dedup is a dropDuplicates
+    on the pair key. At scale the corpus-side bucket table is
+    written once as bucketed parquet keyed by (table_no, bucket).
+    """
+    def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        per_table = None
+        for t, planes in enumerate(tables):
+            b = hyperplane_buckets(df, planes, id_col, vec_col).select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias(out_vec),
+                F.lit(t).alias("table_no"),
+                F.col("bucket"),
+            )
+            per_table = b if per_table is None else per_table.unionByName(b)
+        return per_table
+
+    cb = bucketed(corpus, "corpus_id", "cvec")
+    qb = bucketed(queries, "query_id", "qvec")
+    cand = (
+        cb.join(F.broadcast(qb), ["table_no", "bucket"])
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    sim = dot(F.col("qvec"), F.col("cvec")) / (
+        norm(F.col("qvec")) * norm(F.col("cvec"))
+    )
+    sim_r = sim.cast("decimal(18,6)").cast("double")
+    scored = cand.select("query_id", "corpus_id", sim_r.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

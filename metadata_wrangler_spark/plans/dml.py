@@ -1,10 +1,10 @@
 """DML / upsert / state-machine plans (SURVEY.md §2.7 D1-D7).
 
-These are the read-side semantics of the reference's write operators,
-phrased as pure queries so the oracle can hash-check them: each plan
-computes the *post-state* (or the to-write delta) that the engine's
-merge/queue library (operators.merge, operators.queue) would persist
-via MERGE on a transactional table format.
+Each plan computes the *post-state* (or the to-write delta) that the
+engine's merge/queue library (operators.merge, operators.queue)
+persists via `ParquetStateTable.commit` (or MERGE on a transactional
+table format). The post-states are pure queries, so the oracle can
+hash-check the write semantics end to end.
 """
 
 from __future__ import annotations
@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from metadata_wrangler_spark.catalog import load
+from metadata_wrangler_spark.operators import merge, queue
 from metadata_wrangler_spark.plans import register
 
 
@@ -198,4 +199,264 @@ def d_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(
             F.when(F.col("ts") < F.lit("1998-01-01").cast("timestamp"), 1)
         ).alias("retry_eligible"),
+    )
+
+
+@register(
+    "d_get_one_or_create",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+    FROM customer
+    UNION ALL
+    SELECT o_custkey + 1000000 AS id,
+           'created-' || CAST(o_custkey AS VARCHAR) AS name,
+           'NEW' AS segment
+    FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 3 = 0) t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o_custkey + 1000000
+    )
+    """,
+)
+def d_get_one_or_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: `get_one_or_create` post-state — existing rows win,
+    incoming rows insert only where the key is absent.
+
+    Reference: `oclc/classify.py:958-967` (editions unique on
+    (data_source, primary_identifier)), `oclc/classify.py:948-950`
+    (Identifier.for_foreign_id). Engine: operators.merge
+    .get_one_or_create (left_anti + union).
+    """
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    incoming = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 3 == 0)
+        .select(F.col("o_custkey")).dropDuplicates()
+        .select(
+            (F.col("o_custkey") + 1000000).alias("id"),
+            F.concat(F.lit("created-"), F.col("o_custkey").cast("string"))
+            .alias("name"),
+            F.lit("NEW").alias("segment"),
+        )
+    )
+    return merge.get_one_or_create(c, incoming, ["id"])
+
+
+@register(
+    "d_bulk_delete",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS total_price
+    FROM lineitem
+    WHERE NOT (l_shipdate < TIMESTAMP '1994-01-01' AND l_discount < 0.02)
+    GROUP BY l_returnflag
+    """,
+)
+def d_bulk_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: bulk DELETE WHERE as predicate inversion — post-state
+    census after removing old low-discount rows.
+
+    Reference: `controller.py:727-732` (catalog remove),
+    `scripts.py:504-515` (delete equivalencies by source). Engine:
+    operators.merge.delete_where; at scale the predicate prunes
+    partitions before touching rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pred = (
+        (F.col("l_shipdate") < F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_discount") < 0.02)
+    )
+    post = merge.delete_where(li, pred)
+    return post.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5))
+               .cast("bigint")) / F.lit(10000.0)).alias("total_price"),
+    )
+
+
+@register(
+    "d_update_expression",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_brand = 'Brand#23'
+                THEN replace(p_type, 'PLATED', 'COATED')
+                ELSE p_type END AS p_type,
+           CASE WHEN p_brand = 'Brand#23' THEN 1 ELSE 0 END AS updated
+    FROM part
+    """,
+)
+def d_update_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: UPDATE … SET col = replace(col, …) WHERE predicate — the
+    mirror-url rewrite migration as a post-state projection.
+
+    Reference: `migration/20180626-move-cover-s3-bucket.sql:3`
+    (nested replace() over representations.mirror_url). Engine:
+    operators.merge.update_where.
+    """
+    p = load(spark, sf_dir, "part")
+    pred = F.col("p_brand") == "Brand#23"
+    post = merge.update_where(
+        p, pred,
+        {"p_type": F.replace(F.col("p_type"), F.lit("PLATED"),
+                             F.lit("COATED"))},
+    )
+    return post.select(
+        "p_partkey", "p_type",
+        F.when(pred, 1).otherwise(0).alias("updated"),
+    )
+
+
+@register(
+    "d_entity_merge_repoint",
+    oracle="""
+    WITH entities AS (
+        SELECT c_custkey AS id,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    ELSE c_custkey % 97 END AS viaf
+        FROM customer
+    ), canon AS (
+        SELECT viaf, MIN(id) AS canonical_id
+        FROM entities WHERE viaf IS NOT NULL
+        GROUP BY viaf
+    ), mapping AS (
+        SELECT e.id AS old_id, COALESCE(c.canonical_id, e.id) AS canonical_id
+        FROM entities e LEFT JOIN canon c ON c.viaf = e.viaf
+    )
+    SELECT m.canonical_id AS contributor_id,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN mapping m ON m.old_id = o.o_custkey
+    GROUP BY m.canonical_id
+    """,
+)
+def d_entity_merge_repoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: entity merge + FK repoint — contributors sharing a VIAF id
+    collapse to the min-id canonical row and referencing rows are
+    rewritten through the mapping.
+
+    Reference: `viaf.py:777-798` (`merge_into` earliest duplicate),
+    `oclc/classify.py:1311-1346`. Engine: operators.merge
+    .merge_entities + repoint_fks (one groupBy + one broadcastable
+    mapping join — never row-at-a-time).
+    """
+    c = load(spark, sf_dir, "customer")
+    entities = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey") % 97).alias("viaf"),
+    )
+    mapping = merge.merge_entities(entities, ["viaf"], "id")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("contributor_id")
+    )
+    repointed = merge.repoint_fks(o, mapping, "contributor_id")
+    return repointed.groupBy("contributor_id").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "d_queue_lifecycle",
+    oracle="""
+    WITH initial AS (
+        SELECT o_custkey AS identifier_id,
+               'oclc' AS data_source, 'classify' AS operation,
+               CASE o_orderstatus WHEN 'O' THEN 'registered'
+                                  WHEN 'F' THEN 'success'
+                                  ELSE 'transient failure' END AS status,
+               o_orderdate AS ts
+        FROM (
+            SELECT o_custkey, o_orderstatus, o_orderdate,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC,
+                                               o_orderkey DESC) AS rn
+            FROM orders
+        ) t WHERE rn = 1
+    ), registered AS (
+        SELECT * FROM initial
+        UNION ALL
+        SELECT c_custkey, 'oclc', 'classify', 'registered',
+               TIMESTAMP '1999-01-01'
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM initial i WHERE i.identifier_id = c_custkey
+        )
+    ), outcomes AS (
+        SELECT identifier_id, data_source, operation,
+               CASE WHEN identifier_id % 7 = 0 THEN 'success'
+                    WHEN identifier_id % 7 = 1 THEN 'persistent failure'
+                    ELSE 'transient failure' END AS new_status
+        FROM registered
+        WHERE status = 'registered'
+          OR (status = 'transient failure'
+              AND ts < TIMESTAMP '1998-01-01')
+    ), final AS (
+        SELECT r.identifier_id,
+               COALESCE(o.new_status, r.status) AS status
+        FROM registered r
+        LEFT JOIN outcomes o
+          ON o.identifier_id = r.identifier_id
+         AND o.data_source = r.data_source
+         AND o.operation = r.operation
+    )
+    SELECT status, COUNT(*) AS n_records
+    FROM final
+    GROUP BY status
+    """,
+)
+def d_queue_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 write side: a full queue lifecycle — register missing
+    identifiers, claim the eligible set (registered + expired
+    transients), apply batch outcomes, census the post-state.
+
+    Reference: `coverage_provider.py:346-354` (register),
+    `content_cafe.py:85-105` + `oclc/linked_data.py:1026-1033`
+    (success / transient / persistent transitions),
+    `docker/services/simplified_crontab:13-27` (the cron drain this
+    replaces). Engine: operators.queue (register / eligible /
+    apply_outcomes / census) — every transition is a join or union,
+    so a drain step scales with executors and runs unchanged inside
+    foreachBatch (streaming.queue_drain).
+    """
+    o = load(spark, sf_dir, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "O", queue.REGISTERED)
+        .when(F.col("o_orderstatus") == "F", queue.SUCCESS)
+        .otherwise(queue.TRANSIENT)
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    initial = (
+        o.select(
+            F.col("o_custkey").alias("identifier_id"),
+            F.lit("oclc").alias("data_source"),
+            F.lit("classify").alias("operation"),
+            status.alias("status"),
+            F.col("o_orderdate").alias("ts"),
+            F.lit(None).cast("string").alias("exception"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    items = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("identifier_id")
+    )
+    registered = queue.register(
+        initial, items, "oclc", "classify", ts="1999-01-01"
+    )
+    todo = queue.eligible(registered, "1998-01-01", backoff_seconds=0)
+    outcomes = todo.select(
+        *queue.KEY,
+        F.when(F.col("identifier_id") % 7 == 0, queue.SUCCESS)
+        .when(F.col("identifier_id") % 7 == 1, queue.PERSISTENT)
+        .otherwise(queue.TRANSIENT).alias("new_status"),
+    )
+    final = queue.apply_outcomes(registered, outcomes)
+    return final.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_records")
     )

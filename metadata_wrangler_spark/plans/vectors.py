@@ -127,3 +127,73 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.expr(_QUERY_PRED))
     return similarity.lsh_cosine_topk(emb, queries, _PLANES, k=_K)
+
+
+# --- multi-table LSH (the recall lever for wide-angle corpora) ------------
+
+_N_TABLES = 8
+_TABLE_BITS = 3
+_TABLES = [
+    _fixed_planes(n_planes=_TABLE_BITS, dim=64, seed=1000 + t)
+    for t in range(_N_TABLES)
+]
+
+
+def _bucket_expr_sql(vec: str, planes: list[list[float]]) -> str:
+    plane_lits = [
+        "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        for row in planes
+    ]
+    return " + ".join(
+        f"(CASE WHEN {_DOT.format(a=vec, b=p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(plane_lits)
+    )
+
+
+def _multitable_oracle_sql() -> str:
+    per_table = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, embedding, {t} AS table_no, "
+        f"{_bucket_expr_sql('embedding', planes)} AS bucket FROM embeddings"
+        for t, planes in enumerate(_TABLES)
+    )
+    return f"""
+    WITH cb AS (
+        {per_table}
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, table_no, bucket
+        FROM cb WHERE {_QUERY_PRED}
+    ), cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS corpus_id,
+               q.qvec, c.embedding AS cvec
+        FROM cb c
+        JOIN q ON q.table_no = c.table_no AND q.bucket = c.bucket
+              AND q.query_id <> c.vec_id
+    ), scored AS (
+        SELECT query_id, corpus_id,
+               CAST(CAST(
+                   {_DOT.format(a='qvec', b='cvec')}
+                   / ({_NORM.format(a='qvec')} * {_NORM.format(a='cvec')})
+               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        FROM cand
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+        SELECT query_id, corpus_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= {_K}
+    """
+
+
+@register("sim_lsh_multitable_topk", oracle=_multitable_oracle_sql())
+def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH (8 tables x 3 bits) — the recall
+    lever when neighbours sit at wide angles: a candidate needs to
+    collide in ANY table (catch prob 1-(1-p^3)^8 vs p^6 single
+    table). tests/test_similarity.py pins recall@5 >= 0.9 with the
+    24-table configuration; this plan hash-checks the 8-table
+    mechanism end to end against DuckDB."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(_QUERY_PRED))
+    return similarity.lsh_cosine_topk_multitable(emb, queries, _TABLES, k=_K)

@@ -1,0 +1,74 @@
+"""Exact-row tests for the closure operators on hand-built graphs:
+cycles, the strength threshold edge, the level bound, min-level
+semantics, and connected components."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.operators.closure import (
+    connected_components,
+    equivalent_ids,
+)
+from tests.conftest import rows
+
+
+def _edges(spark, triples):
+    return spark.createDataFrame(
+        triples, "src bigint, dst bigint, strength double"
+    )
+
+
+def _seeds(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node bigint")
+
+
+def test_simple_chain_levels(spark):
+    e = _edges(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)])
+    out = equivalent_ids(e, _seeds(spark, [1]), levels=6, threshold=0.0)
+    assert rows(out) == [(1, 0), (2, 1), (3, 2), (4, 3)]
+
+
+def test_level_bound_stops_walk(spark):
+    e = _edges(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)])
+    out = equivalent_ids(e, _seeds(spark, [1]), levels=2, threshold=0.0)
+    assert rows(out) == [(1, 0), (2, 1), (3, 2)]
+
+
+def test_cycle_terminates_min_level(spark):
+    e = _edges(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)])
+    out = equivalent_ids(e, _seeds(spark, [1]), levels=6, threshold=0.0)
+    assert rows(out) == [(1, 0), (2, 1), (3, 2)]
+
+
+def test_threshold_exactly_at_cutoff_not_followed(spark):
+    # reference follows only strength > threshold
+    # (`oclc/linked_data.py:822-830`: <= 0.7 is cut)
+    e = _edges(spark, [(1, 2, 0.7), (1, 3, 0.71)])
+    out = equivalent_ids(e, _seeds(spark, [1]), levels=6, threshold=0.7)
+    assert rows(out) == [(1, 0), (3, 1)]
+
+
+def test_min_level_on_diamond(spark):
+    # 1->2->4 and 1->4 directly: node 4 must report level 1
+    e = _edges(spark, [(1, 2, 1.0), (2, 4, 1.0), (1, 4, 1.0)])
+    out = equivalent_ids(e, _seeds(spark, [1]), levels=6, threshold=0.0)
+    assert rows(out) == [(1, 0), (2, 1), (4, 1)]
+
+
+def test_multiple_seeds(spark):
+    e = _edges(spark, [(1, 2, 1.0), (10, 11, 1.0)])
+    out = equivalent_ids(e, _seeds(spark, [1, 10]), levels=6, threshold=0.0)
+    assert rows(out) == [(1, 0), (2, 1), (10, 0), (11, 1)]
+
+
+def test_connected_components_two_islands(spark):
+    e = _edges(spark, [(1, 2, 1.0), (2, 3, 1.0), (10, 11, 1.0)])
+    out = connected_components(e)
+    assert rows(out) == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+
+
+def test_connected_components_cycle_and_chain(spark):
+    e = _edges(spark, [(5, 6, 1.0), (6, 7, 1.0), (7, 5, 1.0), (8, 7, 1.0)])
+    out = connected_components(e)
+    assert rows(out) == [(5, 5), (6, 5), (7, 5), (8, 5)]

@@ -1,0 +1,100 @@
+"""Dedup-tier tests on crafted near-duplicates: exact groups,
+shingle Jaccard values, MinHash-LSH candidate recall, SimHash
+Hamming pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.operators import dedup
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The  quick  BROWN fox jumps over the lazy dog"),   # ws/case dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),     # near-dup of 1
+        (4, "completely different text about spark engines"),
+        (5, "completely different text about spark engines"),   # exact dup of 4
+        (6, "one two three four five six seven eight nine"),
+    ]
+    return spark.createDataFrame(data, "doc_id bigint, text string")
+
+
+def test_exact_groups_collapse_case_and_whitespace(docs):
+    out = dedup.exact_dedup_groups(docs)
+    got = {r["canonical_id"]: r["n_docs"] for r in out.collect()}
+    assert got == {1: 2, 3: 1, 4: 2, 6: 1}
+
+
+def test_ngram_jaccard_pair_value(docs):
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 4)
+           for r in out.collect()}
+    # doc1/doc2 normalize identically -> jaccard 1.0
+    assert got[(1, 2)] == 1.0
+    # doc1 vs doc3: 7 shingles each, 6 shared -> 6/8
+    assert got[(1, 3)] == 0.75
+    assert got[(4, 5)] == 1.0
+    # doc2 normalizes to doc1's text, so (2,3) mirrors (1,3)
+    assert got[(2, 3)] == 0.75
+    assert set(got) == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs            # identical signature
+    assert (4, 5) in pairs
+    assert (1, 3) in pairs            # near-dup: expect >=1 band collision
+    assert (1, 6) not in pairs and (4, 6) not in pairs
+
+
+def test_minhash_signature_identical_for_normalized_dups(docs):
+    sig = dedup.minhash_signatures(docs, num_hashes=8)
+    by_id = {r["id"]: tuple(r)[1:] for r in sig.collect()}
+    assert by_id[1] == by_id[2]
+    assert by_id[4] == by_id[5]
+    assert by_id[1] != by_id[6]
+
+
+def test_minhash_params_deterministic_and_in_range():
+    p1 = dedup.minhash_params(16)
+    p2 = dedup.minhash_params(16)
+    assert p1 == p2
+    for a, b in p1:
+        assert 1 <= a < dedup.MINHASH_P
+        assert 0 <= b < dedup.MINHASH_P
+    assert len({ab for ab in p1}) == 16
+
+
+def test_simhash_pairs_exact_dups_distance_zero(docs):
+    out = dedup.simhash_pairs(docs, bits=32, bands=4, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got[(1, 2)] == 0
+    assert got[(4, 5)] == 0
+    # unrelated docs never surface
+    assert (1, 6) not in got and (1, 4) not in got
+
+
+def test_simhash_banding_is_pigeonhole_complete(spark):
+    # any pair within Hamming <= bands-1 MUST be found; craft two
+    # fingerprint-adjacent docs by checking the operator end to end
+    # on texts differing by one rare word
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " lambda")],
+        "doc_id bigint, text string",
+    )
+    fp = {r["id"]: r["simhash"]
+          for r in dedup.simhash(docs, bits=32).collect()}
+    ham = bin(fp[1] ^ fp[2]).count("1")
+    pairs = dedup.simhash_pairs(docs, bits=32, bands=4, max_hamming=3)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    if ham <= 3:
+        assert (1, 2) in found
+    else:
+        assert (1, 2) not in found

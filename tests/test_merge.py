@@ -1,0 +1,108 @@
+"""Merge-policy tests: null-never-overwrites, get_one_or_create,
+entity merge + FK repoint, delete/update post-states, and the
+ParquetStateTable commit round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.operators import merge
+from tests.conftest import rows
+
+
+def _editions(spark):
+    return spark.createDataFrame(
+        [(1, "Title One", "pub-a"), (2, None, "pub-b"), (3, "Title Three", "pub-c")],
+        "key bigint, title string, publisher string",
+    )
+
+
+def test_policy_merge_null_never_overwrites(spark):
+    current = _editions(spark)
+    staged = spark.createDataFrame(
+        [(1, None, "pub-x"),          # NULL title must NOT clobber
+         (2, "Recovered Title", "pub-x"),
+         (4, "Brand New", "pub-x")],  # new key inserts
+        "key bigint, title string, publisher string",
+    )
+    out = merge.policy_merge(current, staged, ["key"], ["title"])
+    assert rows(out) == [
+        (1, "Title One", "pub-a"),
+        (2, "Recovered Title", "pub-b"),
+        (3, "Title Three", "pub-c"),
+        (4, "Brand New", "pub-x"),
+    ]
+
+
+def test_policy_merge_insert_missing_false_skips_new_keys(spark):
+    current = _editions(spark)
+    staged = spark.createDataFrame(
+        [(4, "Brand New", "pub-x")],
+        "key bigint, title string, publisher string",
+    )
+    out = merge.policy_merge(current, staged, ["key"], ["title"],
+                             insert_missing=False)
+    assert len(rows(out)) == 3
+
+
+def test_get_one_or_create_existing_rows_win(spark):
+    current = _editions(spark)
+    incoming = spark.createDataFrame(
+        [(1, "SHOULD NOT REPLACE", "pub-z"), (9, "Created", "pub-z")],
+        "key bigint, title string, publisher string",
+    )
+    out = merge.get_one_or_create(current, incoming, ["key"])
+    got = {r["key"]: r["title"] for r in out.collect()}
+    assert got[1] == "Title One"
+    assert got[9] == "Created"
+    assert len(got) == 4
+
+
+def test_merge_entities_min_id_canonical_null_excluded(spark):
+    ents = spark.createDataFrame(
+        [(10, "v1"), (20, "v1"), (30, "v2"), (40, None), (50, None)],
+        "id bigint, viaf string",
+    )
+    out = merge.merge_entities(ents, ["viaf"], "id")
+    assert rows(out) == [
+        (10, 10), (20, 10), (30, 30), (40, 40), (50, 50),
+    ]
+
+
+def test_repoint_fks_rewrites_through_mapping(spark):
+    mapping = spark.createDataFrame(
+        [(20, 10), (10, 10), (30, 30)], "old_id bigint, canonical_id bigint"
+    )
+    refs = spark.createDataFrame(
+        [(100, 20), (101, 10), (102, 30), (103, 99)],
+        "row_id bigint, contributor_id bigint",
+    )
+    out = merge.repoint_fks(refs, mapping, "contributor_id")
+    got = {r["row_id"]: r["contributor_id"] for r in out.collect()}
+    # unmapped FK (99) passes through untouched
+    assert got == {100: 10, 101: 10, 102: 30, 103: 99}
+
+
+def test_delete_and_update_where(spark):
+    df = _editions(spark)
+    deleted = merge.delete_where(df, F.col("key") == 2)
+    assert {r["key"] for r in deleted.collect()} == {1, 3}
+    updated = merge.update_where(
+        df, F.col("key") == 1, {"publisher": F.lit("pub-new")}
+    )
+    got = {r["key"]: r["publisher"] for r in updated.collect()}
+    assert got == {1: "pub-new", 2: "pub-b", 3: "pub-c"}
+
+
+def test_parquet_state_table_commit_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "editions")
+    table = merge.ParquetStateTable(spark, path)
+    table.init(_editions(spark))
+    staged = spark.createDataFrame(
+        [(2, "Recovered Title", "pub-x")],
+        "key bigint, title string, publisher string",
+    )
+    post = merge.policy_merge(table.read(), staged, ["key"], ["title"])
+    table.commit(post)
+    got = {r["key"]: r["title"] for r in table.read().collect()}
+    assert got == {1: "Title One", 2: "Recovered Title", 3: "Title Three"}

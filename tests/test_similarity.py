@@ -1,0 +1,84 @@
+"""Similarity-search tests: exact cosine on hand-built vectors, and
+LSH recall@k measured against the exact tier on the driver's
+embeddings table (sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.operators import similarity
+from metadata_wrangler_spark.plans.vectors import _PLANES
+
+
+def _vecs(spark, data):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in data],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_cosine_topk_exact_on_known_vectors(spark):
+    corpus = _vecs(spark, [
+        (1, [1, 0, 0]),
+        (2, [0.9, 0.1, 0]),
+        (3, [0, 1, 0]),
+        (4, [0, 0, 1]),
+    ])
+    queries = corpus.where(F.col("vec_id") == 1)
+    out = similarity.cosine_topk(corpus, queries, k=2)
+    got = [(r["corpus_id"], r["rank"]) for r in
+           out.orderBy("rank").collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_cosine_topk_self_match_excluded(spark):
+    corpus = _vecs(spark, [(1, [1, 0]), (2, [1, 0])])
+    out = similarity.cosine_topk(corpus, corpus, k=5)
+    for r in out.collect():
+        assert r["query_id"] != r["corpus_id"]
+
+
+def test_hyperplane_buckets_deterministic(spark):
+    corpus = _vecs(spark, [(i, [i * 0.1, 1 - i * 0.1]) for i in range(8)])
+    planes = [[1.0, -1.0], [0.5, 0.5]]
+    b1 = {r["vec_id"]: r["bucket"] for r in
+          similarity.hyperplane_buckets(corpus, planes).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in
+          similarity.hyperplane_buckets(corpus, planes).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 4 for v in b1.values())
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_lsh_recall_at_k_vs_exact(spark, sf_dir):
+    """Recall@5 vs the exact tier on the synthetic embeddings.
+
+    The corpus is near-isotropic (top-5 neighbours sit at cosine
+    ~0.33, i.e. ~71 deg), so single-table recall is inherently low
+    (p^6 with p~0.6); the recall levers must work as theory says:
+    multi-probe strictly improves on single-probe, and 24 tables x
+    3 bits clears 0.9.
+    """
+    from metadata_wrangler_spark.catalog import load
+    from metadata_wrangler_spark.plans.vectors import _fixed_planes
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 101 = 0"))
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    exact_pairs = {(r["query_id"], r["corpus_id"])
+                   for r in exact.collect()}
+
+    def recall(df):
+        got = {(r["query_id"], r["corpus_id"]) for r in df.collect()}
+        return len(exact_pairs & got) / len(exact_pairs)
+
+    r_single = recall(similarity.lsh_cosine_topk(emb, queries, _PLANES, k=5))
+    r_probe = recall(similarity.lsh_cosine_topk(
+        emb, queries, _PLANES, k=5, probe_hamming=1))
+    tables = [_fixed_planes(3, 64, seed=1000 + t) for t in range(24)]
+    r_multi = recall(similarity.lsh_cosine_topk_multitable(
+        emb, queries, tables, k=5))
+
+    assert r_single >= 0.05, f"single-probe recall {r_single}"
+    assert r_probe > r_single, (r_probe, r_single)
+    assert r_multi >= 0.9, f"multitable recall {r_multi}"
