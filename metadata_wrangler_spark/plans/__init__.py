@@ -47,5 +47,6 @@ def load_all_plans() -> None:
         events,
         graph,
         relational,
+        sources,
         vectors,
     )

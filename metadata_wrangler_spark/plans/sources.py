@@ -1,0 +1,396 @@
+"""Source/parser plans (SURVEY.md §2.1 S1, S3-S8) — round-trip
+obligations: serialize documents deterministically from the base
+tables, parse them with the real parser, and let the oracle
+recompute the expected rows directly from the base tables. A parser
+bug (or serializer bug) breaks the hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.catalog import load
+from metadata_wrangler_spark.plans import register
+from metadata_wrangler_spark.sources import (
+    htmlsrc,
+    http_cache,
+    jsonld,
+    marc,
+    ntriples,
+    opds,
+    xmlsrc,
+)
+
+
+# ---------------------------------------------------------------------------
+# S3 — XML (OCLC Classify shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_xml_classify",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey * 10 + i AS BIGINT) AS owi,
+           p_name AS title,
+           p_type AS author,
+           CAST(p_size AS INT) AS editions,
+           CAST(p_partkey % 100 + 1 AS INT) AS holdings
+    FROM (
+        SELECT p_partkey, p_name, p_type, p_size,
+               unnest(generate_series(0, p_partkey % 3)) AS i
+        FROM part WHERE p_partkey % 7 = 0
+    ) t
+    """,
+)
+def s_xml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: OCLC-Classify-style XML → one row per <work> element.
+
+    Reference: `oclc/classify.py:68-128,253-341` (multi-work
+    response, per-work attribute extraction). The XML is serialized
+    from `part` rows, parsed with sources.xmlsrc (from_xml +
+    explode); the oracle recomputes the rows directly.
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
+    docs = p.select(
+        "p_partkey",
+        xmlsrc.build_classify_xml(
+            title=F.col("p_name"),
+            author=F.col("p_type"),
+            owi=(F.col("p_partkey") * 10),
+            editions=F.col("p_size"),
+            holdings=(F.col("p_partkey") % 100 + 1),
+            n_works=(F.col("p_partkey") % 3 + 1),
+        ).alias("xml"),
+    )
+    return xmlsrc.parse_classify(docs).select(
+        "p_partkey", "owi", "title", "author",
+        F.col("editions").cast("int").alias("editions"),
+        F.col("holdings").cast("int").alias("holdings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 — JSON-LD graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_jsonld_graph",
+    oracle="""
+    SELECT c_custkey,
+           'person/' || CAST(c_custkey AS VARCHAR) AS node_id,
+           c_name AS name
+    FROM customer WHERE c_custkey % 4 = 0
+    """,
+)
+def s_jsonld_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/F11: JSON-LD @graph parse — typed-node filter +
+    language-restricted value pull (the `ldq` family).
+
+    Reference: `oclc/linked_data.py:45-89,317-330`. Each document
+    carries a Person node (en + fr names) and a Place node; the
+    parser must keep only Person nodes and the English value.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 4 == 0)
+    n = load(spark, sf_dir, "nation")
+    docs = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey",
+        F.concat(
+            F.lit('{"graph":[{"id":"person/'),
+            F.col("c_custkey").cast("string"),
+            F.lit('","type":"Person","name":['
+                  '{"language":"en","value":"'),
+            F.col("c_name"),
+            F.lit('"},{"language":"fr","value":"fr-'),
+            F.col("c_name"),
+            F.lit('"}]},{"id":"place/'),
+            F.col("n_nationkey").cast("string"),
+            F.lit('","type":"Place","name":['
+                  '{"language":"en","value":"'),
+            F.col("n_name"),
+            F.lit('"}]}]}'),
+        ).alias("jsonld"),
+    )
+    return jsonld.parse_typed_names(
+        docs, "jsonld", type_name="Person", language="en"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 — MARC-in-JSON
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_marc_json",
+    oracle="""
+    SELECT p_partkey,
+           p_name AS title,
+           p_type AS author,
+           'isbn-' || CAST(p_partkey AS VARCHAR) AS isbn,
+           CASE WHEN p_brand <= 'SZ-' || CAST(p_size AS VARCHAR)
+                THEN p_brand || ',' || 'SZ-' || CAST(p_size AS VARCHAR)
+                ELSE 'SZ-' || CAST(p_size AS VARCHAR) || ',' || p_brand END AS subjects_csv,
+           2 AS n_subjects
+    FROM part WHERE p_partkey % 5 = 0
+    """,
+)
+def s_marc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: MARC varFields tag routing — 245→title, 100→author,
+    020→isbn, repeated 650→sorted subjects.
+
+    Reference: `shadow_catalog.py:127-148,200-321`.
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 0)
+
+    def fld(tag: str, content):
+        return F.concat(
+            F.lit('{"marcTag":"%s","subfields":[{"tag":"a","content":"' % tag),
+            content, F.lit('"}]}'),
+        )
+
+    docs = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit('{"varFields":['),
+            F.concat_ws(
+                ",",
+                fld("245", F.col("p_name")),
+                fld("100", F.col("p_type")),
+                fld("020", F.concat(F.lit("isbn-"),
+                                    F.col("p_partkey").cast("string"))),
+                fld("650", F.col("p_brand")),
+                fld("650", F.concat(F.lit("SZ-"), F.col("p_size").cast("string"))),
+            ),
+            F.lit("]}"),
+        ).alias("marc"),
+    )
+    out = marc.parse_varfields(docs, "marc", ["p_partkey"])
+    return out.select(
+        "p_partkey", "title", "author", "isbn",
+        F.array_join("subjects", ",").alias("subjects_csv"),
+        F.col("n_subjects").cast("int").alias("n_subjects"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 — N-Triples scan
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_ntriples_scan",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS subject_id,
+           n_name AS obj
+    FROM nation
+    """,
+)
+def s_ntriples_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: N-Triples line scan — regex triple match, predicate
+    filter, subject-id extraction. Noise lines (comments, other
+    predicates) must drop out.
+
+    Reference: `fast.py:22,62-104` (FAST dump scan).
+    """
+    n = load(spark, sf_dir, "nation")
+    good = n.select(
+        F.concat(
+            F.lit("<http://id.worldcat.org/fast/"),
+            F.col("n_nationkey").cast("string"),
+            F.lit('> <http://schema.org/name> "'),
+            F.col("n_name"), F.lit('" .'),
+        ).alias("value")
+    )
+    noise = n.select(
+        F.concat(
+            F.lit("# comment about nation "),
+            F.col("n_nationkey").cast("string"),
+        ).alias("value")
+    ).unionByName(
+        n.select(
+            F.concat(
+                F.lit("<http://id.worldcat.org/fast/"),
+                F.col("n_nationkey").cast("string"),
+                F.lit('> <http://schema.org/sameAs> "x" .'),
+            ).alias("value")
+        )
+    )
+    lines = good.unionByName(noise)
+    return ntriples.parse_lines(
+        lines,
+        predicate="http://schema.org/name",
+        subject_re=r"fast/([0-9]+)$",
+    ).select("subject_id", "obj")
+
+
+# ---------------------------------------------------------------------------
+# S5 — HTML scrape
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_html_scrape",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 8 = 0 THEN NULL ELSE p_name END AS title,
+           CAST(p_partkey % 2 + 1 AS INT) AS n_reviews
+    FROM part WHERE p_partkey % 4 = 0
+    """,
+)
+def s_html_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: HTML table scrape with the known-bad-title blacklist —
+    titled cells extract, blacklisted titles null out, review cells
+    count.
+
+    Reference: `content_cafe.py:222-296,315-346`, blacklist
+    `:129-131`.
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 4 == 0)
+    title_text = F.when(
+        F.col("p_partkey") % 8 == 0, F.lit(htmlsrc.KNOWN_BAD_TITLES[0])
+    ).otherwise(F.col("p_name"))
+    review_cells = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.col("p_partkey") % 2 + 1),
+            lambda i: F.concat(
+                F.lit('<tr><td class="review">review-'),
+                F.col("p_partkey").cast("string"),
+                F.lit("-"), i.cast("string"), F.lit("</td></tr>"),
+            ),
+        ), "",
+    )
+    docs = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit('<html><body><table><tr><td class="title">'),
+            title_text,
+            F.lit("</td></tr>"),
+            review_cells,
+            F.lit("</table></body></html>"),
+        ).alias("html"),
+    )
+    return htmlsrc.scrape_cells(docs).select(
+        "p_partkey", "title", F.col("n_reviews").cast("int").alias("n_reviews")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 — OPDS/Atom feed
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_opds_feed",
+    oracle="""
+    WITH picked AS (
+        SELECT c_nationkey, c_custkey, c_name,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_custkey) AS rn
+        FROM customer WHERE c_custkey % 25 = 0
+    )
+    SELECT c_nationkey AS nationkey,
+           'urn:cust:' || CAST(c_custkey AS VARCHAR) AS urn,
+           c_name AS title,
+           TIMESTAMP '2024-01-01 00:00:00'
+               + (c_custkey % 28) * INTERVAL 1 DAY AS updated
+    FROM picked WHERE rn <= 3
+    """,
+)
+def s_opds_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: OPDS/Atom feed → URN-keyed entries. Feeds are assembled
+    per nation (entries sorted, capped at 3 — the reference's feed
+    pagination), then parsed back with from_xml + explode.
+
+    Reference: `controller.py:566-607`.
+    """
+    from pyspark.sql import Window as W
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 25 == 0)
+    rn = F.row_number().over(
+        W.partitionBy("c_nationkey").orderBy("c_custkey")
+    )
+    picked = c.withColumn("rn", rn).where(F.col("rn") <= 3)
+    entry_xml = F.concat(
+        F.lit("<entry><id>urn:cust:"),
+        F.col("c_custkey").cast("string"),
+        F.lit("</id><title>"), F.col("c_name"),
+        F.lit("</title><updated>"),
+        F.date_format(
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_dt_interval(F.col("c_custkey") % 28),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ),
+        F.lit("</updated></entry>"),
+    )
+    feeds = (
+        picked.select("c_nationkey", "c_custkey", entry_xml.alias("exml"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.concat(
+                F.lit("<feed>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("c_custkey", "exml"))
+                        ),
+                        lambda s: s["exml"],
+                    ), "",
+                ),
+                F.lit("</feed>"),
+            ).alias("feed")
+        )
+    )
+    return opds.parse_feed(feeds).select(
+        F.col("c_nationkey").alias("nationkey"), "urn", "title", "updated"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1 — cached HTTP fetch
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_cached_fetch",
+    oracle="""
+    WITH req AS (
+        SELECT 'https://api.example.org/viaf/' || CAST(c_custkey AS VARCHAR)
+               AS url, c_custkey
+        FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT url,
+           CASE WHEN c_custkey % 3 = 0 AND c_custkey % 9 <> 0
+                THEN 'cached:' || url
+                ELSE 'fetched:' || url END AS content,
+           CASE WHEN c_custkey % 3 = 0 AND c_custkey % 9 <> 0
+                THEN 'cache' ELSE 'fetch' END AS source
+    FROM req
+    """,
+)
+def s_cached_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: the Representation.get pattern — TTL'd cache table,
+    anti-join for misses/stale, Arrow-batched fetch, union back.
+
+    Reference: `viaf.py:829-841,736-737` (6-month TTL). Cache rows
+    exist for custkey%3==0; rows with custkey%9==0 are STALE
+    (fetched before the TTL window), so they re-fetch.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 2 == 0)
+    url = F.concat(
+        F.lit("https://api.example.org/viaf/"),
+        F.col("c_custkey").cast("string"),
+    )
+    requests = c.select(url.alias("url"))
+    cache_rows = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 == 0)
+        .select(
+            url.alias("url"),
+            F.concat(F.lit("cached:https://api.example.org/viaf/"),
+                     F.col("c_custkey").cast("string")).alias("content"),
+            F.when(F.col("c_custkey") % 9 == 0,
+                   F.lit("2023-01-01").cast("timestamp"))
+            .otherwise(F.lit("2024-01-10").cast("timestamp"))
+            .alias("fetched_at"),
+        )
+    )
+    return http_cache.cached_get(
+        requests, cache_rows,
+        now="2024-01-15 00:00:00",
+        max_age_seconds=30 * 24 * 3600,
+    )

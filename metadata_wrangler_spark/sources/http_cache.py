@@ -1,0 +1,80 @@
+"""Cached HTTP fetch (SURVEY.md S1) — the `Representation.get`
+pattern: serve a URL from the cache table unless the entry is
+missing or older than ``max_age``; fetch (batched) otherwise and
+union the results back.
+
+Reference: `/root/reference/viaf.py:829-841,845-853` (Representation
+.get with max_age), `:736-737` (6-month TTL),
+`/root/reference/oclc/classify.py:1082-1084`,
+`/root/reference/oclc/linked_data.py:226-246`.
+
+Spark design: requests LEFT JOIN cache on url; rows with a fresh
+cache hit short-circuit; the miss/stale partition goes through a
+`mapInPandas` fetcher (Arrow-batched — one connection pool per
+partition, never per row). The union is the post-state a cache
+MERGE would persist. At 100 TB of requests this is one join keyed
+on url + a fetch stage sized by `repartition` (the reference's
+batch-size knobs become partition counts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FETCH_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("content", T.StringType()),
+])
+
+
+def fake_fetcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for the HTTP pool (no network in the
+    test container): content = 'fetched:' + url. Real deployments
+    swap in a requests.Session per partition with the same
+    signature."""
+    for pdf in batches:
+        yield pd.DataFrame({
+            "url": pdf["url"],
+            "content": "fetched:" + pdf["url"],
+        })
+
+
+def cached_get(
+    requests: DataFrame,
+    cache: DataFrame,
+    now,
+    max_age_seconds: int,
+    fetcher: Callable = fake_fetcher,
+) -> DataFrame:
+    """Resolve each requested url: fresh cache rows are served
+    as-is; missing/stale urls are fetched in Arrow batches.
+
+    requests: (url) — deduplicated by this function.
+    cache:    (url, content, fetched_at TIMESTAMP)
+    Returns (url, content, source) with source ∈ {'cache','fetch'}.
+    """
+    req = requests.select("url").dropDuplicates()
+    now_ts = F.lit(now).cast("timestamp")
+    fresh = (
+        F.col("fetched_at").isNotNull()
+        & (F.unix_timestamp(now_ts) - F.unix_timestamp("fetched_at")
+           <= F.lit(max_age_seconds))
+    )
+    joined = req.join(cache, "url", "left").select(
+        "url", "content", fresh.alias("is_fresh")
+    )
+    hits = joined.where(F.col("is_fresh")).select(
+        "url", "content", F.lit("cache").alias("source")
+    )
+    misses = joined.where(
+        F.col("is_fresh").isNull() | ~F.col("is_fresh")
+    ).select("url")
+    fetched = misses.mapInPandas(fetcher, schema=FETCH_SCHEMA).select(
+        "url", "content", F.lit("fetch").alias("source")
+    )
+    return hits.unionByName(fetched)
