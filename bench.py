@@ -41,6 +41,10 @@ HEADLINE = [
     "ev_tumbling_window",
     "ev_sessionized_gaps",
     "g_transitive_closure",
+    "g_connected_components",
+    "sim_lsh_multitable_topk",
+    "d_queue_lifecycle",
+    "s_xml_classify",
 ]
 
 

@@ -45,6 +45,7 @@ def load_all_plans() -> None:
         documents,
         dml,
         events,
+        functions,
         graph,
         relational,
         sources,

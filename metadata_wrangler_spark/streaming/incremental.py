@@ -1,0 +1,80 @@
+"""Checkpointed incremental aggregation — the Monitor-sweep twin.
+
+Reference: `/root/reference/monitor.py:65-71` (48 h interval sweep),
+`:100-106` (600 s), Timestamp checkpoint row
+(`/root/reference/scripts.py:533-535`) ≈ the streaming checkpoint
+directory.
+
+The aggregation body is shared between batch and stream (one
+function, two readers), which is what makes the batch oracle a
+valid check of the streaming semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events table schema as stored (ts is TIMESTAMP(NANOS) → read as
+# long under spark.sql.legacy.parquet.nanosAsLong).
+EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE"
+)
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """nanos → microsecond timestamp (same conversion as
+    catalog.load)."""
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-day window counts+sums per event type — identical
+    code runs under spark.read (oracle-checked as
+    ev_tumbling_window's count/sum core) and spark.readStream."""
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))
+                   .cast("bigint")) / F.lit(10000.0)).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("window_day"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(source_dir)
+    )
+    return normalize_events(raw)
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "windowed_rollup",
+) -> DataFrame:
+    """One AvailableNow pass over whatever files exist: process →
+    commit offsets to the checkpoint → stop. Re-running later
+    processes only NEW files — exactly the Monitor sweep contract.
+    Results land in an in-memory table (swap for a parquet/Delta
+    sink in production)."""
+    events = read_events_stream(spark, source_dir)
+    q = (
+        windowed_rollup(events)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,121 @@
+"""Scalar-function library tests — exact-row checks of the name/
+role/url/canonicalization semantics against hand-built inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.functions import canonical, names, roles, urls
+from tests.conftest import rows
+
+
+def _one(spark, expr, value):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(expr(F.col("v")).alias("out")).collect()[0]["out"]
+
+
+def test_sort_name_to_display(spark):
+    assert _one(spark, names.sort_name_to_display,
+                "Melville, Herman") == "Herman Melville"
+    # no comma -> unchanged
+    assert _one(spark, names.sort_name_to_display, "Plato") == "Plato"
+    # only the first comma splits
+    assert _one(spark, names.sort_name_to_display,
+                "Doe, Jane, Jr.") == "Jane, Jr. Doe"
+
+
+def test_primary_author_splits(spark):
+    assert _one(spark, names.primary_author,
+                "Jane Doe with John Smith") == "Jane Doe"
+    assert _one(spark, names.primary_author,
+                "Jane Doe and John Smith") == "Jane Doe"
+    assert _one(spark, names.primary_author, "Jane Doe") == "Jane Doe"
+
+
+def test_title_safe_strip(spark):
+    assert _one(spark, names.title_safe,
+                "Moby-Dick; or, The Whale!") == "Moby-Dick or The Whale"
+
+
+def test_strip_accents(spark):
+    assert _one(spark, names.strip_accents, "Café Ñandú à l'été") == \
+        "Cafe Nandu a l'ete"
+
+
+def test_role_mapping_and_suffix(spark):
+    df = spark.createDataFrame(
+        [("Jane Doe [Translator]",), ("John Smith",)], "v string"
+    )
+    out = df.select(
+        roles.strip_role_suffix(F.col("v")).alias("name"),
+        roles.map_role(roles.extract_role_suffix(F.col("v"))).alias("role"),
+    ).collect()
+    assert (out[0]["name"], out[0]["role"]) == ("Jane Doe", "Translator")
+    # no suffix -> extract gives '' -> maps to Unknown fallback
+    assert (out[1]["name"], out[1]["role"]) == ("John Smith", "Unknown")
+
+
+def test_stateful_split_default_role_transitions(spark):
+    # reference semantics (`oclc/classify.py:396-464`): first
+    # unmarked segment is Primary Author; unmarked stays Author until
+    # an explicit role appears; afterwards unmarked means Unknown.
+    df = spark.createDataFrame(
+        [(1, "A|B|C [Translator]|D"),
+         (2, "X [Editor]|Y")],
+        "id bigint, authors string",
+    )
+    out = roles.split_contributors(df, "authors", "id")
+    got = {(r["id"], r["pos"]): r["roles_csv"] for r in out.collect()}
+    assert got == {
+        (1, 0): "Primary Author",
+        (1, 1): "Author",
+        (1, 2): "Translator",
+        (1, 3): "Unknown",
+        (2, 0): "Editor",
+        (2, 1): "Unknown",
+    }
+
+
+def test_url_classification_first_match_wins(spark):
+    cases = {
+        "https://www.worldcat.org/oclc/12345": ("oclc_work", "12345"),
+        "https://viaf.org/viaf/999": ("viaf", "999"),
+        "urn:isbn:978316148410X": ("isbn", "978316148410X"),
+        "https://example.org/person/7": ("person", "7"),
+        "https://nothing.example/": ("other", None),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    kind, ident = urls.classify_url(F.col("url"))
+    out = df.select("url", kind.alias("k"), ident.alias("i")).collect()
+    for r in out:
+        assert (r["k"], r["i"]) == cases[r["url"]], r["url"]
+
+
+def test_cascade_priority_and_fallback(spark):
+    df = spark.createDataFrame(
+        [(1, None, "from-oclc", "from-viaf"),
+         (2, "from-db", None, None),
+         (3, None, None, None)],
+        "id bigint, db string, oclc string, viaf string",
+    )
+    value, source = canonical.cascade(
+        [("db", F.col("db")), ("oclc", F.col("oclc")),
+         ("viaf", F.col("viaf"))],
+        F.lit("guessed"),
+    )
+    out = {r["id"]: (r["v"], r["s"]) for r in
+           df.select("id", value.alias("v"), source.alias("s")).collect()}
+    assert out == {
+        1: ("from-oclc", "oclc"),
+        2: ("from-db", "db"),
+        3: ("guessed", "guess"),
+    }
+
+
+def test_shortest_candidate_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("g", "bb"), ("g", "aa"), ("g", "ccc"), ("h", "z")],
+        "grp string, cand string",
+    )
+    out = canonical.shortest_candidate(df, ["grp"], "cand")
+    assert rows(out) == [("g", "aa"), ("h", "z")]
