@@ -975,3 +975,35 @@ def f_title_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.5)
         .select("key_a", "key_b", jac.alias("jaccard"))
     )
+
+
+@register(
+    "a_category_pct",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority AS category, COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT category, n,
+           CAST(CAST(100.0 * n / (SELECT SUM(n) FROM counts)
+                AS DECIMAL(18,6)) AS DOUBLE) AS pct
+    FROM counts
+    """,
+)
+def a_category_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: count-by-category with percentage of total — the backlog
+    report's derived column. The total enters as a broadcast 1-row
+    aggregate, not a second scan.
+
+    Reference: `scripts.py:654-664`.
+    """
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "category", "n",
+        (100.0 * F.col("n") / F.col("_total"))
+        .cast("decimal(18,6)").cast("double").alias("pct"),
+    )

@@ -394,3 +394,174 @@ def s_cached_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         now="2024-01-15 00:00:00",
         max_age_seconds=30 * 24 * 3600,
     )
+
+
+# ---------------------------------------------------------------------------
+# S2 — SOAP batch RPC
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_soap_demand",
+    oracle="""
+    WITH hist AS (
+        SELECT p_partkey AS identifier_id,
+               unnest(generate_series(1, 6)) AS month_no
+        FROM part WHERE p_partkey % 6 = 0
+    )
+    SELECT identifier_id,
+           CAST(SUM((identifier_id * 31 + month_no) % 97) AS BIGINT)
+               AS total_demand,
+           CAST(MAX(CASE WHEN month_no >= 4
+                    THEN (identifier_id * 31 + month_no) % 97 END) AS BIGINT)
+               AS recent_peak
+    FROM hist
+    GROUP BY identifier_id
+    """,
+)
+def s_soap_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: SOAP demand-history fan-out (Arrow-batched mapInPandas,
+    one client per partition) + the reference's month-bucket rollup.
+
+    Reference: `content_cafe.py:351-394` (Single() SOAP call),
+    `:384-394,396-423` (monthly sum / recent-peak estimate). The
+    in-container transport is deterministic; the plumbing (batch
+    shape, schema, partition-level client) is the production path.
+    """
+    from metadata_wrangler_spark.sources import soap
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 6 == 0)
+    ids = p.select(F.col("p_partkey").alias("identifier_id"))
+    hist = soap.demand_history(ids)
+    recent = F.when(F.col("month_no") >= 4, F.col("demand"))
+    return hist.groupBy("identifier_id").agg(
+        F.sum("demand").alias("total_demand"),
+        F.max(recent).alias("recent_peak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9 — CSV source/sink round trip
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS total_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def s_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: report CSV sink + schema-explicit CSV source — write the
+    segment report, read it back (a bad writer or reader breaks the
+    hash match).
+
+    Reference: `scripts.py:375-416,419-474` (report writers),
+    `monitor.py:153-155`.
+    """
+    import os
+    import tempfile
+    from metadata_wrangler_spark.sources import sinks
+    c = load(spark, sf_dir, "customer")
+    report = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(F.floor(F.col("c_acctbal") * 10000 + F.lit(0.5))
+               .cast("bigint")) / F.lit(10000.0)).alias("total_balance"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"mw_csv_report_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    sinks.write_csv_report(report, path)
+    return sinks.read_csv_report(
+        spark, path,
+        "segment STRING, n_customers BIGINT, total_balance DOUBLE",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10 — OPDS feed sink (render side)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_opds_sink",
+    oracle="""
+    SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS urn,
+           '<entry><id>urn:cust:' || CAST(c_custkey AS VARCHAR)
+           || '</id><title>' || c_name
+           || '</title><updated>2024-02-01T00:00:00Z</updated></entry>'
+               AS entry_xml
+    FROM customer WHERE c_custkey % 40 = 0
+    """,
+)
+def s_opds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: the serving-layer feed render — work rows → Atom <entry>
+    XML column (the final per-feed concat is the only driver-side
+    step, exactly like the reference's AcquisitionFeed).
+
+    Reference: `controller.py:474-489,547-552` (feed assembly from
+    precomposed entries).
+    """
+    from metadata_wrangler_spark.sources import sinks
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 40 == 0)
+    rows = c.select(
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string"))
+        .alias("urn"),
+        F.col("c_name").alias("title"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("updated"),
+    )
+    return sinks.render_opds_entries(rows, "urn", "title", "updated").select(
+        "urn", "entry_xml"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11 — image mirror url rewrite (post-state)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_image_mirror_rewrite",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0
+                THEN replace(replace(
+                     'https://covers.nypl.org/Content%20Cafe/c'
+                         || CAST(c_custkey AS VARCHAR) || '.jpg',
+                     'covers.nypl.org', 'book-covers.example.org'),
+                     'Content%20Cafe', 'scaled/300')
+                ELSE 'https://covers.nypl.org/Content%20Cafe/c'
+                         || CAST(c_custkey AS VARCHAR) || '.jpg' END
+               AS mirror_url,
+           c_custkey % 3 = 0 AS mirrored
+    FROM customer WHERE c_custkey % 2 = 0
+    """,
+)
+def s_image_mirror_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: the cover-mirror migration's url rewrite as a post-state
+    (nested replace under a predicate). The upload side
+    (foreachPartition, one client per partition) is
+    sources.sinks.mirror_images, exercised in tests with a
+    collecting fake uploader.
+
+    Reference: `migration/20180626-move-cover-s3-bucket.sql:1-7`,
+    `coverage_utils.py:24-49`.
+    """
+    from metadata_wrangler_spark.operators import merge
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 2 == 0)
+    url = F.concat(
+        F.lit("https://covers.nypl.org/Content%20Cafe/c"),
+        F.col("c_custkey").cast("string"), F.lit(".jpg"),
+    )
+    base = c.select("c_custkey", url.alias("mirror_url"))
+    pred = F.col("c_custkey") % 3 == 0
+    post = merge.update_where(
+        base, pred,
+        {"mirror_url": F.replace(
+            F.replace(F.col("mirror_url"),
+                      F.lit("covers.nypl.org"),
+                      F.lit("book-covers.example.org")),
+            F.lit("Content%20Cafe"), F.lit("scaled/300"))},
+    )
+    return post.select("c_custkey", "mirror_url", pred.alias("mirrored"))

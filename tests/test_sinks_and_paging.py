@@ -1,0 +1,89 @@
+"""Tests for the sink layer (CSV round trip, OPDS render, image
+mirror foreachPartition), the SOAP fan-out shape, and the remote
+page loop."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.sources import paging, sinks, soap
+
+
+def test_csv_roundtrip_preserves_rows(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", 2, 2.5)], "k string, n bigint, v double"
+    )
+    path = str(tmp_path / "report")
+    sinks.write_csv_report(df, path)
+    back = sinks.read_csv_report(
+        spark, path, "k string, n bigint, v double"
+    )
+    assert sorted(tuple(r) for r in back.collect()) == \
+        [("a", 1, 1.5), ("b", 2, 2.5)]
+
+
+def test_opds_render_entry_shape(spark):
+    df = spark.createDataFrame(
+        [("urn:isbn:1", "A Book", "2024-02-01 00:00:00")],
+        "urn string, title string, updated string",
+    ).withColumn("updated", F.col("updated").cast("timestamp"))
+    out = sinks.render_opds_entries(df, "urn", "title", "updated")
+    assert out.collect()[0]["entry_xml"] == (
+        "<entry><id>urn:isbn:1</id><title>A Book</title>"
+        "<updated>2024-02-01T00:00:00Z</updated></entry>"
+    )
+
+
+def test_soap_demand_fanout_shape(spark):
+    ids = spark.createDataFrame([(6,), (12,)], "identifier_id bigint")
+    out = soap.demand_history(ids)
+    rows = out.collect()
+    assert len(rows) == 12          # 6 months per identifier
+    got = {(r["identifier_id"], r["month_no"]): r["demand"] for r in rows}
+    assert got[(6, 1)] == (6 * 31 + 1) % 97
+    assert got[(12, 6)] == (12 * 31 + 6) % 97
+
+
+def test_page_loop_stops_on_empty(spark):
+    pages = {
+        0: [(1,), (2,)],
+        1: [(3,)],
+        2: [],                      # empty page ends the loop
+        3: [(99,)],                 # must never be fetched
+    }
+    fetched = []
+
+    def fetch(n):
+        fetched.append(n)
+        return spark.createDataFrame(pages[n], "id bigint") if pages[n] \
+            else spark.createDataFrame([], "id bigint")
+
+    out = paging.fetch_all_pages(fetch, max_pages=10)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+    assert fetched == [0, 1, 2]
+
+
+def test_page_loop_respects_cap(spark):
+    def fetch(n):
+        return spark.createDataFrame([(n,)], "id bigint")
+
+    out = paging.fetch_all_pages(fetch, max_pages=4)
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3]
+
+
+def test_mirror_images_calls_uploader_per_row(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("u1", bytearray(b"img1")), ("u2", bytearray(b"img2"))],
+        "url string, payload binary",
+    )
+    # foreachPartition runs on executors: collect calls via files
+    outdir = tmp_path / "uploads"
+    outdir.mkdir()
+
+    def uploader(url, payload):
+        (outdir / url).write_bytes(bytes(payload))
+
+    n = sinks.mirror_images(df, "url", "payload", uploader)
+    assert n == 2
+    assert sorted(p.name for p in outdir.iterdir()) == ["u1", "u2"]
+    assert (outdir / "u1").read_bytes() == b"img1"
