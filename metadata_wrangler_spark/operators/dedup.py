@@ -103,16 +103,30 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-Jaccard near-duplicate pairs.
 
-    Candidate generation is an equi-join on shared shingle (never a
-    cross join); the exact score then filters candidates. Returns
-    (id_a, id_b, jaccard) with id_a < id_b.
+    Plan shape: candidate generation is an equi-join on the HASHED
+    shingle (60-bit bigint — an order of magnitude less shuffle
+    bytes than the raw n-gram string), never a cross join; the
+    shingle table is explicitly cached because both join sides read
+    it (and AQE's ReusedExchange keeps the shuffle single); per-doc
+    shingle counts come map-side from the shingle ARRAY, no third
+    pass. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Scale note: a ubiquitous stop-shingle is quadratic in its bucket
+    occupancy (true of any shared-token candidate scheme); at web
+    scale drop top-percentile document-frequency shingles before
+    this step — the MinHash tier is the unconditional-cost path.
     """
-    sh = distinct_shingles(docs, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    base = with_words(docs, id_col, text_col).select(
+        "id", F.array_distinct(shingles(n)).alias("shs")
+    )
+    sizes = base.select("id", F.size("shs").alias("n_sh"))
+    sh = base.select(
+        "id", F.explode("shs").alias("sh")
+    ).select("id", md5_long(F.col("sh")).alias("hp")).cache()
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+        a.join(b, (F.col("a.hp") == F.col("b.hp"))
                & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -150,6 +164,22 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
+def with_words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w ARRAY<STRING>) with the word array MATERIALIZED behind
+    a projection barrier (explode of a 1-element array).
+
+    Without the barrier, CollapseProject inlines the split+regex
+    into every ``w[i]`` reference inside the shingle ``transform``
+    lambda, re-running the regex once per array element access —
+    measured 10-20× slower on real documents. The Generate node
+    stops the collapse, so normalize+split run exactly once per row.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(F.array(words)).alias("w")
+    )
+
+
 def distinct_shingles(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -159,10 +189,8 @@ def distinct_shingles(
     BEFORE the explode — no dropDuplicates shuffle on the (much
     larger) exploded table.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    return docs.withColumn("w", words).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(n))).alias("sh"),
+    return with_words(docs, id_col, text_col).select(
+        "id", F.explode(F.array_distinct(shingles(n))).alias("sh")
     )
 
 

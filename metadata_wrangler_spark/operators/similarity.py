@@ -59,15 +59,18 @@ def cosine_topk(
     similarity then corpus id, so results are stable across
     partitionings and engines.
     """
+    # Norms are precomputed per vector BEFORE the pair join — the
+    # naive per-pair spelling recomputes each norm |corpus| (resp.
+    # |queries|) times.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
     )
-    sim = dot(F.col("qvec"), F.col("cvec")) / (
-        norm(F.col("qvec")) * norm(F.col("cvec"))
-    )
+    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
     # Round for cross-engine stability before ranking.
     sim_r = sim.cast("decimal(18,6)").cast("double")
     scored = (
@@ -146,9 +149,9 @@ def lsh_cosine_topk(
                         F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
                     )
         qb = qb.withColumn("bucket", F.explode(F.array(*probes)))
-    sim = dot(F.col("qvec"), F.col("cvec")) / (
-        norm(F.col("qvec")) * norm(F.col("cvec"))
-    )
+    cb = cb.withColumn("cn", norm(F.col("cvec")))
+    qb = qb.withColumn("qn", norm(F.col("qvec")))
+    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
     sim_r = sim.cast("decimal(18,6)").cast("double")
     scored = (
         cb.join(F.broadcast(qb), "bucket")
@@ -206,6 +209,8 @@ def lsh_cosine_topk_multitable(
         norm(F.col("qvec")) * norm(F.col("cvec"))
     )
     sim_r = sim.cast("decimal(18,6)").cast("double")
+    # (norms per candidate pair here: the multitable dedup keeps the
+    # vectors with the pair anyway, and candidates ≪ corpus×queries)
     scored = cand.select("query_id", "corpus_id", sim_r.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
