@@ -186,31 +186,42 @@ def lsh_cosine_topk_multitable(
     written once as bucketed parquet keyed by (table_no, bucket).
     """
     def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        per_table = None
+        # All L bucket codes are computed in ONE projection over one
+        # scan, then exploded to (table_no, bucket) rows — a
+        # union-of-L-scans spelling reads the corpus L times.
+        entries = []
         for t, planes in enumerate(tables):
-            b = hyperplane_buckets(df, planes, id_col, vec_col).select(
-                F.col(id_col).alias(out_id),
-                F.col(vec_col).alias(out_vec),
+            bucket = None
+            for i, p in enumerate(planes):
+                plane = F.array(*[F.lit(float(x)) for x in p])
+                bit = F.when(
+                    dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)
+                ).otherwise(F.lit(0))
+                bucket = bit if bucket is None else (bucket + bit)
+            entries.append(F.struct(
                 F.lit(t).alias("table_no"),
-                F.col("bucket"),
-            )
-            per_table = b if per_table is None else per_table.unionByName(b)
-        return per_table
+                bucket.cast("int").alias("bucket"),
+            ))
+        # one norm per vector, computed BEFORE the ×L explode
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            norm(F.col(vec_col)).alias(f"{out_vec}_n"),
+            F.explode(F.array(*entries)).alias("tb"),
+        ).select(out_id, out_vec, f"{out_vec}_n", "tb.table_no", "tb.bucket")
 
     cb = bucketed(corpus, "corpus_id", "cvec")
     qb = bucketed(queries, "query_id", "qvec")
     cand = (
         cb.join(F.broadcast(qb), ["table_no", "bucket"])
         .where(F.col("query_id") != F.col("corpus_id"))
-        .select("query_id", "corpus_id", "qvec", "cvec")
+        .select("query_id", "corpus_id", "qvec", "cvec", "qvec_n", "cvec_n")
         .dropDuplicates(["query_id", "corpus_id"])
     )
     sim = dot(F.col("qvec"), F.col("cvec")) / (
-        norm(F.col("qvec")) * norm(F.col("cvec"))
+        F.col("qvec_n") * F.col("cvec_n")
     )
     sim_r = sim.cast("decimal(18,6)").cast("double")
-    # (norms per candidate pair here: the multitable dedup keeps the
-    # vectors with the pair anyway, and candidates ≪ corpus×queries)
     scored = cand.select("query_id", "corpus_id", sim_r.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (

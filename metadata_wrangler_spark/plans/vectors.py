@@ -196,4 +196,9 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism end to end against DuckDB."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.expr(_QUERY_PRED))
-    return similarity.lsh_cosine_topk_multitable(emb, queries, _TABLES, k=_K)
+    # The bucket projection is CPU-bound (L×b dot folds per vector)
+    # and the sf parquet is one small file → one input split;
+    # spread it across cores first. At cluster scale the scan is
+    # already many splits and this repartition is a no-op to remove.
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    return similarity.lsh_cosine_topk_multitable(corpus, queries, _TABLES, k=_K)
