@@ -45,6 +45,7 @@ HEADLINE = [
     "sim_lsh_multitable_topk",
     "d_queue_lifecycle",
     "s_xml_classify",
+    "pipe_provider_end_to_end",
 ]
 
 

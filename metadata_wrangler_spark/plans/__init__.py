@@ -47,6 +47,7 @@ def load_all_plans() -> None:
         events,
         functions,
         graph,
+        pipeline,
         relational,
         sources,
         vectors,

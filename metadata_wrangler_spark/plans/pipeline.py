@@ -1,0 +1,228 @@
+"""Composed pipeline plans — the reference's §3.3 coverage-provider
+lifecycle and §1.3 nested-Metadata application, each as ONE
+oracle-checked DAG.
+
+These are the integration proof: every stage is an operator that
+also ships standalone (queue anti-join, TTL cache fetch, XML parse,
+policy merge, nested explode), composed exactly the way the cron
+pipeline in the reference chains them.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.catalog import load
+from metadata_wrangler_spark.operators import merge
+from metadata_wrangler_spark.plans import register
+from metadata_wrangler_spark.sources import http_cache, xmlsrc
+
+
+def _classify_xml(tag: str, ident: str) -> str:
+    return (
+        '<classify><workList>'
+        f'<work title="{tag}{ident}" author="Author {ident}" '
+        f'owi="{ident}" editions="1" holdings="2"/>'
+        "</workList></classify>"
+    )
+
+
+def _xml_fetcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fake remote classify endpoint: deterministic XML per url
+    (title prefix 'F' marks a live fetch; cache rows carry 'C')."""
+    for pdf in batches:
+        ids = pdf["url"].map(lambda u: re.search(r"c([0-9]+)$", u).group(1))
+        yield pd.DataFrame({
+            "url": pdf["url"],
+            "content": ids.map(lambda i: _classify_xml("F", i)),
+        })
+
+
+@register(
+    "pipe_provider_end_to_end",
+    oracle="""
+    WITH latest AS (
+        SELECT o_custkey, o_orderstatus FROM (
+            SELECT o_custkey, o_orderstatus,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC,
+                                               o_orderkey DESC) AS rn
+            FROM orders
+        ) t WHERE rn = 1
+    ), needs AS (
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey % 3 = 0
+          AND NOT EXISTS (
+              SELECT 1 FROM latest l
+              WHERE l.o_custkey = c_custkey AND l.o_orderstatus = 'F'
+          )
+    ), resolved AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 4 = 0 THEN 'cache' ELSE 'fetch' END
+                   AS via,
+               CASE WHEN c_custkey % 4 = 0
+                    THEN 'C' || CAST(c_custkey AS VARCHAR)
+                    ELSE 'F' || CAST(c_custkey AS VARCHAR) END AS new_title
+        FROM needs
+    )
+    SELECT c_custkey AS key,
+           CASE WHEN c_custkey % 7 = 0 THEN
+                    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END
+                ELSE new_title END AS title,
+           'Author ' || CAST(c_custkey AS VARCHAR) AS author,
+           via
+    FROM resolved
+    """,
+)
+def pipe_provider_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 end to end: coverage queue → needs-coverage anti-join →
+    TTL'd cached fetch (cache hits short-circuit, misses go through
+    the Arrow-batched fetcher) → XML parse → policy-guarded metadata
+    merge (staged NULL titles never clobber).
+
+    Reference chain: `coverage_provider.py:273-354` (resolution
+    pipeline), `viaf.py:829-841` (Representation.get),
+    `oclc/classify.py:68-128` (parse), `Metadata.apply` call sites.
+    Every stage is the standalone operator; this plan is the proof
+    they compose.
+    """
+    # 1. the catalog's identifiers and the coverage queue's state
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 3 == 0)
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    covered = (
+        o.select("o_custkey", "o_orderstatus",
+                 F.row_number().over(w).alias("rn"))
+        .where((F.col("rn") == 1) & (F.col("o_orderstatus") == "F"))
+        .select("o_custkey")
+    )
+    needs = c.join(covered, c.c_custkey == covered.o_custkey, "left_anti")
+
+    # 2. cached fetch: cache rows exist (fresh) for custkey%4==0
+    url = F.concat(F.lit("https://classify.example.org/c"),
+                   F.col("c_custkey").cast("string"))
+    requests = needs.select(url.alias("url"))
+    cache_rows = (
+        load(spark, sf_dir, "customer")
+        .where((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 4 == 0))
+        .select(
+            url.alias("url"),
+            F.concat(
+                F.lit('<classify><workList><work title="C'),
+                F.col("c_custkey").cast("string"),
+                F.lit('" author="Author '),
+                F.col("c_custkey").cast("string"),
+                F.lit('" owi="'), F.col("c_custkey").cast("string"),
+                F.lit('" editions="1" holdings="2"/></workList></classify>'),
+            ).alias("content"),
+            F.lit("2024-01-10").cast("timestamp").alias("fetched_at"),
+        )
+    )
+    resolved = http_cache.cached_get(
+        requests, cache_rows, now="2024-01-15 00:00:00",
+        max_age_seconds=30 * 24 * 3600, fetcher=_xml_fetcher,
+    )
+
+    # 3. parse the payloads (one row per <work>)
+    parsed = xmlsrc.parse_classify(
+        resolved.withColumnsRenamed({"content": "xml"}), "xml"
+    ).select(
+        F.regexp_extract("url", r"c([0-9]+)$", 1).cast("bigint").alias("key"),
+        F.col("title").alias("staged_title"),
+        F.col("author").alias("staged_author"),
+        F.col("source").alias("via"),
+    )
+
+    # 4. policy merge onto current editions: staged titles for
+    # custkey%7==0 are nulled to exercise the null-guard; current
+    # titles for custkey%5==0 are null (recoverable)
+    staged = parsed.select(
+        "key",
+        F.when(F.col("key") % 7 == 0, F.lit(None))
+        .otherwise(F.col("staged_title")).alias("title"),
+        F.col("staged_author").alias("author"),
+        "via",
+    )
+    current = needs.select(
+        F.col("c_custkey").alias("key"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_name")).alias("title"),
+        F.lit(None).cast("string").alias("author"),
+        F.lit(None).cast("string").alias("via"),
+    )
+    post = merge.policy_merge(
+        current, staged, ["key"], ["title", "author", "via"],
+        insert_missing=False,
+    )
+    return post.select("key", "title", "author", "via")
+
+
+@register(
+    "pipe_metadata_nested_apply",
+    oracle="""
+    WITH meta AS (
+        SELECT p_partkey AS identifier_id,
+               list_value(
+                   struct_pack(stype := 'DDC',
+                               sid := CAST(p_partkey % 100 AS VARCHAR),
+                               weight := 10),
+                   struct_pack(stype := 'FAST',
+                               sid := p_brand,
+                               weight := CAST(p_size AS INT))
+               ) AS subjects
+        FROM part WHERE p_partkey % 3 = 1
+    ), exploded AS (
+        SELECT identifier_id, unnest(subjects, recursive := true)
+        FROM meta
+    )
+    SELECT stype AS subject_type, sid AS subject_id,
+           COUNT(*) AS n_identifiers,
+           CAST(SUM(weight) AS BIGINT) AS total_weight
+    FROM exploded
+    GROUP BY 1, 2
+    """,
+)
+def pipe_metadata_nested_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.3: the nested Metadata record — ARRAY<STRUCT> satellite
+    columns exploded into per-satellite tables and re-aggregated
+    (the classification-weight accumulation of `identifier.classify`).
+
+    Reference: the Metadata DTO schema (SURVEY.md §1.3),
+    `oclc/classify.py:980-990` (classify = append + re-aggregate),
+    `:233-249` (weight accumulation).
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 3 == 1)
+    meta = p.select(
+        F.col("p_partkey").alias("identifier_id"),
+        F.array(
+            F.struct(
+                F.lit("DDC").alias("stype"),
+                (F.col("p_partkey") % 100).cast("string").alias("sid"),
+                F.lit(10).alias("weight"),
+            ),
+            F.struct(
+                F.lit("FAST").alias("stype"),
+                F.col("p_brand").alias("sid"),
+                F.col("p_size").cast("int").alias("weight"),
+            ),
+        ).alias("subjects"),
+    )
+    exploded = meta.select(
+        "identifier_id", F.explode("subjects").alias("s")
+    ).select("identifier_id", "s.stype", "s.sid", "s.weight")
+    return exploded.groupBy(
+        F.col("stype").alias("subject_type"),
+        F.col("sid").alias("subject_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_identifiers"),
+        F.sum("weight").cast("bigint").alias("total_weight"),
+    )

@@ -941,20 +941,28 @@ def f_title_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: `oclc/classify.py:816-839` (threshold 0.25 token
     overlap), `oclc/linked_data.py:1095-1104` (proportion overlap).
     """
+    from metadata_wrangler_spark.operators.dedup import md5_long
     p = load(spark, sf_dir, "part")
-    tok = p.select(
+    # distinct tokens per doc JVM-side; per-doc sizes map-side from
+    # the array (no extra shuffle); the candidate join runs on the
+    # hashed token (bigint ≪ string shuffle bytes) with the token
+    # table cached for both sides.
+    base = p.select(
         "p_partkey", "p_brand",
-        F.explode(F.split(F.col("p_name"), " ")).alias("w"),
-    ).dropDuplicates()
-    sets = tok.groupBy("p_partkey", "p_brand").agg(
-        F.countDistinct("w").alias("n_tokens")
+        F.array_distinct(F.split(F.col("p_name"), " ")).alias("ws"),
     )
+    sets = base.select("p_partkey", F.size("ws").alias("n_tokens"))
+    tok = base.select(
+        "p_partkey", "p_brand", F.explode("ws").alias("w")
+    ).select(
+        "p_partkey", "p_brand", md5_long(F.col("w")).alias("hw")
+    ).cache()
     a = tok.alias("a")
     b = tok.alias("b")
     shared = (
         a.join(
             b,
-            (F.col("a.w") == F.col("b.w"))
+            (F.col("a.hw") == F.col("b.hw"))
             & (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
@@ -962,7 +970,7 @@ def f_title_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),
         )
-        .agg(F.countDistinct("a.w").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sets.select(F.col("p_partkey").alias("key_a"),
                      F.col("n_tokens").alias("tokens_a"))
