@@ -21,11 +21,12 @@ def _plans() -> tuple[dict, dict]:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the catalog revenue
-    rollup (3-way dimension join + grouped aggregate) — one of the
-    engine's J2/A2 obligations."""
+    """Flagship query on /root/testdata/sf0.001: the coverage-provider
+    pipeline end to end — queue anti-join → TTL'd cached fetch →
+    XML parse → policy-guarded metadata merge (SURVEY.md §3.3 as one
+    DAG)."""
     queries, _ = _plans()
-    return queries["j_dim_3way_broadcast"](spark, "/root/testdata/sf0.001")
+    return queries["pipe_provider_end_to_end"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

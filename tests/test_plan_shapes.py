@@ -1,0 +1,92 @@
+"""Physical-plan shape assertions — the scale contract, checked
+mechanically: filters reach the parquet scan, dimension joins
+broadcast, aggregates have a map-side partial phase, anti/semi joins
+stay joins, and no plan smuggles in a cartesian product or a
+row-at-a-time Python eval outside the declared mapInPandas stages.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# plans whose ONLY Python is the declared Arrow-batched mapInPandas
+ARROW_STAGES = {
+    "mm_binary_features", "s_cached_fetch", "s_soap_demand",
+    "pipe_provider_end_to_end",
+}
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as mod
+    return mod.queries()
+
+
+def test_filters_push_down_to_scan(spark, queries):
+    plan = explain_str(queries["p_projection_filter"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1].split("]")[0]
+    # column pruning: the scan must not read all 16 lineitem columns
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark, queries):
+    plan = explain_str(queries["j_dim_3way_broadcast"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_and_semi_joins_stay_joins(spark, queries):
+    anti = explain_str(queries["j_anti_join_queue"](spark, SF))
+    assert "LeftAnti" in anti
+    semi = explain_str(queries["j_semi_join"](spark, SF))
+    assert "LeftSemi" in semi
+
+
+def test_aggregate_has_partial_phase(spark, queries):
+    plan = explain_str(queries["a_pricing_summary"](spark, SF))
+    # partial + final hash aggregation (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_window_is_partitioned(spark, queries):
+    plan = explain_str(queries["w_topk_per_group"](spark, SF))
+    assert "SinglePartition" not in plan
+
+
+def test_keyset_page_pushes_cursor_and_takes_ordered(spark, queries):
+    plan = explain_str(queries["w_keyset_pagination"](spark, SF))
+    assert "GreaterThan(o_orderkey,400)" in plan.replace(" ", "") or \
+        "o_orderkey" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, queries):
+    # bounded broadcast nested-loop joins (count subquery, cosine
+    # pair scoring against a broadcast query set) are fine; a true
+    # CartesianProduct is never acceptable
+    for name, fn in queries.items():
+        plan = explain_str(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_no_python_eval_outside_declared_arrow_stages(spark, queries):
+    for name, fn in queries.items():
+        plan = explain_str(fn(spark, SF))
+        if name in ARROW_STAGES:
+            continue
+        assert "EvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
