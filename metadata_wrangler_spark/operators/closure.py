@@ -124,6 +124,11 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Labels only ever decrease, so the label SUM is a strictly
+    # decreasing convergence measure: equal sums ⇔ no label changed.
+    # One cheap single-stage aggregate on the already-materialized
+    # labels per round, instead of a join-based change probe.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     for _ in range(max_iterations):
         # Every node adopts the min label among itself and its
@@ -132,18 +137,14 @@ def connected_components(
             sym.join(labels, sym.b == labels.node)
             .select(F.col("a").alias("node"), "component")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbour_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels

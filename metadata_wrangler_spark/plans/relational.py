@@ -1015,3 +1015,71 @@ def a_category_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (100.0 * F.col("n") / F.col("_total"))
         .cast("decimal(18,6)").cast("double").alias("pct"),
     )
+
+
+@register(
+    "j_first_match",
+    oracle="""
+    SELECT o_custkey AS identifier_id,
+           o_orderdate AS first_ts,
+           o_orderkey AS first_key
+    FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders WHERE o_orderstatus = 'O'
+    ) t WHERE rn = 1
+    """,
+)
+def j_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: existence probe / first-match — `get_one` semantics as a
+    min_by aggregate (one map-side-combinable pass; no window, no
+    sort).
+
+    Reference: `scripts.py:228-233` (get_one Complaint),
+    `viaf.py:780-782` (first duplicate probe).
+    """
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return o.groupBy(F.col("o_custkey").alias("identifier_id")).agg(
+        F.min("o_orderdate").alias("first_ts"),
+        F.min_by(
+            "o_orderkey", F.struct("o_orderdate", "o_orderkey")
+        ).alias("first_key"),
+    )
+
+
+@register(
+    "w_order_by_rank",
+    oracle="""
+    SELECT n_name, total_customers,
+           CAST(ROW_NUMBER() OVER (ORDER BY total_customers DESC, n_name)
+                AS INT) AS rank
+    FROM (
+        SELECT n.n_name, COUNT(*) AS total_customers
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    ) t
+    """,
+)
+def w_order_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ORDER BY made hash-visible — the sort position is
+    materialized as a rank column (the driver's value hash is
+    order-insensitive, so a bare ORDER BY is unobservable). The
+    global window runs over the 25-row aggregate, never raw rows.
+
+    Reference: `canonicalize.py:228-230`, `scripts.py:76` (ordered
+    reports).
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    agg = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("total_customers"))
+    )
+    rank = F.row_number().over(
+        W.orderBy(F.desc("total_customers"), F.asc("n_name"))
+    )
+    return agg.select(
+        "n_name", "total_customers", rank.cast("int").alias("rank")
+    )
