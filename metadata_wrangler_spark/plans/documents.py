@@ -396,3 +396,106 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return binary.mapInPandas(_extract_features, schema=_MM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# multimodal: decode → features, frame sampling (stubbed codecs,
+# real Arrow plumbing)
+# ---------------------------------------------------------------------------
+
+_MM_PIXELS_SQL = """
+    list_transform(generate_series(0, 47), i ->
+        xor(CAST('0x' || substr(md5('FAKEIM' || text),
+                                ((i % 16) * 2) + 1, 2) AS INT), i))
+"""
+
+
+@register(
+    "mm_image_features",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, {_MM_PIXELS_SQL} AS pixels
+        FROM documents WHERE doc_id % 4 = 2
+    )
+    SELECT doc_id,
+           8 AS width, 6 AS height,
+           list_sum(pixels) / 48.0 AS mean_luma,
+           md5(array_to_string(pixels, ',')) AS thumb_8x6_md5
+    FROM px
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode → feature extraction: binary payload →
+    Arrow batch → (stub-)decode → dimensions, mean luminance,
+    thumbnail fingerprint. The codec is a deterministic stand-in
+    (no image libs in-container); everything downstream of decode —
+    batch shape, schema, feature math — is the production path and
+    is hash-checked.
+    """
+    from metadata_wrangler_spark.operators import multimodal
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 2)
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("FAKEIM"), F.col("text")), "UTF-8")
+        .alias("payload"),
+    )
+    out = multimodal.image_features(payloads)
+    return out.select(
+        "doc_id", "width", "height", "mean_luma", "thumb_8x6_md5"
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_no,
+           md5('FAKEVID' || text || '#' || CAST(f AS VARCHAR)) AS frame_md5
+    FROM documents, unnest([0, 10, 20]) AS t(f)
+    WHERE doc_id % 10 = 5
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one payload in, one row per
+    sampled frame out (every 10th of 30). Frame decode is a
+    deterministic fake; the UDTF row explosion, sampling policy, and
+    schema are the production path.
+    """
+    from metadata_wrangler_spark.operators import multimodal
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 5)
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("FAKEVID"), F.col("text")), "UTF-8")
+        .alias("payload"),
+    )
+    return multimodal.sample_frames(payloads, every_nth=10, n_frames=30)
+
+
+@register(
+    "txt_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+           CAST(len(string_split(trim(regexp_replace(lower(text),
+                '\s+', ' ', 'g')), ' ')) AS INT) AS n_ws_tokens
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: a GPT-2-flavoured pretokenizer regex
+    (letter runs / digit runs / single punctuation) counted next to
+    the whitespace count — the standard cheap token-budget estimate
+    for corpus sizing. Pure regexp_extract_all, stays in codegen.
+    """
+    from metadata_wrangler_spark.operators.dedup import normalize_text
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    bpe = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    ws = F.split(normalize_text(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("int").alias("n_bpe_tokens"),
+        F.size(ws).cast("int").alias("n_ws_tokens"),
+    )

@@ -16,8 +16,8 @@ SF = "/root/testdata/sf0.001"
 
 # plans whose ONLY Python is the declared Arrow-batched mapInPandas
 ARROW_STAGES = {
-    "mm_binary_features", "s_cached_fetch", "s_soap_demand",
-    "pipe_provider_end_to_end",
+    "mm_binary_features", "mm_image_features", "mm_frame_sample",
+    "s_cached_fetch", "s_soap_demand", "pipe_provider_end_to_end",
 }
 
 
