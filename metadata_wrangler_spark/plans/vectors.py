@@ -202,3 +202,69 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already many splits and this repartition is a no-op to remove.
     corpus = emb.repartition(spark.sparkContext.defaultParallelism)
     return similarity.lsh_cosine_topk_multitable(corpus, queries, _TABLES, k=_K)
+
+
+# --- embedding-cosine near-duplicate pairs (dedup tier) -------------------
+
+_DUP_THRESHOLD = 0.35  # tuned to the synthetic corpus (top-pair ~0.42)
+
+
+def _cosine_pairs_oracle_sql() -> str:
+    plane_lits = [
+        "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        for row in _PLANES
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {_DOT.format(a='embedding', b=p)} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(plane_lits)
+    )
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(CAST(
+               {_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})
+           AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+    FROM b a
+    JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE CAST(CAST(
+               {_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})
+           AS DECIMAL(18,6)) AS DOUBLE) >= {_DUP_THRESHOLD}
+    """
+
+
+@register("dd_embedding_cosine", oracle=_cosine_pairs_oracle_sql())
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic dedup
+    tier: LSH-bucketed candidate self-join (same 6-bit sign pattern
+    → candidates; never all-pairs) + exact cosine threshold.
+
+    Candidate recall follows the single-table LSH curve measured in
+    tests/test_similarity.py; for exhaustive semantic dedup stack
+    more tables exactly as in sim_lsh_multitable_topk.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    b = similarity.hyperplane_buckets(emb, _PLANES)
+    b = b.withColumn("n", similarity.norm(F.col("embedding")))
+    a, c = b.alias("a"), b.alias("b")
+    cos = similarity.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.n") * F.col("b.n")
+    )
+    cos_r = cos.cast("decimal(18,6)").cast("double")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos_r.alias("cosine"),
+        )
+        .where(F.col("cosine") >= _DUP_THRESHOLD)
+    )
