@@ -1083,3 +1083,103 @@ def w_order_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_name", "total_customers", rank.cast("int").alias("rank")
     )
+
+
+@register(
+    "w_viaf_candidate_score",
+    oracle="""
+    WITH cand AS (
+        SELECT c.c_custkey AS query_id,
+               o.o_orderkey AS candidate_id,
+               CAST(
+                   2.0 * (CASE WHEN o.o_orderstatus = 'O' THEN 10 ELSE 0 END)
+                 + 0.5 * (CASE WHEN o.o_orderpriority = '1-URGENT'
+                               THEN 20 ELSE 0 END)
+                 + 0.8 * least(o.o_totalprice / 2000.0, 50.0)
+                 - 10.0 * (o.o_orderkey % 3)
+               AS DECIMAL(18,4)) AS score
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey % 20 = 0
+    )
+    SELECT query_id, candidate_id, CAST(score AS DOUBLE) AS score
+    FROM (
+        SELECT query_id, candidate_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, candidate_id) AS rn
+        FROM cand
+    ) t
+    WHERE rn = 1 AND score >= 30.0
+    """,
+)
+def w_viaf_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: the VIAF candidate-selection shape — a multi-component
+    weighted score per candidate (match bonuses, popularity penalty),
+    per-query top-1 by score with deterministic tiebreak, and an
+    acceptance threshold. Decomposed into column arithmetic +
+    one window instead of the reference's per-candidate Python loop.
+
+    Reference: `viaf.py:144-231` (weighted scoring), `:393-450,
+    800-826` (sort desc, pick first, threshold).
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 20 == 0)
+    o = load(spark, sf_dir, "orders")
+    score = (
+        2.0 * F.when(F.col("o_orderstatus") == "O", 10).otherwise(0)
+        + 0.5 * F.when(F.col("o_orderpriority") == "1-URGENT", 20).otherwise(0)
+        + 0.8 * F.least(F.col("o_totalprice") / 2000.0, F.lit(50.0))
+        - 10.0 * (F.col("o_orderkey") % 3)
+    ).cast("decimal(18,4)")
+    cand = c.join(o, o.o_custkey == c.c_custkey).select(
+        F.col("c_custkey").alias("query_id"),
+        F.col("o_orderkey").alias("candidate_id"),
+        score.alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("candidate_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("score") >= 30.0))
+        .select("query_id", "candidate_id",
+                F.col("score").cast("double").alias("score"))
+    )
+
+
+@register(
+    "f_token_sort_ratio",
+    oracle="""
+    WITH pairs AS (
+        SELECT p_partkey,
+               array_to_string(list_sort(string_split(p_name, ' ')), ' ')
+                   AS sorted_a,
+               array_to_string(list_sort(string_split(
+                   reverse(p_name), ' ')), ' ') AS sorted_b
+        FROM part WHERE p_partkey % 15 = 0
+    )
+    SELECT p_partkey,
+           CAST(100.0 * (1.0 - levenshtein(sorted_a, sorted_b) /
+                greatest(length(sorted_a), length(sorted_b)))
+                AS DOUBLE) AS token_sort_ratio
+    FROM pairs
+    """,
+)
+def f_token_sort_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: fuzzywuzzy-style token_sort_ratio — sort the tokens of
+    both strings, then levenshtein ratio on the canonical forms
+    (word-order-insensitive fuzzy match; the reference's 90/80/70/60
+    threshold cascade applies on top). Pure built-ins: array_sort +
+    concat + levenshtein.
+
+    Reference: `viaf.py:6,126-130,326-388` (fuzzywuzzy cascade).
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 15 == 0)
+    def canon(col):
+        return F.array_join(F.array_sort(F.split(col, " ")), " ")
+    a = canon(F.col("p_name"))
+    b = canon(F.reverse(F.col("p_name")))
+    lev = F.levenshtein(a, b)
+    ratio = 100.0 * (1.0 - lev / F.greatest(F.length(a), F.length(b)))
+    return p.select(
+        "p_partkey", ratio.cast("double").alias("token_sort_ratio")
+    )
