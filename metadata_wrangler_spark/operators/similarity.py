@@ -11,6 +11,12 @@ Two tiers:
                    come from an equi-join on bucket key, exact score
                    re-ranks. The 100 TB path — cost scales with
                    bucket occupancy, not corpus size.
+  ivf_cosine_topk  inverted-file (IVF) partitioning: every corpus
+                   vector is assigned to its nearest coarse
+                   centroid; queries probe their nprobe closest
+                   cells only. Candidate generation is an equi-join
+                   on cell id — same shape as LSH, but the
+                   partition follows the data's own geometry.
 
 Dot products use `zip_with` + `aggregate` (higher-order functions,
 JVM-side, sequential left fold => deterministic and portable to the
@@ -157,6 +163,91 @@ def lsh_cosine_topk(
         cb.join(F.broadcast(qb), "bucket")
         .where(F.col("query_id") != F.col("corpus_id"))
         .select("query_id", "corpus_id", sim_r.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score every vector against each coarse centroid and keep the
+    full score array plus the argmax cell.
+
+    Centroids are caller-supplied constants (at production scale:
+    the output of a sampled k-means job, broadcast as literals or a
+    tiny table); here they're deterministic so the plan — and the
+    DuckDB oracle — is reproducible. First-max-wins on ties, 0-based
+    cell ids, matching the oracle's list_indexof spelling.
+    """
+    scores = F.array(*[
+        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ])
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        scores.alias("cell_scores"),
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int").alias("cell"),
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate cosine top-k: corpus vectors live in their
+    argmax-centroid cell; each query probes its ``nprobe`` best
+    cells. Exact cosine re-ranks the candidates.
+
+    Scale shape: the corpus-side cell assignment is computed once and
+    written as cell-partitioned parquet, after which a query batch
+    reads only its probed cells (partition pruning — the IVF "inverted
+    lists"). The probe explode happens on the (small, broadcast)
+    query side only; the join stays an equi-join on cell id.
+    """
+    cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
+        "cell",
+    )
+    qs = ivf_assign(queries, centroids, id_col, vec_col)
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.desc("cell_score"), F.asc("cell")
+    )
+    qb = (
+        qs.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("qn"),
+            F.posexplode("cell_scores").alias("cell", "cell_score"),
+        )
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qvec", "qn", "cell")
+    )
+    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    sim_r = sim.cast("decimal(18,6)").cast("double")
+    scored = (
+        cb.join(F.broadcast(qb), "cell")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", sim_r.alias("cosine"))
+        # a corpus vector sits in exactly one cell, so (query, corpus)
+        # pairs are already distinct — no dedup shuffle needed.
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (

@@ -204,6 +204,83 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_topk_multitable(corpus, queries, _TABLES, k=_K)
 
 
+# --- IVF (inverted-file) ANN tier -----------------------------------------
+
+_N_CENTROIDS = 16
+_NPROBE = 2
+# Deterministic coarse centroids (same LCG as the hyperplanes). At
+# production scale these come from a sampled k-means job; the plan
+# shape — argmax-cell assignment + nprobe probing — is identical.
+_CENTROIDS = _fixed_planes(n_planes=_N_CENTROIDS, dim=64, seed=7)
+
+
+def _ivf_oracle_sql() -> str:
+    cent_lits = [
+        "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        for row in _CENTROIDS
+    ]
+    scores = "list_value(" + ", ".join(
+        _DOT.format(a="embedding", b=c) for c in cent_lits
+    ) + ")"
+    return f"""
+    WITH cs AS (
+        SELECT vec_id, embedding, {scores} AS scores
+        FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, embedding,
+               list_indexof(scores, list_aggregate(scores, 'max')) - 1 AS cell
+        FROM cs
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, scores
+        FROM cs WHERE {_QUERY_PRED}
+    ), qp AS (
+        SELECT query_id, qvec, cell FROM (
+            SELECT query_id, qvec, i - 1 AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY scores[i] DESC, i ASC) AS rn
+            FROM q, UNNEST(range(1, {_N_CENTROIDS + 1})) AS t(i)
+        ) WHERE rn <= {_NPROBE}
+    ), scored AS (
+        SELECT qp.query_id, c.vec_id AS corpus_id,
+               CAST(CAST(
+                   {_DOT.format(a='qp.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='qp.qvec')} * {_NORM.format(a='c.embedding')})
+               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        FROM assigned c
+        JOIN qp ON qp.cell = c.cell AND qp.query_id <> c.vec_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+        SELECT query_id, corpus_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= {_K}
+    """
+
+
+@register("sim_ivf_topk", oracle=_ivf_oracle_sql())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-k — the data-adaptive ANN tier.
+
+    Every corpus vector is assigned to its nearest coarse centroid
+    (argmax dot over {_N_CENTROIDS} cells); each query probes its
+    2 best cells. Candidate generation is an equi-join on cell id —
+    the corpus side is scanned once; at cluster scale the cell
+    assignment is written once as cell-partitioned parquet and a
+    query batch reads only its probed cells (partition pruning =
+    the IVF inverted lists). Complements the LSH tiers: same join
+    shape, but the partition follows the corpus's own geometry
+    rather than random hyperplanes.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(_QUERY_PRED))
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    return similarity.ivf_cosine_topk(
+        corpus, queries, _CENTROIDS, k=_K, nprobe=_NPROBE
+    )
+
+
 # --- embedding-cosine near-duplicate pairs (dedup tier) -------------------
 
 _DUP_THRESHOLD = 0.35  # tuned to the synthetic corpus (top-pair ~0.42)

@@ -82,3 +82,41 @@ def test_lsh_recall_at_k_vs_exact(spark, sf_dir):
     assert r_single >= 0.05, f"single-probe recall {r_single}"
     assert r_probe > r_single, (r_probe, r_single)
     assert r_multi >= 0.9, f"multitable recall {r_multi}"
+
+
+def test_ivf_assign_argmax_cell(spark):
+    """Cell = first argmax over centroid dot products, 0-based."""
+    corpus = _vecs(spark, [
+        (1, [1, 0]),    # aligned with centroid 0
+        (2, [0, 1]),    # aligned with centroid 1
+        (3, [-1, 0]),   # anti-aligned: ties between c0 (-1) and... c1 (0) wins
+    ])
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    cells = {r["vec_id"]: r["cell"] for r in
+             similarity.ivf_assign(corpus, centroids).collect()}
+    assert cells == {1: 0, 2: 1, 3: 1}
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_ivf_recall_and_nprobe_monotone(spark, sf_dir):
+    """IVF recall@5 vs the exact tier: more probes => recall never
+    drops, and probing every cell recovers the exact result
+    (the candidate set becomes the whole corpus)."""
+    from metadata_wrangler_spark.catalog import load
+    from metadata_wrangler_spark.plans.vectors import _CENTROIDS
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 101 = 0"))
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    exact_pairs = {(r["query_id"], r["corpus_id"])
+                   for r in exact.collect()}
+
+    def recall(nprobe):
+        df = similarity.ivf_cosine_topk(
+            emb, queries, _CENTROIDS, k=5, nprobe=nprobe)
+        got = {(r["query_id"], r["corpus_id"]) for r in df.collect()}
+        return len(exact_pairs & got) / len(exact_pairs)
+
+    r2, r8, r_all = recall(2), recall(8), recall(len(_CENTROIDS))
+    assert r2 > 0, f"nprobe=2 recall {r2}"
+    assert r8 >= r2, (r8, r2)
+    assert r_all == 1.0, f"full-probe recall {r_all}"
