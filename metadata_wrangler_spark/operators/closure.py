@@ -52,10 +52,15 @@ def equivalent_ids(
     Returns DataFrame(node BIGINT, level INT) — min hop distance.
     """
     seed_col = seeds.columns[0]
+    # Materialize the filtered edge set ONCE. Every level joins
+    # against it; without the checkpoint each level re-runs the
+    # upstream scan + filter + dedup (at 100 TB: levels × full-table
+    # reads instead of one).
     usable = (
         edges.where(F.col(strength) > F.lit(threshold))
         .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
         .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
 
     frontier = seeds.select(
@@ -109,6 +114,9 @@ def connected_components(
     O(log(diameter)) rounds for typical equivalency graphs because
     labels jump through the whole known cluster each round.
     """
+    # Materialize the symmetrized edge set ONCE — every propagation
+    # round joins against it, and without the checkpoint each round
+    # re-runs the upstream scan + union + dedup from the source table.
     sym = (
         edges.select(F.col(src).cast("bigint").alias("a"),
                      F.col(dst).cast("bigint").alias("b"))
@@ -117,6 +125,7 @@ def connected_components(
                          F.col(src).cast("bigint").alias("b"))
         )
         .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -137,11 +146,15 @@ def connected_components(
             sym.join(labels, sym.b == labels.node)
             .select(F.col("a").alias("node"), "component")
         )
+        # Lazy checkpoint: the SUM probe below scans every partition,
+        # so it both materializes this round's labels (truncating
+        # lineage) and measures convergence — one job per round
+        # instead of a checkpoint job plus a probe job.
         labels = (
             labels.unionByName(neighbour_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
