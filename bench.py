@@ -38,6 +38,7 @@ HEADLINE = [
     "dd_minhash_lsh",
     "sim_cosine_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
     "ev_tumbling_window",
     "ev_sessionized_gaps",
     "g_transitive_closure",
@@ -56,8 +57,12 @@ def main() -> int:
     spark = get_spark("bench")
 
     # Warm-up: a tiny scan so session startup / first-job overhead is
-    # not attributed to the first timed query.
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # not attributed to the first timed query, plus a one-row Arrow
+    # round-trip so Python-worker spawn isn't charged to the first
+    # mapInPandas query.
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    region.count()
+    region.limit(1).mapInPandas(lambda it: it, schema=region.schema).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
