@@ -70,6 +70,96 @@ def s_xml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s_xml_classify_response",
+    oracle="""
+    WITH base AS (
+        SELECT p_partkey, p_name, p_type, p_brand, p_size
+        FROM part WHERE p_partkey % 5 = 0
+    )
+    SELECT p_partkey, 2 AS code, 1 AS n_works,
+           'FAST' AS stype,
+           CAST(p_partkey % 1000 AS VARCHAR) AS identifier,
+           p_name AS sname, CAST(p_size AS INT) AS weight
+    FROM base WHERE p_partkey % 2 = 0
+    UNION ALL
+    SELECT p_partkey, 2, 1, 'DDC', p_brand, NULL, CAST(p_size * 2 AS INT)
+    FROM base WHERE p_partkey % 2 = 0
+    UNION ALL
+    SELECT p_partkey, 2, 1, 'LCC', p_type, NULL, CAST(p_size * 3 AS INT)
+    FROM base WHERE p_partkey % 2 = 0
+    UNION ALL
+    SELECT p_partkey, 4, 2, NULL, NULL, NULL, NULL
+    FROM base WHERE p_partkey % 2 = 1
+    """,
+)
+def s_xml_classify_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 on the REAL Classify response shape: namespaced document,
+    `<response code>` dispatch (2 = single work + authors +
+    recommendations, 4 = `<works>` list), FAST heldby/ident vs
+    DDC/LCC holdings with nsfa-over-sfa identifier precedence.
+
+    Reference: `/root/reference/oclc/classify.py:54-60` (codes),
+    `:253-341` (subject extraction rules); fixture shape at
+    `/root/reference/tests/files/oclc_classify/`. Golden-file tests
+    for the same parser: tests/test_classify_golden.py.
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 0)
+    key = F.col("p_partkey").cast("string")
+    single = F.concat(
+        F.lit('<classify xmlns="http://classify.oclc.org">'
+              '<response code="2"/>'),
+        F.lit('<work author="'), F.col("p_type"),
+        F.lit('" editions="7" holdings="'),
+        F.col("p_size").cast("string"),
+        F.lit('" owi="'), key, F.lit('" title="'), F.col("p_name"),
+        F.lit('"/><authors><author lc="n1" viaf="v'), key,
+        F.lit('">'), F.col("p_type"), F.lit("</author></authors>"),
+        F.lit("<recommendations><fast><headings>"
+              '<heading heldby="'),
+        F.col("p_size").cast("string"),
+        F.lit('" ident="'), (F.col("p_partkey") % 1000).cast("string"),
+        F.lit('" src="fast">'), F.col("p_name"),
+        F.lit("</heading></headings></fast>"
+              '<ddc><mostPopular holdings="'),
+        (F.col("p_size") * 2).cast("string"),
+        F.lit('" nsfa="'), F.col("p_brand"),
+        F.lit('" sfa="IGNORED"/></ddc>'
+              '<lcc><mostPopular holdings="'),
+        (F.col("p_size") * 3).cast("string"),
+        F.lit('" sfa="'), F.col("p_type"),
+        F.lit('"/></lcc></recommendations></classify>'),
+    )
+    multi = F.concat(
+        F.lit('<classify xmlns="http://classify.oclc.org">'
+              '<response code="4"/><works>'),
+        F.lit('<work author="'), F.col("p_type"),
+        F.lit('" editions="1" holdings="1" owi="'), key,
+        F.lit('" title="'), F.col("p_name"), F.lit('"/>'),
+        F.lit('<work author="'), F.col("p_type"),
+        F.lit('" editions="2" holdings="2" owi="'), (key + 1),
+        F.lit('" title="'), F.col("p_name"),
+        F.lit('"/></works></classify>'),
+    )
+    docs = p.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 2 == 0, single)
+        .otherwise(multi).alias("xml"),
+    )
+    parsed = xmlsrc.parse_classify_response(docs)
+    return parsed.select(
+        "p_partkey", "code",
+        F.size("works").alias("n_works"),
+        F.explode_outer("subjects").alias("s"),
+    ).select(
+        "p_partkey", "code", "n_works",
+        F.col("s.stype").alias("stype"),
+        F.col("s.identifier").alias("identifier"),
+        F.col("s.name").alias("sname"),
+        F.col("s.weight").cast("int").alias("weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S4 — JSON-LD graph
 # ---------------------------------------------------------------------------

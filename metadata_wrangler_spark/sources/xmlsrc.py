@@ -44,6 +44,129 @@ def parse_classify(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     )
 
 
+# The REAL OCLC Classify response shape (namespaced; fixtures at
+# /root/reference/tests/files/oclc_classify/): a <response code=N/>
+# status, then either a single top-level <work> (code 0/2) plus
+# <authors> and <recommendations>, or a <works> list (code 4).
+# Response-code vocabulary: `/root/reference/oclc/classify.py:54-60`.
+SINGLE_WORK_SUMMARY_STATUS = 0
+SINGLE_WORK_DETAIL_STATUS = 2
+MULTI_WORK_STATUS = 4
+NOT_FOUND_STATUS = 102
+
+OCLC_RESPONSE_SCHEMA = (
+    "response STRUCT<_code: INT>, "
+    "work STRUCT<_owi: STRING, _title: STRING, _author: STRING, "
+    "_editions: INT, _holdings: INT>, "
+    "works STRUCT<work: ARRAY<STRUCT<_owi: STRING, _title: STRING, "
+    "_author: STRING, _editions: INT, _holdings: INT>>>, "
+    "authors STRUCT<author: ARRAY<STRUCT<_lc: STRING, _viaf: STRING, "
+    "_VALUE: STRING>>>, "
+    "recommendations STRUCT<"
+    "fast: STRUCT<headings: STRUCT<heading: ARRAY<STRUCT<"
+    "_heldby: INT, _ident: STRING, _VALUE: STRING>>>>, "
+    "ddc: STRUCT<mostPopular: STRUCT<_holdings: INT, _nsfa: STRING, "
+    "_sfa: STRING>>, "
+    "lcc: STRUCT<mostPopular: STRUCT<_holdings: INT, _nsfa: STRING, "
+    "_sfa: STRING>>>"
+)
+
+
+def parse_classify_response(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Parse a real Classify response into ONE row per document with
+    the Metadata-DTO nested shape (SURVEY.md §1.3):
+
+      code       INT                      response status
+      works      ARRAY<STRUCT<owi,title,author,editions,holdings>>
+                 (single- and multi-work responses normalized)
+      authors    ARRAY<STRUCT<name,lc,viaf>>
+      subjects   ARRAY<STRUCT<stype,identifier,name,weight>>
+                 FAST headings (weight=heldby) + DDC/LCC mostPopular
+                 (weight=holdings, identifier=nsfa|sfa) — the
+                 reference's `_parse_subject_tag` rules
+                 (`/root/reference/oclc/classify.py:335-341`).
+
+    Entirely column expressions (from_xml + higher-order functions);
+    scales with the scan, no UDF.
+    """
+    parsed = df.withColumn("_doc", F.from_xml(F.col(xml_col), OCLC_RESPONSE_SCHEMA))
+    d = F.col("_doc")
+
+    def work_struct(w):
+        return F.struct(
+            w["_owi"].cast("bigint").alias("owi"),
+            w["_title"].alias("title"),
+            w["_author"].alias("author"),
+            w["_editions"].alias("editions"),
+            w["_holdings"].alias("holdings"),
+        )
+
+    single = F.when(
+        d["work"].isNotNull(), F.array(work_struct(d["work"]))
+    ).otherwise(F.array().cast(
+        "array<struct<owi:bigint,title:string,author:string,"
+        "editions:int,holdings:int>>"
+    ))
+    multi = F.coalesce(
+        F.transform(d["works"]["work"], work_struct),
+        F.array().cast(
+            "array<struct<owi:bigint,title:string,author:string,"
+            "editions:int,holdings:int>>"
+        ),
+    )
+    authors = F.coalesce(
+        F.transform(
+            d["authors"]["author"],
+            lambda a: F.struct(
+                a["_VALUE"].alias("name"),
+                a["_lc"].alias("lc"),
+                a["_viaf"].alias("viaf"),
+            ),
+        ),
+        F.array().cast("array<struct<name:string,lc:string,viaf:string>>"),
+    )
+    fast = F.coalesce(
+        F.transform(
+            d["recommendations"]["fast"]["headings"]["heading"],
+            lambda h: F.struct(
+                F.lit("FAST").alias("stype"),
+                h["_ident"].alias("identifier"),
+                h["_VALUE"].alias("name"),
+                h["_heldby"].alias("weight"),
+            ),
+        ),
+        F.array().cast(
+            "array<struct<stype:string,identifier:string,"
+            "name:string,weight:int>>"
+        ),
+    )
+
+    def most_popular(kind: str, label: str):
+        mp = d["recommendations"][kind]["mostPopular"]
+        return F.when(
+            mp.isNotNull(),
+            F.array(F.struct(
+                F.lit(label).alias("stype"),
+                F.coalesce(mp["_nsfa"], mp["_sfa"]).alias("identifier"),
+                F.lit(None).cast("string").alias("name"),
+                mp["_holdings"].alias("weight"),
+            )),
+        ).otherwise(F.array().cast(
+            "array<struct<stype:string,identifier:string,"
+            "name:string,weight:int>>"
+        ))
+
+    keep = [c for c in df.columns if c != xml_col]
+    return parsed.select(
+        *keep,
+        d["response"]["_code"].alias("code"),
+        F.concat(single, multi).alias("works"),
+        authors.alias("authors"),
+        F.concat(fast, most_popular("ddc", "DDC"),
+                 most_popular("lcc", "LCC")).alias("subjects"),
+    )
+
+
 def build_classify_xml(
     title: Column, author: Column, owi: Column,
     editions: Column, holdings: Column, n_works: Column,
