@@ -160,6 +160,73 @@ def s_xml_classify_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s_viaf_cluster",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey % 6 = 0
+    )
+    SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS viaf_id,
+           3 AS n_names,
+           CASE WHEN c_custkey % 2 = 0
+                THEN 'W_' || CAST(c_custkey AS VARCHAR)
+                ELSE NULL END AS wikipedia_name,
+           c_name AS top_name
+    FROM base
+    UNION ALL
+    SELECT c_custkey, NULL, 1, NULL, NULL FROM base
+    """,
+)
+def s_viaf_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (VIAF half): SRU multi-cluster response → per-cluster rows
+    with viafID, mainHeadings sort-name vote, and WKP-source
+    wikipedia name (Wikidata ids excluded).
+
+    Reference: `viaf.py:479-539` (cluster walk, local-name
+    matching), `:522-539` (wikipedia/sort-name rules). Golden-file
+    tests on the reference's own fixtures:
+    tests/test_viaf_golden.py. Each document carries one full
+    cluster (3 heading texts; the comma-stripped duplicate must win
+    the vote) and one anonymous cluster (no viafID — viaf_id NULL,
+    no vote row).
+    """
+    from metadata_wrangler_spark.sources import viafsrc
+
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 6 == 0)
+    key = F.col("c_custkey").cast("string")
+    wkp = F.when(
+        F.col("c_custkey") % 2 == 0, F.concat(F.lit("WKP|W_"), key)
+    ).otherwise(F.lit("WKP|Q999"))
+    docs = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("<sru><ns2:VIAFCluster><ns2:viafID>"), key,
+            F.lit("</ns2:viafID><ns2:mainHeadings><ns2:data><ns2:text>"),
+            F.col("c_name"), F.lit(","),
+            F.lit("</ns2:text></ns2:data><ns2:data><ns2:text>"),
+            F.col("c_name"),
+            F.lit("</ns2:text></ns2:data><ns2:data><ns2:text>Z-"),
+            F.col("c_name"),
+            F.lit("</ns2:text></ns2:data></ns2:mainHeadings>"
+                  "<ns2:sources><ns2:source>"),
+            wkp,
+            F.lit("</ns2:source></ns2:sources></ns2:VIAFCluster>"
+                  "<ns2:VIAFCluster><ns2:mainHeadings><ns2:data>"
+                  "<ns2:text>Anonymous</ns2:text></ns2:data>"
+                  "</ns2:mainHeadings></ns2:VIAFCluster></sru>"),
+        ).alias("xml"),
+    )
+    clusters = viafsrc.parse_viaf_clusters(docs)
+    top = viafsrc.top_sort_name(
+        clusters.where(F.col("viaf_id").isNotNull())
+    ).select("viaf_id", F.col("sort_name").alias("top_name"))
+    return clusters.join(top, "viaf_id", "left").select(
+        "c_custkey", "viaf_id",
+        F.size("sort_names").alias("n_names"),
+        "wikipedia_name", "top_name",
+    )
+
+
 # ---------------------------------------------------------------------------
 # S4 — JSON-LD graph
 # ---------------------------------------------------------------------------
