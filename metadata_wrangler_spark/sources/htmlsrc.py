@@ -28,6 +28,68 @@ def _cells(html_col, css_class: str):
     )
 
 
+# The REAL Content Cafe page shape (fixtures at
+# /root/reference/tests/files/content_cafe/): title in
+# <span class="PageHeader2">, list resources = each
+# <td class="SectionHeader"> row's FOLLOWING row's first cell
+# (`_scrape_list`, `/root/reference/content_cafe.py:315-327`),
+# single resource = Table_Main's first row's cell (`_scrape_one`,
+# `:329-335`), title blacklist (`:341-346`).
+_TITLE_RE = r'<span[^>]*class="PageHeader2"[^>]*>([^<]*)</span>'
+_SECTION_RE = (
+    r'(?s)<td[^>]*class="SectionHeader"[^>]*>[^<]*</td>\s*</tr>'
+    r"\s*<tr[^>]*>\s*<td[^>]*>(.*?)</td>"
+)
+_FIRST_TD_RE = (
+    r'(?s)<table[^>]*id="Table_Main"[^>]*>\s*<tr[^>]*>\s*'
+    r"<td[^>]*>(.*?)</td>"
+)
+
+
+def scrape_content_cafe(
+    df: DataFrame,
+    html_col: str = "html",
+    missing_phrase: str | None = None,
+) -> DataFrame:
+    """(doc columns…, title, sections ARRAY<STRING>, first_content)
+    from a Content Cafe web page.
+
+    ``missing_phrase`` mirrors `phrase_indicating_missing_data`
+    (`content_cafe.py:236-241`): pages containing it yield no
+    resources. Titles on KNOWN_BAD_TITLES null out. Whitespace-only
+    and duplicate sections are dropped, matching the reference's
+    strip/already_seen loop (`:254-266`).
+    """
+    keep = [c for c in df.columns if c != html_col]
+    h = F.col(html_col)
+    title = F.regexp_extract(h, _TITLE_RE, 1)
+    good_title = F.when(
+        (title != "") & ~title.isin(KNOWN_BAD_TITLES), title
+    )
+    sections = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.regexp_extract_all(h, F.lit(_SECTION_RE), F.lit(1)),
+                lambda s: F.trim(s),
+            ),
+            lambda s: (s != "") & (s != "&nbsp;"),
+        )
+    )
+    first = F.regexp_extract(h, _FIRST_TD_RE, 1)
+    if missing_phrase is not None:
+        present = ~h.contains(missing_phrase)
+        sections = F.when(present, sections).otherwise(
+            F.array().cast("array<string>")
+        )
+        first = F.when(present, first)
+    return df.select(
+        *keep,
+        good_title.alias("title"),
+        sections.alias("sections"),
+        F.when(F.trim(first) != "", F.trim(first)).alias("first_content"),
+    )
+
+
 def scrape_cells(
     df: DataFrame,
     html_col: str = "html",
