@@ -38,6 +38,137 @@ def values_in_language(names_col, language: str):
     )
 
 
+# --- real OCLC person-entity documents (VariantType path) ----------------
+#
+# The real JSON-LD fixtures (/root/reference/tests/files/oclc/) are
+# polymorphic: `name`/`familyName` may be a string, a list of
+# strings, a {"@language","@value"} dict, or a mixed list of all
+# three. A fixed from_json schema can't express that; Spark 4's
+# VariantType can — parse once, probe each shape with
+# try_variant_get, all JVM-side.
+
+
+def _name_candidates(field):
+    """Normalize a variant name field to ARRAY<STRING> candidates:
+    scalar string kept; list elements kept if plain strings or
+    en-language dicts (the reference's extract_names +
+    `_best_name_from_list` intake, linked_data.py:372-384,441-451).
+    Non-Latin-start names are dropped (its `[A-z]+` match)."""
+    scalar = F.try_variant_get(field, "$", "string")
+    elems = F.coalesce(
+        F.try_variant_get(field, "$", "array<variant>"),
+        F.when(scalar.isNotNull(), F.array(field)),
+        F.array().cast("array<variant>"),
+    )
+    # @value probe FIRST: variant_get(obj, '$', 'string') on an
+    # OBJECT yields its JSON text, which would shadow the
+    # language-dict branch (and is then dropped by the Latin-start
+    # filter below, since it starts with '{').
+    strings = F.transform(
+        elems,
+        lambda e: F.coalesce(
+            F.when(
+                F.try_variant_get(e, "$.@language", "string") == "en",
+                F.try_variant_get(e, "$.@value", "string"),
+            ),
+            F.try_variant_get(e, "$", "string"),
+        ),
+    )
+    return F.filter(
+        strings, lambda s: s.isNotNull() & s.rlike("^[A-Za-z\\[\\]^_`\\\\]")
+    )
+
+
+def _best_name(field):
+    """`_best_name_from_list` (linked_data.py:437-471): strip [.,],
+    vote by punctuation-normalized count, tie → longest, then first
+    position (Counter insertion order). Per-row array algebra — no
+    shuffle, no UDF."""
+    names = F.transform(
+        _name_candidates(field), lambda s: F.regexp_replace(s, "[.,]", "")
+    )
+    indexed = F.zip_with(
+        names,
+        F.sequence(F.lit(0), F.greatest(F.size(names) - 1, F.lit(0))),
+        lambda n, i: F.struct(n.alias("name"), i.alias("idx")),
+    )
+    scored = F.transform(
+        indexed,
+        lambda s: F.struct(
+            F.size(F.filter(names, lambda x: x == s["name"])).alias("cnt"),
+            F.length(s["name"]).alias("len"),
+            (-s["idx"]).alias("neg_idx"),
+            s["name"].alias("name"),
+        ),
+    )
+    return F.when(F.size(names) > 0, F.array_max(scored)["name"])
+
+
+def extract_contributors(df: DataFrame, json_col: str = "jsonld") -> DataFrame:
+    """One row per schema:Person node in each document's @graph:
+    (doc columns…, node_id, display_name, family_name, birth_year,
+    death_year) — the reference's `extract_contributor`
+    (linked_data.py:368-435) incl. the leading-family-name strip and
+    year extraction."""
+    keep = [c for c in df.columns if c != json_col]
+    graph = F.coalesce(
+        F.try_variant_get(
+            F.try_parse_json(F.col(json_col)), "$.@graph", "array<variant>"
+        ),
+        F.array().cast("array<variant>"),
+    )
+    nodes = df.select(
+        *keep,
+        F.explode(
+            F.filter(
+                graph,
+                lambda n: F.try_variant_get(n, "$.@type", "string")
+                == F.lit("schema:Person"),
+            )
+        ).alias("_node"),
+    )
+    n = F.col("_node")
+    display = _best_name(F.try_variant_get(n, "$.name", "variant"))
+    family = _best_name(F.try_variant_get(n, "$.familyName", "variant"))
+    year = lambda fld: F.regexp_extract(  # noqa: E731
+        F.coalesce(
+            F.try_variant_get(n, fld, "string"),
+            F.try_variant_get(n, fld, "array<string>")[0],
+        ),
+        "^([0-9]{4})", 1,
+    )
+    out = nodes.select(
+        *keep,
+        F.try_variant_get(n, "$.@id", "string").alias("node_id"),
+        display.alias("_display"),
+        family.alias("_family"),
+        F.when(year("$.birthDate") != "", year("$.birthDate"))
+        .alias("birth_year"),
+        F.when(year("$.deathDate") != "", year("$.deathDate"))
+        .alias("death_year"),
+    )
+    return (
+        out.withColumn("display_name", display_fixed_expr())
+        .where(F.col("display_name").isNotNull())
+        .select(
+            *keep, "node_id", "display_name",
+            F.col("_family").alias("family_name"),
+            "birth_year", "death_year",
+        )
+    )
+
+
+def display_fixed_expr():
+    """The "LastName FirstName LastName" fix (linked_data.py:395-401):
+    drop a leading family-name prefix from the display name. Phrased
+    over the staged _display/_family columns."""
+    return F.when(
+        F.col("_family").isNotNull()
+        & F.col("_display").startswith(F.concat(F.col("_family"), F.lit(" "))),
+        F.expr("substring(_display, length(_family) + 2)"),
+    ).otherwise(F.col("_display"))
+
+
 def parse_typed_names(
     df: DataFrame,
     json_col: str = "jsonld",
