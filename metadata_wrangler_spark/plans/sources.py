@@ -227,6 +227,50 @@ def s_viaf_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s_jsonld_contributor",
+    oracle="""
+    SELECT c_custkey,
+           'person/' || CAST(c_custkey AS VARCHAR) AS node_id,
+           c_name || ' extended' AS display_name,
+           'X' || c_name AS family_name,
+           CAST(1900 + c_custkey % 100 AS VARCHAR) AS birth_year
+    FROM customer WHERE c_custkey % 9 = 0
+    """,
+)
+def s_jsonld_contributor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 on the REAL person-entity shape: polymorphic name field
+    (non-en dict dropped, en dict + plain string voted, longest tie
+    wins), typed-node filter past a Book node, birth-year extract —
+    via the VariantType extractor.
+
+    Reference: `oclc/linked_data.py:368-435` (extract_contributor),
+    `:437-471` (best-name vote). Golden-file tests on the
+    reference's own fixtures: tests/test_jsonld_golden.py.
+    """
+    from metadata_wrangler_spark.sources import jsonld
+
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 9 == 0)
+    key = F.col("c_custkey").cast("string")
+    doc = F.concat(
+        F.lit('{"@graph":[{"@id":"book/'), key,
+        F.lit('","@type":"schema:Book"},{"@id":"person/'), key,
+        F.lit('","@type":"schema:Person","name":['
+              '{"@language":"no-no","@value":"skip me"},'
+              '{"@language":"en","@value":"'),
+        F.col("c_name"),
+        F.lit(' extended"},"'), F.col("c_name"),
+        F.lit(',"],"familyName":"X'), F.col("c_name"),
+        F.lit('","birthDate":"'),
+        (F.lit(1900) + F.col("c_custkey") % 100).cast("string"),
+        F.lit('-05-22"}]}'),
+    )
+    docs = c.select("c_custkey", doc.alias("jsonld"))
+    return jsonld.extract_contributors(docs).select(
+        "c_custkey", "node_id", "display_name", "family_name", "birth_year"
+    )
+
+
 # ---------------------------------------------------------------------------
 # S4 — JSON-LD graph
 # ---------------------------------------------------------------------------
