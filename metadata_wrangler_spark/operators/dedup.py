@@ -271,6 +271,44 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_pairs(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Training-vs-benchmark n-gram collision pairs — the standard
+    pre-training decontamination sweep (remove training documents that
+    leak evaluation data).
+
+    Plan shape: both sides reduce to (id, hashed n-gram) rows; the
+    collision test is an equi-join on the 60-bit hash with the EVAL
+    side broadcast — benchmark suites are a few MB against a 100 TB
+    corpus, so the sweep costs one corpus scan and zero shuffles of
+    the training side. Returns (train_id, eval_id, n_shared), the
+    count of distinct shared n-grams per contaminated pair.
+    """
+    tr = distinct_shingles(train, id_col, text_col, n).select(
+        F.col("id").alias("train_id"), md5_long(F.col("sh")).alias("hp")
+    )
+    ev = distinct_shingles(eval_set, id_col, text_col, n).select(
+        F.col("id").alias("eval_id"), md5_long(F.col("sh")).alias("hp")
+    )
+    return (
+        tr.join(F.broadcast(ev), "hp")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -112,6 +112,59 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals: duplicate
+    2-gram / 5-gram fractions (1 − distinct/total, array-level, pure
+    codegen) and the top-2-gram fraction (share of all 2-grams taken
+    by the most frequent one — needs a per-(doc, gram) count, one
+    explode + two aggregations keyed on doc id, map-side partial,
+    no skew).
+
+    `keep` applies the repetition-filter rule: reject documents whose
+    repetition exceeds the thresholds (values follow the Gopher rules'
+    shape; tune per corpus).
+    """
+    from metadata_wrangler_spark.operators.dedup import shingles, with_words
+
+    base = with_words(docs, id_col, text_col).select(
+        "id",
+        shingles(2).alias("g2"),
+        shingles(5).alias("g5"),
+    )
+    dup_frac = lambda c: (  # noqa: E731
+        F.when(F.size(c) <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(c)) / F.size(c)
+        )
+    )
+    fracs = base.select(
+        "id",
+        F.size("g2").alias("n_2grams"),
+        dup_frac(F.col("g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("g5")).alias("dup_5gram_frac"),
+    )
+    top = (
+        base.select("id", F.explode("g2").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg((F.max("c") / F.sum("c")).alias("top_2gram_frac"))
+    )
+    out = fracs.join(top, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_2grams",
+        "dup_2gram_frac",
+        "dup_5gram_frac",
+        F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+    )
+    keep = (
+        (F.col("dup_2gram_frac") <= 0.6)
+        & (F.col("dup_5gram_frac") <= 0.3)
+        & (F.col("top_2gram_frac") <= 0.2)
+    )
+    return out.withColumn("keep", keep)
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Stable document fingerprint: md5 of the canonical text plus a

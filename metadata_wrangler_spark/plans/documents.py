@@ -28,11 +28,20 @@ from metadata_wrangler_spark.plans import register
 _NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 # word array over normalized text
 _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB spelling of operators.dedup.shingles(n) (1-based list
+    indexing; empty list when the doc is shorter than n words)."""
+    cols = ", ".join(f"w[i + {k}]" if k else "w[i]" for k in range(n))
+    return (
+        f"list_transform(generate_series(1, len(w) - {n - 1}), "
+        f"i -> concat_ws('_', {cols}))"
+    )
+
+
 # 3-gram shingle list
-_SHINGLES_SQL = (
-    "list_transform(generate_series(1, len(w) - 2), "
-    "i -> concat_ws('_', w[i], w[i+1], w[i+2]))"
-)
+_SHINGLES_SQL = _shingles_sql(3)
 
 
 def _md5_long_sql(expr: str) -> str:
@@ -126,7 +135,9 @@ def _minhash_sig_sql() -> str:
     """
 
 
-def _lsh_oracle_sql() -> str:
+def _lsh_pairs_ctes() -> str:
+    """CTE chain ending in ``lsh_pairs`` (DISTINCT id_a < id_b
+    candidates) — shared by the pair plan and the cluster plan."""
     band_exprs = ", ".join(
         "md5(concat_ws('_', '{b}', {cols})) AS band_{b}".format(
             b=b,
@@ -140,16 +151,23 @@ def _lsh_oracle_sql() -> str:
         f"SELECT id, '{b}' AS band_no, band_{b} AS bucket FROM banded"
         for b in range(_BANDS)
     )
-    return f"""
-    WITH sig AS ({_minhash_sig_sql()}),
+    return f"""sig AS ({_minhash_sig_sql()}),
     banded AS (SELECT id, {band_exprs} FROM sig),
     bucket AS (
         {stacked}
-    )
-    SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM bucket a
-    JOIN bucket b ON a.band_no = b.band_no AND a.bucket = b.bucket
-                 AND a.id < b.id
+    ),
+    lsh_pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bucket a
+        JOIN bucket b ON a.band_no = b.band_no AND a.bucket = b.bucket
+                     AND a.id < b.id
+    )"""
+
+
+def _lsh_oracle_sql() -> str:
+    return f"""
+    WITH {_lsh_pairs_ctes()}
+    SELECT id_a, id_b FROM lsh_pairs
     """
 
 
@@ -162,6 +180,100 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"),
         num_hashes=_NUM_HASHES, bands=_BANDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash clusters (pairs → connected components → canonical)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_clusters_oracle_sql() -> str:
+    """Recursive label-walk twin of connected components over the LSH
+    candidate pairs: every node collects every label that can reach
+    it through the symmetrized edge set; MIN of those labels is the
+    component's canonical id."""
+    return f"""
+    WITH RECURSIVE {_lsh_pairs_ctes()},
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM lsh_pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM lsh_pairs
+    ),
+    walk(node, lbl) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS canonical_id
+    FROM walk GROUP BY node
+    """
+
+
+@register("dd_minhash_clusters", oracle=_minhash_clusters_oracle_sql())
+def dd_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs fed to
+    min-id-label connected components — the keep-one-per-cluster step
+    that turns pairwise dedup into an actual corpus reduction
+    (training sets keep `canonical_id`, drop the rest).
+
+    Composition of two scale-shaped operators: the pair join is
+    linear in true duplicates (see dd_minhash_lsh) and the label
+    propagation converges in O(log diameter) checkpointed rounds
+    (operators/closure.py) — duplicate clusters are shallow in
+    practice, so 2-3 rounds.
+    """
+    from metadata_wrangler_spark.operators import closure
+
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    cc = closure.connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: eval-set decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5            # n-gram width for the collision test
+_DECON_EVAL_PRED = "doc_id % 13 = 7"   # deterministic benchmark slice
+
+
+def _decontaminate_oracle_sql() -> str:
+    def side(pred: str, out_id: str) -> str:
+        return f"""
+        SELECT id AS {out_id}, {_md5_long_sql('sh')} AS hp FROM (
+            SELECT DISTINCT id, sh FROM (
+                SELECT doc_id AS id, unnest({_shingles_sql(_DECON_N)}) AS sh
+                FROM (SELECT doc_id, {_WORDS_SQL} AS w
+                      FROM documents WHERE {pred}) t0
+            ) t1
+        ) t2
+        """
+    return f"""
+    WITH tr AS ({side(f'NOT ({_DECON_EVAL_PRED})', 'train_id')}),
+    ev AS ({side(_DECON_EVAL_PRED, 'eval_id')})
+    SELECT tr.train_id, ev.eval_id, COUNT(*) AS n_shared
+    FROM tr JOIN ev ON tr.hp = ev.hp
+    GROUP BY 1, 2
+    """
+
+
+@register("dd_decontaminate", oracle=_decontaminate_oracle_sql())
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: training docs sharing any
+    {_DECON_N}-gram with the held-out eval slice. The eval side is
+    broadcast (benchmark suites are MBs against a 100 TB corpus), so
+    the sweep is one training-corpus scan with zero training-side
+    shuffles before the per-pair count."""
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.where(F.expr(_DECON_EVAL_PRED))
+    tr = docs.where(~F.expr(_DECON_EVAL_PRED))
+    return dedup.decontaminate_pairs(tr, ev, n=_DECON_N)
 
 
 # ---------------------------------------------------------------------------
@@ -291,6 +403,41 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-cleaning quality heuristics (length band, stopword
     ratio, repetition)."""
     return textstats.quality_score(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "txt_repetition_filter",
+    oracle=f"""
+    WITH g AS (
+        SELECT id, {_shingles_sql(2)} AS g2, {_shingles_sql(5)} AS g5
+        FROM (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents) base
+    ), fracs AS (
+        SELECT id,
+               CAST(len(g2) AS INT) AS n_2grams,
+               CASE WHEN len(g2) <= 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(g2)) / len(g2) END AS dup_2gram_frac,
+               CASE WHEN len(g5) <= 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(g5)) / len(g5) END AS dup_5gram_frac
+        FROM g
+    ), top AS (
+        SELECT id, MAX(c) / SUM(c) AS top_2gram_frac FROM (
+            SELECT id, gg, COUNT(*) AS c
+            FROM (SELECT id, unnest(g2) AS gg FROM g) x
+            GROUP BY id, gg
+        ) y GROUP BY id
+    )
+    SELECT f.id AS doc_id, f.n_2grams, f.dup_2gram_frac, f.dup_5gram_frac,
+           COALESCE(t.top_2gram_frac, 0.0) AS top_2gram_frac,
+           (f.dup_2gram_frac <= 0.6 AND f.dup_5gram_frac <= 0.3
+            AND COALESCE(t.top_2gram_frac, 0.0) <= 0.2) AS keep
+    FROM fracs f LEFT JOIN top t ON t.id = f.id
+    """,
+)
+def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate 2-gram/5-gram
+    fractions (array-level, pure codegen) + top-2-gram share (one
+    explode + doc-keyed aggregates) + the keep/reject rule."""
+    return textstats.repetition_stats(load(spark, sf_dir, "documents"))
 
 
 def _langid_oracle_sql() -> str:

@@ -98,3 +98,57 @@ def test_simhash_banding_is_pigeonhole_complete(spark):
         assert (1, 2) in found
     else:
         assert (1, 2) not in found
+
+
+def test_decontaminate_flags_ngram_leak(spark):
+    """A training doc that embeds an eval doc's 5-gram is flagged;
+    unrelated training docs are not."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),   # leaks eval 10
+            (2, "one two three four five six seven"),         # clean
+        ],
+        "doc_id bigint, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [
+            (10, "intro words alpha beta gamma delta epsilon trailing"),
+            (11, "totally disjoint benchmark content here okay"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup.decontaminate_pairs(train, eval_set, n=5)
+    got = {(r["train_id"], r["eval_id"]): r["n_shared"] for r in out.collect()}
+    # "alpha beta gamma delta epsilon" is the one shared 5-gram
+    assert got == {(1, 10): 1}
+
+
+def test_decontaminate_counts_multiple_shared_ngrams(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id bigint, text string")
+    eval_set = spark.createDataFrame(
+        [(10, "a b c d e f zz")], "doc_id bigint, text string")
+    # shared distinct 5-grams: "a b c d e", "b c d e f" -> 2
+    out = dedup.decontaminate_pairs(train, eval_set, n=5)
+    assert out.collect()[0]["n_shared"] == 2
+
+
+def test_minhash_clusters_transitive_canonical(spark):
+    """Near-dup chains collapse to one cluster with the min doc id as
+    canonical, even when the endpoints never collide directly."""
+    from metadata_wrangler_spark.operators import closure
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tonight"),       # near-dup of 1
+            (3, base + " tonight ok"),    # near-dup of 2
+            (4, "completely different text about spark engines at scale"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    cc = closure.connected_components(pairs, src="id_a", dst="id_b")
+    got = {r["node"]: r["component"] for r in cc.collect()}
+    assert got.get(1) == 1 and got.get(2) == 1 and got.get(3) == 1
+    assert 4 not in got          # no pair involves the unrelated doc

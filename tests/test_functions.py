@@ -119,3 +119,27 @@ def test_shortest_candidate_deterministic_tiebreak(spark):
     )
     out = canonical.shortest_candidate(df, ["grp"], "cand")
     assert rows(out) == [("g", "aa"), ("h", "z")]
+
+
+def test_repetition_stats_flags_repeated_text(spark):
+    from metadata_wrangler_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "a perfectly normal sentence with no repeats at all"),
+            (3, "ab"),                                   # shorter than any 2-gram
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_stats(docs).collect()}
+    # doc 1: five identical 2-grams -> dup frac 0.8, top frac 1.0
+    assert out[1]["dup_2gram_frac"] == 0.8
+    assert out[1]["top_2gram_frac"] == 1.0
+    assert out[1]["keep"] is False
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["keep"] is True
+    # degenerate short doc: zero 2-grams, zero fractions, kept
+    assert out[3]["n_2grams"] == 0
+    assert out[3]["top_2gram_frac"] == 0.0
+    assert out[3]["keep"] is True
