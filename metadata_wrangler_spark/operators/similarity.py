@@ -30,6 +30,33 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+
+def _dot_plane_sql(vec_col: str, plane: list[float]) -> str:
+    """SQL spelling of ``dot(vec, <constant plane>)``.
+
+    Building constant-plane dots through the Python Column API costs
+    hundreds of Py4J round trips (one per literal / lambda piece) —
+    ~4 s of driver time for a 24-plane bucket projection. One parsed
+    SQL string is the identical expression tree (`repr(float)`
+    round-trips the exact double bits; the lambda spelling matches
+    `dot`'s sequential fold) at a fraction of the build cost.
+    """
+    arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
+    """SQL spelling of the sign-pattern bucket over ``planes``."""
+    return " + ".join(
+        f"(CASE WHEN {_dot_plane_sql(vec_col, p)} >= 0.0D "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
 def dot(a: Column, b: Column) -> Column:
     """Deterministic sequential-fold dot product in DOUBLE."""
     return F.aggregate(
@@ -103,15 +130,9 @@ def hyperplane_buckets(
     caller (deterministic — derived from a seed, not Math.random, so
     plans are reproducible and resumable).
     """
-    bucket = None
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-        bucket = bit if bucket is None else (bucket + bit)
     return df.select(
-        F.col(id_col), F.col(vec_col), bucket.cast("int").alias("bucket")
+        F.col(id_col), F.col(vec_col),
+        F.expr(_bucket_sql(vec_col, planes)).cast("int").alias("bucket"),
     )
 
 
@@ -123,6 +144,7 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_hamming: int = 0,
+    query_pred=None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the hyperplane
     bucket, exact cosine re-ranks within the bucket.
@@ -141,9 +163,18 @@ def lsh_cosine_topk(
     cb = hyperplane_buckets(corpus, planes, id_col, vec_col).withColumnsRenamed(
         {id_col: "corpus_id", vec_col: "cvec"}
     )
-    qb = hyperplane_buckets(queries, planes, id_col, vec_col).withColumnsRenamed(
-        {id_col: "query_id", vec_col: "qvec"}
-    )
+    if query_pred is not None:
+        # The query set is a slice of the corpus: reuse the bucket
+        # projection instead of analyzing a second copy of the
+        # plane-literal expression (saves one giant plan on the
+        # driver AND lets the filter push to the same scan).
+        qb = cb.withColumnsRenamed(
+            {"corpus_id": "query_id", "cvec": "qvec"}
+        ).where(query_pred(F.col("query_id")))
+    else:
+        qb = hyperplane_buckets(
+            queries, planes, id_col, vec_col
+        ).withColumnsRenamed({id_col: "query_id", vec_col: "qvec"})
     if probe_hamming > 0:
         probes = [F.col("bucket")]
         for i in range(len(planes)):
@@ -187,10 +218,11 @@ def ivf_assign(
     DuckDB oracle — is reproducible. First-max-wins on ties, 0-based
     cell ids, matching the oracle's list_indexof spelling.
     """
-    scores = F.array(*[
-        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        for c in centroids
-    ])
+    scores = F.expr(
+        "array(" + ", ".join(
+            _dot_plane_sql(vec_col, c) for c in centroids
+        ) + ")"
+    )
     return df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -208,6 +240,7 @@ def ivf_cosine_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_pred=None,
 ) -> DataFrame:
     """IVF approximate cosine top-k: corpus vectors live in their
     argmax-centroid cell; each query probes its ``nprobe`` best
@@ -219,13 +252,20 @@ def ivf_cosine_topk(
     lists"). The probe explode happens on the (small, broadcast)
     query side only; the join stays an equi-join on cell id.
     """
-    cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cb = assigned.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cn"),
         "cell",
     )
-    qs = ivf_assign(queries, centroids, id_col, vec_col)
+    # query_pred: the query batch is a slice of the corpus — reuse
+    # the centroid-score projection rather than analyzing it twice.
+    qs = (
+        assigned.where(query_pred(F.col(id_col)))
+        if query_pred is not None
+        else ivf_assign(queries, centroids, id_col, vec_col)
+    )
     w_probe = W.partitionBy("query_id").orderBy(
         F.desc("cell_score"), F.asc("cell")
     )
@@ -264,6 +304,7 @@ def lsh_cosine_topk_multitable(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_pred=None,
 ) -> DataFrame:
     """Multi-table LSH: L independent hyperplane tables; a candidate
     pair needs to collide in ANY table. The standard recall lever
@@ -280,29 +321,28 @@ def lsh_cosine_topk_multitable(
         # All L bucket codes are computed in ONE projection over one
         # scan, then exploded to (table_no, bucket) rows — a
         # union-of-L-scans spelling reads the corpus L times.
-        entries = []
-        for t, planes in enumerate(tables):
-            bucket = None
-            for i, p in enumerate(planes):
-                plane = F.array(*[F.lit(float(x)) for x in p])
-                bit = F.when(
-                    dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)
-                ).otherwise(F.lit(0))
-                bucket = bit if bucket is None else (bucket + bit)
-            entries.append(F.struct(
-                F.lit(t).alias("table_no"),
-                bucket.cast("int").alias("bucket"),
-            ))
+        entries = ", ".join(
+            f"named_struct('table_no', {t}, "
+            f"'bucket', CAST({_bucket_sql(vec_col, planes)} AS INT))"
+            for t, planes in enumerate(tables)
+        )
         # one norm per vector, computed BEFORE the ×L explode
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
             norm(F.col(vec_col)).alias(f"{out_vec}_n"),
-            F.explode(F.array(*entries)).alias("tb"),
+            F.explode(F.expr(f"array({entries})")).alias("tb"),
         ).select(out_id, out_vec, f"{out_vec}_n", "tb.table_no", "tb.bucket")
 
     cb = bucketed(corpus, "corpus_id", "cvec")
-    qb = bucketed(queries, "query_id", "qvec")
+    if query_pred is not None:
+        # Query slice of the corpus: reuse the L-table bucket
+        # projection (one giant literal plan analyzed, not two).
+        qb = cb.withColumnsRenamed(
+            {"corpus_id": "query_id", "cvec": "qvec", "cvec_n": "qvec_n"}
+        ).where(query_pred(F.col("query_id")))
+    else:
+        qb = bucketed(queries, "query_id", "qvec")
     cand = (
         cb.join(F.broadcast(qb), ["table_no", "bucket"])
         .where(F.col("query_id") != F.col("corpus_id"))

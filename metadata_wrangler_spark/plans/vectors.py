@@ -132,8 +132,10 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_similarity.py.
     """
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.expr(_QUERY_PRED))
-    return similarity.lsh_cosine_topk(emb, queries, _PLANES, k=_K)
+    return similarity.lsh_cosine_topk(
+        emb, None, _PLANES, k=_K,
+        query_pred=lambda c: c % 101 == 0,
+    )
 
 
 # --- multi-table LSH (the recall lever for wide-angle corpora) ------------
@@ -207,6 +209,8 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the sf parquet is one small file → one input split;
     # spread it across cores first. At cluster scale the scan is
     # already many splits and this repartition is a no-op to remove.
+    # (The query side deliberately does NOT reuse the corpus branch:
+    # it would inherit this repartition and serialize behind it.)
     corpus = emb.repartition(spark.sparkContext.defaultParallelism)
     return similarity.lsh_cosine_topk_multitable(corpus, queries, _TABLES, k=_K)
 
@@ -281,10 +285,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than random hyperplanes.
     """
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.expr(_QUERY_PRED))
     corpus = emb.repartition(spark.sparkContext.defaultParallelism)
     return similarity.ivf_cosine_topk(
-        corpus, queries, _CENTROIDS, k=_K, nprobe=_NPROBE
+        corpus, None, _CENTROIDS, k=_K, nprobe=_NPROBE,
+        query_pred=lambda c: c % 101 == 0,
     )
 
 
