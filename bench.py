@@ -47,6 +47,10 @@ HEADLINE = [
     "d_queue_lifecycle",
     "s_xml_classify",
     "pipe_provider_end_to_end",
+    "dd_embedding_cosine",
+    "dd_minhash_clusters",
+    "dd_decontaminate",
+    "txt_repetition_filter",
 ]
 
 
