@@ -1,0 +1,56 @@
+"""In-flight dedup — the streaming twin of the reference's
+processed-set guards.
+
+Reference semantics: a coverage run keeps a `processed_uris` /
+`already_seen` set so a record arriving twice within one sweep is
+handled once (`/root/reference/oclc/linked_data.py:186-223`,
+`/root/reference/content_cafe.py:243-262`). The batch expression of
+the same idea is `so_drop_duplicates`; here the set lives in the
+streaming state store, scoped by an event-time watermark so state
+is dropped once duplicates can no longer arrive — the bounded-memory
+requirement at 100 TB/day ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from metadata_wrangler_spark.streaming import incremental
+
+
+def deduped_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Event stream with state-store dedup on ``key_cols``.
+
+    `dropDuplicates` emits the FIRST arrival of each key immediately
+    (append mode) and remembers the key until the watermark passes its
+    event time — duplicates across micro-batches are dropped without
+    unbounded state.
+    """
+    events = incremental.read_events_stream(spark, source_dir)
+    return events.withWatermark("ts", watermark).dropDuplicates(list(key_cols))
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "dedup_stream",
+) -> DataFrame:
+    """One AvailableNow pass; results land in an in-memory table
+    (swap for a parquet/Delta sink in production)."""
+    q = (
+        deduped_events_stream(spark, source_dir)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -90,3 +90,12 @@ def test_no_python_eval_outside_declared_arrow_stages(spark, queries):
             continue
         assert "EvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
+
+
+def test_decontaminate_broadcasts_eval_side(spark, queries):
+    # benchmark suites are MBs against a 100 TB training corpus: the
+    # collision join must broadcast the eval side, never sort-merge
+    # (which would shuffle the full training n-gram table)
+    plan = explain_str(queries["dd_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

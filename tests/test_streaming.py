@@ -95,3 +95,25 @@ def test_queue_drain_stream_equals_batch(spark, tmp_path):
     assert got[2] == (queue.SUCCESS, None)
     assert got[3] == (queue.TRANSIENT, "transient: remote boom")
     assert got[4] == (queue.SUCCESS, None)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """The same events file delivered twice (e.g. a re-sent feed)
+    yields each event exactly once — the streaming twin of the
+    reference's processed_uris set / so_drop_duplicates."""
+    from metadata_wrangler_spark.streaming import dedup as sdedup
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-000.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-001.parquet")
+
+    got = sdedup.run_dedup_stream(
+        spark, str(src), str(tmp_path / "cp"), query_name="t_dedup"
+    )
+    batch = load(spark, SF_DIR, "events").dropDuplicates(["event_id"])
+
+    assert got.count() == batch.count()
+    sgot = sorted(r["event_id"] for r in got.select("event_id").collect())
+    sexp = sorted(r["event_id"] for r in batch.select("event_id").collect())
+    assert sgot == sexp
