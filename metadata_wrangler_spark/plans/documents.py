@@ -236,6 +236,85 @@ def dd_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup: incremental (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+_INCR_NEW_PRED = "doc_id % 7 = 3"   # deterministic "newly arrived" slice
+
+
+@register(
+    "dd_incremental_exact",
+    oracle=f"""
+    WITH corp AS (
+        SELECT md5({_NORM_SQL}) AS fingerprint
+        FROM documents WHERE NOT ({_INCR_NEW_PRED})
+    ), new AS (
+        SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+        FROM documents WHERE {_INCR_NEW_PRED}
+    )
+    SELECT n.doc_id, n.fingerprint FROM new n
+    WHERE NOT EXISTS (SELECT 1 FROM corp c
+                      WHERE c.fingerprint = n.fingerprint)
+    """,
+)
+def dd_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a newly arrived batch is admitted
+    only where its canonical fingerprint is absent from the existing
+    corpus — the anti-join every rolling training-data pipeline runs
+    per ingest cycle.
+
+    Scale shape: left_anti on a high-entropy 128-bit key. The corpus
+    side is the persisted fingerprint state table (bucketed by
+    fingerprint at 100 TB so the probe co-locates); the new batch is
+    the small side and never shuffles the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(dedup.normalize_text(F.col("text")))
+    new = docs.where(F.expr(_INCR_NEW_PRED)).select(
+        "doc_id", fp.alias("fingerprint")
+    )
+    corpus = docs.where(~F.expr(_INCR_NEW_PRED)).select(
+        fp.alias("fingerprint")
+    )
+    return new.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-mix sampling
+# ---------------------------------------------------------------------------
+
+# per-language sampling rates (percent) — the training-mix recipe
+_MIX_RATES = {"en": 100, "fr": 50, "de": 50, "es": 25, "zh": 10}
+
+
+@register(
+    "txt_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE ({_md5_long_sql("CAST(doc_id AS VARCHAR)")}) % 100 <
+          CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items()))}
+               ELSE 0 END
+    """,
+)
+def txt_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training-mix sampling: each language
+    stratum keeps a configured percentage, gated on a hash of the
+    document id — reproducible across runs/engines (no RNG state),
+    embarrassingly parallel (pure filter, no shuffle), and stable
+    under corpus growth (a doc's keep/drop never changes).
+    """
+    docs = load(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for lang, pct in sorted(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    gate = dedup.md5_long(F.col("doc_id").cast("string")) % 100
+    return docs.where(gate < rate).select("doc_id", "source", "lang")
+
+
+# ---------------------------------------------------------------------------
 # dedup: eval-set decontamination
 # ---------------------------------------------------------------------------
 

@@ -152,3 +152,47 @@ def test_minhash_clusters_transitive_canonical(spark):
     got = {r["node"]: r["component"] for r in cc.collect()}
     assert got.get(1) == 1 and got.get(2) == 1 and got.get(3) == 1
     assert 4 not in got          # no pair involves the unrelated doc
+
+
+def test_incremental_exact_admits_only_unseen(spark):
+    """New-batch docs whose canonical text already exists in the
+    corpus are rejected; genuinely new content is admitted."""
+    from pyspark.sql import functions as F
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "other corpus text")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "THE  quick   brown fox"),   # normalizes to doc 1 -> reject
+            (11, "never seen before text"),   # admit
+        ],
+        "doc_id bigint, text string",
+    )
+    fp = F.md5(dedup.normalize_text(F.col("text")))
+    out = (
+        new.select("doc_id", fp.alias("fingerprint"))
+        .join(corpus.select(fp.alias("fingerprint")), "fingerprint",
+              "left_anti")
+    )
+    assert [r["doc_id"] for r in out.collect()] == [11]
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Stratified hash-gate sampling: 100% strata keep everything,
+    0%/unknown strata keep nothing, and the gate is deterministic."""
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i < 50 else "xx", "s") for i in range(100)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    rates = {"en": 100}          # xx absent -> rate 0
+    rate = F.lit(0)
+    for lang, pct in rates.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    gate = dedup.md5_long(F.col("doc_id").cast("string")) % 100
+    kept = docs.where(gate < rate)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == list(range(50))                    # all en, no xx
+    ids2 = sorted(r["doc_id"] for r in kept.collect())
+    assert ids2 == ids                               # deterministic
