@@ -138,6 +138,66 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_probe_oracle_sql() -> str:
+    """Multi-probe twin of the LSH oracle: each query also probes the
+    6 buckets at Hamming distance 1 from its own (p=0 keeps the home
+    bucket; p=1..6 flips bit p-1). A corpus vector holds exactly one
+    bucket, so probe hits are already distinct pairs."""
+    plane_lits = [
+        "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        for row in _PLANES
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {_DOT.format(a='embedding', b=p)} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(plane_lits)
+    )
+    n = len(_PLANES)
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, bucket
+        FROM b WHERE {_QUERY_PRED}
+    ), probes AS (
+        SELECT query_id, qvec,
+               CASE WHEN p = 0 THEN bucket
+                    ELSE xor(bucket, (1 << (p - 1))) END AS bucket
+        FROM q, UNNEST(range(0, {n + 1})) AS t(p)
+    ), scored AS (
+        SELECT pr.query_id, c.vec_id AS corpus_id,
+               CAST(CAST(
+                   {_DOT.format(a='pr.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='pr.qvec')} * {_NORM.format(a='c.embedding')})
+               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        FROM b c
+        JOIN probes pr ON pr.bucket = c.bucket
+                      AND pr.query_id <> c.vec_id
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+        SELECT query_id, corpus_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= {_K}
+    """
+
+
+@register("sim_lsh_probe_topk", oracle=_lsh_probe_oracle_sql())
+def sim_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH top-k: each query probes its own
+    bucket plus the 6 at Hamming distance 1 (the sign bits nearest a
+    hyperplane are the ones that flip for near neighbours) — ~7×
+    recall lift for 7 probe keys on the QUERY side only; the corpus
+    is still hashed once and the join stays an equi-join."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_topk(
+        emb, None, _PLANES, k=_K, probe_hamming=1,
+        query_pred=lambda c: c % 101 == 0,
+    )
+
+
 # --- multi-table LSH (the recall lever for wide-angle corpora) ------------
 
 _N_TABLES = 8

@@ -143,3 +143,47 @@ def test_repetition_stats_flags_repeated_text(spark):
     assert out[3]["n_2grams"] == 0
     assert out[3]["top_2gram_frac"] == 0.0
     assert out[3]["keep"] is True
+
+
+def test_quality_score_bands(spark):
+    from metadata_wrangler_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),                                # < 10 tokens -> 0
+            (2, " ".join(f"w{i}" for i in range(100))),      # long + all distinct
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    assert out[1]["quality"] == 0.0
+    # length factor saturates at 1.0 and every token is distinct
+    assert out[2]["quality"] == 1.0
+    assert out[2]["distinct_ratio"] == 1.0
+
+
+def test_language_id_markers_and_unknown(spark):
+    from metadata_wrangler_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and a dog"),
+            (2, "el perro y la casa de los gatos"),
+            (3, "zzz qqq xxx"),                              # no markers
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"]
+           for r in textstats.language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_fingerprint_stable_under_normalization(spark):
+    from metadata_wrangler_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "Hello   World Foo"), (2, "hello world foo")],
+        "doc_id bigint, text string",
+    )
+    rows_ = textstats.fingerprint(docs).collect()
+    by_id = {r["doc_id"]: (r["fingerprint"], r["prefix_key"]) for r in rows_}
+    assert by_id[1] == by_id[2]
