@@ -167,6 +167,114 @@ def pipe_provider_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_lookup_urn",
+    oracle="""
+    WITH reqs AS (
+        SELECT CASE
+                 WHEN c_custkey % 3 = 0
+                     THEN 'urn:isbn:c' || CAST(c_custkey AS VARCHAR)
+                 WHEN c_custkey % 3 = 1
+                     THEN 'urn:isbn:x' || CAST(c_custkey AS VARCHAR)
+                 ELSE 'badurn:' || CAST(c_custkey AS VARCHAR)
+               END AS urn
+        FROM customer WHERE c_custkey % 11 = 0
+    ), parsed AS (
+        SELECT urn,
+               regexp_extract(urn, '^urn:isbn:(.+)$', 1) AS body,
+               CASE WHEN regexp_matches(urn, '^urn:isbn:c[0-9]+$')
+                    THEN CAST(regexp_extract(urn, '^urn:isbn:c([0-9]+)$', 1)
+                              AS BIGINT) END AS key
+        FROM reqs
+    ), latest AS (
+        SELECT o_custkey FROM (
+            SELECT o_custkey, o_orderstatus,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC,
+                                               o_orderkey DESC) AS rn
+            FROM orders
+        ) t WHERE rn = 1 AND o_orderstatus = 'F'
+    )
+    SELECT p.urn,
+           CASE WHEN p.body = '' THEN 400
+                WHEN c.c_custkey IS NULL THEN 404
+                WHEN l.o_custkey IS NOT NULL THEN 200
+                ELSE 202 END AS status,
+           CASE WHEN p.body = '' THEN 'Could not parse identifier.'
+                WHEN c.c_custkey IS NULL
+                    THEN 'Identifier not found in collection'
+                WHEN l.o_custkey IS NOT NULL THEN c.c_name
+                ELSE 'Metadata needed.' END AS message
+    FROM parsed p
+    LEFT JOIN customer c ON c.c_custkey = p.key
+    LEFT JOIN latest l ON l.o_custkey = c.c_custkey
+    """,
+)
+def pipe_lookup_urn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 end to end: the `GET /lookup?urn=…` read-or-compute path —
+    URN parse (malformed → 400), identifier resolution against the
+    catalog (missing → 404 OPDSMessage), coverage check (resolved →
+    200 + entry, unresolved → 202 "Metadata needed.").
+
+    Reference chain: urn parse `controller.py:344,513`, lookup
+    dispatch `controller.py:1111-1128`, OPDSMessage statuses
+    `controller.py:566-607` (matching sources/opds.py). The request
+    set is synthesized deterministically from the catalog so the
+    oracle can mirror it: %3==0 known ids, %3==1 well-formed but
+    unknown, else malformed.
+    """
+    c = load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    reqs = c.where(key % 11 == 0).select(
+        F.when(key % 3 == 0,
+               F.concat(F.lit("urn:isbn:c"), key.cast("string")))
+        .when(key % 3 == 1,
+              F.concat(F.lit("urn:isbn:x"), key.cast("string")))
+        .otherwise(F.concat(F.lit("badurn:"), key.cast("string")))
+        .alias("urn")
+    )
+    parsed = reqs.select(
+        "urn",
+        F.regexp_extract("urn", r"^urn:isbn:(.+)$", 1).alias("body"),
+        F.when(
+            F.col("urn").rlike(r"^urn:isbn:c[0-9]+$"),
+            F.regexp_extract("urn", r"^urn:isbn:c([0-9]+)$", 1)
+            .cast("bigint"),
+        ).alias("key"),
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderstatus",
+                F.row_number().over(w).alias("rn"))
+        .where((F.col("rn") == 1) & (F.col("o_orderstatus") == "F"))
+        .select("o_custkey")
+    )
+    ident = c.select("c_custkey", "c_name")
+    joined = (
+        parsed.join(ident, parsed.key == ident.c_custkey, "left")
+        .join(latest, F.col("c_custkey") == latest.o_custkey, "left")
+    )
+    status = (
+        F.when(F.col("body") == "", F.lit(400))
+        .when(F.col("c_custkey").isNull(), F.lit(404))
+        .when(F.col("o_custkey").isNotNull(), F.lit(200))
+        .otherwise(F.lit(202))
+    )
+    message = (
+        F.when(F.col("body") == "", F.lit("Could not parse identifier."))
+        .when(F.col("c_custkey").isNull(),
+              F.lit("Identifier not found in collection"))
+        .when(F.col("o_custkey").isNotNull(), F.col("c_name"))
+        .otherwise(F.lit("Metadata needed."))
+    )
+    return joined.select(
+        "urn", status.alias("status"), message.alias("message")
+    )
+
+
+@register(
     "pipe_metadata_nested_apply",
     oracle="""
     WITH meta AS (

@@ -32,3 +32,22 @@ def test_query_names_follow_family_prefixes():
                 "dd_", "txt_", "mm_", "sim_", "s_", "pipe_")
     for name in mod.queries():
         assert name.startswith(families), name
+
+
+def test_lookup_urn_covers_all_dispositions(spark):
+    """The §3.1 lookup twin yields every branch: parsed-and-resolved
+    (200), pending metadata (202), unknown identifier (404),
+    malformed urn (400)."""
+    import __spark_entry__ as mod
+    out = mod.queries()["pipe_lookup_urn"](spark, "/root/testdata/sf0.001")
+    rows_ = out.collect()
+    by_status = {}
+    for r in rows_:
+        by_status.setdefault(r["status"], []).append(r)
+    assert set(by_status) == {200, 202, 400, 404}
+    assert all(r["message"] == "Could not parse identifier."
+               for r in by_status[400])
+    assert all(r["message"] == "Identifier not found in collection"
+               for r in by_status[404])
+    assert all(r["message"] == "Metadata needed." for r in by_status[202])
+    assert all(r["message"].startswith("Customer") for r in by_status[200])
