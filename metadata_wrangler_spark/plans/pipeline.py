@@ -275,6 +275,56 @@ def pipe_lookup_urn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_updates_feed",
+    oracle="""
+    WITH updated AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_seen_epoch
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY user_id
+    )
+    SELECT user_id, n_events, last_seen_epoch,
+           (SELECT COUNT(*) FROM updated) AS feed_total
+    FROM updated
+    WHERE user_id > 40
+    ORDER BY user_id ASC
+    LIMIT 35
+    """,
+)
+def pipe_updates_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 end to end: the `GET /updates?last_update_time=…` feed —
+    high-watermark incremental filter (pushes to the scan; partition
+    pruning on a date-partitioned 100 TB layout), per-work rollup,
+    one keyset page (cursor > 40, page size 35 = the reference's
+    UPDATES_SIZE), and the feed-size probe the controller uses to
+    decide whether a next-page link is emitted.
+
+    Reference chain: param parse `controller.py:417-427`, updated
+    works query `controller.py:434-461`, UPDATES_SIZE=35
+    `controller.py:365-369`, feed-size probe `controller.py:396`.
+    """
+    from metadata_wrangler_spark.operators.pagination import keyset_page
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("ts") > F.lit("2024-01-20 00:00:00").cast("timestamp")
+    )
+    updated = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.unix_timestamp(F.max("ts"))).cast("bigint")
+        .alias("last_seen_epoch"),
+    )
+    # feed-size probe as a scalar subquery (stays lazy — no driver
+    # action), broadcast onto the page rows
+    total = updated.agg(F.count(F.lit(1)).alias("feed_total"))
+    page = keyset_page(updated, "user_id", last_seen=40, size=35)
+    return page.join(F.broadcast(total)).select(
+        "user_id", "n_events", "last_seen_epoch", "feed_total"
+    )
+
+
+@register(
     "pipe_metadata_nested_apply",
     oracle="""
     WITH meta AS (
