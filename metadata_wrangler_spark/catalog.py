@@ -45,6 +45,37 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_since(
+    spark: SparkSession, sf_dir: str, watermark: str
+) -> DataFrame:
+    """Events strictly after ``watermark`` ('YYYY-MM-DD HH:MM:SS',
+    UTC) — the incremental-feed scan.
+
+    The exact predicate compares the DERIVED timestamp, which parquet
+    statistics cannot evaluate; a redundant band predicate on the RAW
+    nanos column is added first so the scan gets a pushable filter
+    (row-group/partition skipping at 100 TB). The band is slackened
+    by one day so it stays a strict superset of the exact filter
+    under any session timezone (the exact cast is session-tz, the
+    band is UTC; max offset ±14 h) — a day of slop prunes nothing
+    meaningful on a multi-year fact table.
+    """
+    from datetime import datetime, timezone
+
+    band_micros = int(
+        datetime.strptime(watermark, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+    ) - 86_400 * 1_000_000
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.where(F.col("ts") > F.lit(band_micros * 1000))
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.where(
+        F.col("ts") > F.lit(watermark).cast("timestamp")
+    )
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 

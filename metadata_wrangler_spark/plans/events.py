@@ -76,9 +76,8 @@ def ev_incremental_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     run reads only fresh partitions when the table is
     date-partitioned (the 100 TB layout).
     """
-    ev = load(spark, sf_dir, "events").where(
-        F.col("ts") > F.lit(_WATERMARK).cast("timestamp")
-    )
+    from metadata_wrangler_spark.catalog import events_since
+    ev = events_since(spark, sf_dir, _WATERMARK)
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("total_value"),

@@ -307,9 +307,8 @@ def pipe_updates_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from metadata_wrangler_spark.operators.pagination import keyset_page
 
-    ev = load(spark, sf_dir, "events").where(
-        F.col("ts") > F.lit("2024-01-20 00:00:00").cast("timestamp")
-    )
+    from metadata_wrangler_spark.catalog import events_since
+    ev = events_since(spark, sf_dir, "2024-01-20 00:00:00")
     updated = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.floor(F.unix_timestamp(F.max("ts"))).cast("bigint")
