@@ -99,3 +99,13 @@ def test_decontaminate_broadcasts_eval_side(spark, queries):
     plan = explain_str(queries["dd_decontaminate"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_watermark_pushes_to_scan(spark, queries):
+    # the watermark must reach parquet as a raw-column predicate
+    # (row-group skipping); a filter only on the derived timestamp
+    # cannot be evaluated by scan statistics
+    for name in ("ev_incremental_updates", "pipe_updates_feed"):
+        plan = explain_str(queries[name](spark, SF))
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert any("GreaterThan(ts," in l for l in pushed), name
