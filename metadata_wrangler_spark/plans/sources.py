@@ -766,3 +766,73 @@ def s_image_mirror_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("Content%20Cafe"), F.lit("scaled/300"))},
     )
     return post.select("c_custkey", "mirror_url", pred.alias("mirrored"))
+
+
+# ---------------------------------------------------------------------------
+# Overdrive metadata JSON
+# ---------------------------------------------------------------------------
+
+@register(
+    "s_overdrive_json",
+    oracle="""
+    SELECT p_partkey,
+           'od-' || CAST(p_partkey AS VARCHAR) AS overdrive_id,
+           p_name AS title,
+           p_type AS primary_author,
+           2 AS n_creators,
+           'en' AS lang_csv,
+           CASE WHEN p_brand <= 'SZ-' || CAST(p_size AS VARCHAR)
+                THEN p_brand || ',' || 'SZ-' || CAST(p_size AS VARCHAR)
+                ELSE 'SZ-' || CAST(p_size AS VARCHAR) || ',' || p_brand
+           END AS subjects_csv,
+           '978' || CAST(p_partkey AS VARCHAR) AS isbn_csv,
+           'http://img.example/od-' || CAST(p_partkey AS VARCHAR)
+               AS cover_href,
+           CAST(p_size AS BIGINT) AS popularity
+    FROM part WHERE p_partkey % 5 = 2
+    """,
+)
+def s_overdrive_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdrive metadata-JSON parse: typed `from_json` + higher-order
+    pulls — primary author by role, per-format ISBN collection (empty
+    ASIN noise filtered), sorted language codes and subjects, cover
+    href, popularity.
+
+    Reference: `/root/reference/overdrive.py:22-76` (provider wiring);
+    record shape per the reference's own fixture
+    (`tests/files/overdrive/overdrive_metadata.json`), golden-tested
+    in tests/test_overdrive_golden.py.
+    """
+    from metadata_wrangler_spark.sources import overdrive
+
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 2)
+    key = F.col("p_partkey").cast("string")
+    payload = F.concat(
+        F.lit('{"id":"od-'), key,
+        F.lit('","title":"'), F.col("p_name"),
+        F.lit('","mediaType":"eBook","popularity":'),
+        F.col("p_size").cast("string"),
+        F.lit(',"creators":[{"name":"n","fileAs":"'), F.col("p_type"),
+        F.lit('","role":"Author"},'
+              '{"name":"e","fileAs":"E, D","role":"Editor"}],'
+              '"languages":[{"code":"en","name":"English"}],'
+              '"subjects":[{"value":"'), F.col("p_brand"),
+        F.lit('"},{"value":"SZ-'), F.col("p_size").cast("string"),
+        F.lit('"}],"formats":['
+              '{"id":"ebook-pdf","name":"PDF","identifiers":'
+              '[{"type":"ISBN","value":"978'), key,
+        F.lit('"}]},{"id":"ebook-kindle","name":"Kindle","identifiers":'
+              '[{"type":"ASIN","value":"B000"},{"type":"ASIN","value":""}]}],'
+              '"images":{"cover":{"href":"http://img.example/od-'), key,
+        F.lit('","type":"image/jpeg"}}}'),
+    )
+    docs = p.select("p_partkey", payload.alias("payload"))
+    out = overdrive.parse_overdrive(docs, "payload", ["p_partkey"])
+    return out.select(
+        "p_partkey", "overdrive_id", "title", "primary_author",
+        F.col("n_creators").cast("int").alias("n_creators"),
+        F.array_join("languages", ",").alias("lang_csv"),
+        F.array_join("subjects", ",").alias("subjects_csv"),
+        F.array_join("isbns", ",").alias("isbn_csv"),
+        "cover_href", "popularity",
+    )
