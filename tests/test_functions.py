@@ -187,3 +187,34 @@ def test_fingerprint_stable_under_normalization(spark):
     rows_ = textstats.fingerprint(docs).collect()
     by_id = {r["doc_id"]: (r["fingerprint"], r["prefix_key"]) for r in rows_}
     assert by_id[1] == by_id[2]
+
+
+def test_binary_prefix_on_reference_cover_fixtures(spark):
+    """F14 against the reference's own cover images: both fixtures
+    are PNGs (magic-prefix match) and the stand-in detection pattern
+    — compare the first N payload bytes — distinguishes them from a
+    JPEG payload."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from metadata_wrangler_spark.functions.binary import has_prefix
+
+    base = pathlib.Path("/root/reference/tests/files/covers")
+    data = [
+        (1, (base / "test-book-cover.png").read_bytes()),
+        (2, (base / "tiny-image-cover.png").read_bytes()),
+        (3, b"\xff\xd8\xff\xe0" + b"0" * 32),     # JPEG magic
+    ]
+    df = spark.createDataFrame(data, "id int, payload binary")
+    png_magic = b"\x89PNG\r\n\x1a\n"
+    out = {r["id"]: r["is_png"] for r in df.select(
+        "id", has_prefix(F.col("payload"), png_magic).alias("is_png")
+    ).collect()}
+    assert out == {1: True, 2: True, 3: False}
+    # stand-in detection: the exact bytes of a KNOWN image's head
+    standin = (base / "tiny-image-cover.png").read_bytes()[:64]
+    flagged = {r["id"] for r in df.where(
+        has_prefix(F.col("payload"), standin)
+    ).collect()}
+    assert flagged == {2}
