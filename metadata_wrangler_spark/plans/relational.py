@@ -885,26 +885,19 @@ def f_isbn10_to_13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: `oclc/linked_data.py:693-702`, `monitor.py:92-95`.
     """
+    from metadata_wrangler_spark.functions.isbn import (
+        isbn10_check_digit, isbn10_to_13)
+
     p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 3 == 0)
     body9 = F.lpad(F.col("p_partkey").cast("string"), 9, "0")
-
-    def digit(col, i):
-        return F.substring(col, i, 1).cast("int")
-
-    cd10_sum = sum(((11 - i) * digit(body9, i) for i in range(2, 10)),
-                   start=10 * digit(body9, 1))
-    cd10 = (11 - (cd10_sum % 11)) % 11
+    cd10 = isbn10_check_digit(body9)
     isbn10 = F.concat(
         body9, F.when(cd10 == 10, F.lit("X")).otherwise(cd10.cast("string"))
     )
-    body12 = F.concat(F.lit("978"), body9)
-    cd13_sum = sum(
-        ((3 if i % 2 == 0 else 1) * digit(body12, i) for i in range(2, 13)),
-        start=digit(body12, 1),
+    return p.select(
+        "p_partkey", isbn10.alias("isbn10"),
+        isbn10_to_13(isbn10).alias("isbn13"),
     )
-    cd13 = (10 - (cd13_sum % 10)) % 10
-    isbn13 = F.concat(body12, cd13.cast("string"))
-    return p.select("p_partkey", isbn10.alias("isbn10"), isbn13.alias("isbn13"))
 
 
 @register(

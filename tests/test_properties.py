@@ -1,0 +1,116 @@
+"""Property-based and degenerate-input tests.
+
+Hypothesis generates the example sets up front and each property runs
+as ONE Spark job over the whole batch (a per-example Spark job would
+be ~100× slower for no extra coverage).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.operators import dedup, textstats
+
+# ---------------------------------------------------------------------------
+# batched hypothesis properties
+# ---------------------------------------------------------------------------
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    max_size=80,
+)
+
+
+def test_normalize_text_idempotent(spark):
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(texts, min_size=30, max_size=30))
+    def run(samples):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(samples)], "id int, text string"
+        )
+        once = dedup.normalize_text(F.col("text"))
+        twice = dedup.normalize_text(once)
+        bad = df.where(~(twice.eqNullSafe(once))).count()
+        assert bad == 0
+    run()
+
+
+def test_isbn10_to_13_checksum_property(spark):
+    """For random 9-digit bodies, the engine's ISBN-13 matches the
+    checksum computed independently in Python."""
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(st.integers(0, 10 ** 9 - 1), min_size=25, max_size=25))
+    def run(bodies):
+        def isbn10(body9: str) -> str:
+            s = sum((i + 1) * int(d) for i, d in enumerate(body9))
+            chk = s % 11
+            return body9 + ("X" if chk == 10 else str(chk))
+
+        def isbn13(isbn_10: str) -> str:
+            core = "978" + isbn_10[:9]
+            s = sum((1 if i % 2 == 0 else 3) * int(d)
+                    for i, d in enumerate(core))
+            return core + str((10 - s % 10) % 10)
+
+        rows = []
+        for i, b in enumerate(bodies):
+            b9 = str(b).zfill(9)
+            i10 = isbn10(b9)
+            rows.append((i, i10, isbn13(i10)))
+        df = spark.createDataFrame(rows, "id int, isbn10 string, want string")
+        from metadata_wrangler_spark.functions.isbn import isbn10_to_13
+        got = df.select("id", "want", isbn10_to_13(F.col("isbn10")).alias("got"))
+        assert got.where(F.col("got") != F.col("want")).count() == 0
+    run()
+
+
+def test_jaccard_bounds_and_symmetry(spark):
+    """Pair Jaccard is in (0, 1] and identical docs score exactly 1."""
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(st.lists(st.sampled_from("abcdefg"), min_size=3,
+                             max_size=12), min_size=8, max_size=8))
+    def run(docs):
+        rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+        rows += [(100 + i, t) for i, (_, t) in enumerate(rows[:3])]  # dups
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+        for r in out:
+            assert 0.0 < r["jaccard"] <= 1.0
+        exact = {(r["id_a"], r["id_b"]) for r in out
+                 if r["jaccard"] == 1.0}
+        for i in range(3):
+            if len(docs[i]) >= 3:  # has at least one 3-gram
+                assert (i, 100 + i) in exact
+    run()
+
+
+# ---------------------------------------------------------------------------
+# degenerate inputs: empty tables in, empty (right-schema) out
+# ---------------------------------------------------------------------------
+
+def test_operators_accept_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert dedup.exact_dedup_groups(empty).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty).count() == 0
+    assert dedup.minhash_lsh_pairs(empty).count() == 0
+    assert dedup.simhash_pairs(empty).count() == 0
+    assert textstats.token_stats(empty).count() == 0
+    assert textstats.repetition_stats(empty).count() == 0
+    out = dedup.decontaminate_pairs(empty, empty)
+    assert out.columns == ["train_id", "eval_id", "n_shared"]
+    assert out.count() == 0
+
+
+def test_closure_empty_and_self_loop(spark):
+    from metadata_wrangler_spark.operators.closure import (
+        connected_components, equivalent_ids)
+    edges = spark.createDataFrame(
+        [], "src bigint, dst bigint, strength double")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    out = equivalent_ids(edges, seeds, levels=3).collect()
+    assert [(r["node"], r["level"]) for r in out] == [(1, 0)]
+    # self-loop must not spin the label propagation
+    loop = spark.createDataFrame([(5, 5)], "src bigint, dst bigint")
+    cc = connected_components(loop).collect()
+    assert [(r["node"], r["component"]) for r in cc] == [(5, 5)]
