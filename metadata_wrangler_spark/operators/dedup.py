@@ -100,6 +100,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard near-duplicate pairs.
 
@@ -112,9 +113,15 @@ def ngram_jaccard_pairs(
     pass. Returns (id_a, id_b, jaccard), id_a < id_b.
 
     Scale note: a ubiquitous stop-shingle is quadratic in its bucket
-    occupancy (true of any shared-token candidate scheme); at web
-    scale drop top-percentile document-frequency shingles before
-    this step — the MinHash tier is the unconditional-cost path.
+    occupancy (true of any shared-token candidate scheme). At web
+    scale pass ``max_doc_freq``: shingles appearing in more than
+    that many documents are dropped from CANDIDATE GENERATION (one
+    extra aggregate on the already-cached shingle table), bounding
+    every bucket's join cost at max_doc_freq². The Jaccard score
+    still uses full shingle sets, so scores are exact for every
+    surviving pair; only pairs whose entire overlap is stop-shingles
+    are lost — by construction boilerplate, not content. The MinHash
+    tier is the unconditional-cost path.
     """
     base = with_words(docs, id_col, text_col).select(
         "id", F.array_distinct(shingles(n)).alias("shs")
@@ -123,12 +130,36 @@ def ngram_jaccard_pairs(
     sh = base.select(
         "id", F.explode("shs").alias("sh")
     ).select("id", md5_long(F.col("sh")).alias("hp")).cache()
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
+    cand_src = sh
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("hp").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("hp")
+        )
+        cand_src = sh.join(F.broadcast(hot), "hp", "left_anti")
+    a = cand_src.alias("a")
+    b = cand_src.alias("b")
+    cand = (
         a.join(b, (F.col("a.hp") == F.col("b.hp"))
                & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    shared = (
+        sh.alias("a").join(
+            sh.alias("b"),
+            (F.col("a.hp") == F.col("b.hp")) & (F.col("a.id") < F.col("b.id")),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    ) if max_doc_freq is None else (
+        cand.join(sh.alias("a"), cand.id_a == F.col("a.id"))
+        .join(
+            sh.alias("b"),
+            (F.col("b.id") == cand.id_b) & (F.col("a.hp") == F.col("b.hp")),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a"))
@@ -138,6 +169,48 @@ def ngram_jaccard_pairs(
         shared.join(sa, "id_a").join(sb, "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Shingle CONTAINMENT pairs: |A∩B| / min(|A|,|B|) — catches a
+    document embedded inside a larger one (boilerplate-wrapped
+    copies, quote-expansions), which symmetric Jaccard dilutes below
+    any usable threshold as the wrapper grows.
+
+    Same candidate plan as `ngram_jaccard_pairs` (hashed-shingle
+    equi-join, never all-pairs); only the denominator differs.
+    Returns (id_a, id_b, containment), id_a < id_b.
+    """
+    base = with_words(docs, id_col, text_col).select(
+        "id", F.array_distinct(shingles(n)).alias("shs")
+    )
+    sizes = base.select("id", F.size("shs").alias("n_sh"))
+    sh = base.select(
+        "id", F.explode("shs").alias("sh")
+    ).select("id", md5_long(F.col("sh")).alias("hp")).cache()
+    shared = (
+        sh.alias("a").join(
+            sh.alias("b"),
+            (F.col("a.hp") == F.col("b.hp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sh_b"))
+    cont = F.col("n_shared") / F.least(F.col("sh_a"), F.col("sh_b"))
+    return (
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .where((F.least(F.col("sh_a"), F.col("sh_b")) > 0)
+               & (cont >= threshold))
+        .select("id_a", "id_b", cont.alias("containment"))
     )
 
 

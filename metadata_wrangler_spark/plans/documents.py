@@ -104,6 +104,92 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd_ngram_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT id, sh FROM (
+            SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS sh
+            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) t0
+        ) t1
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b,
+           s.n_shared / least(sa.n_sh, sb.n_sh) AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.id = s.id_a
+    JOIN sizes sb ON sb.id = s.id_b
+    WHERE least(sa.n_sh, sb.n_sh) > 0
+      AND s.n_shared / least(sa.n_sh, sb.n_sh) >= 0.3
+    """,
+)
+def dd_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment (|A∩B| / min) — the doc-inside-doc
+    detector symmetric Jaccard misses once a boilerplate wrapper
+    grows; same hashed-shingle candidate join, different
+    denominator."""
+    return dedup.ngram_containment_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.3
+    )
+
+
+_STOP_DF = 5     # corpus-relative: the synthetic corpus tops out at
+                 # df=7 (sf0.01); >5 exercises real pruning at every SF
+
+
+def _pruned_jaccard_oracle_sql() -> str:
+    hp = _md5_long_sql("sh")
+    return f"""
+    WITH sh AS (
+        SELECT id, {hp} AS hp FROM (
+            SELECT DISTINCT id, sh FROM (
+                SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS sh
+                FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) t0
+            ) t1
+        ) t2
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), hot AS (
+        SELECT hp FROM sh GROUP BY hp HAVING COUNT(*) > {_STOP_DF}
+    ), cold AS (
+        SELECT id, hp FROM sh WHERE hp NOT IN (SELECT hp FROM hot)
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM cold a JOIN cold b ON a.hp = b.hp AND a.id < b.id
+    ), shared AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND b.hp = a.hp
+        GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b,
+           s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.id = s.id_a
+    JOIN sizes sb ON sb.id = s.id_b
+    WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.12
+    """
+
+
+@register("dd_ngram_jaccard_pruned", oracle=_pruned_jaccard_oracle_sql())
+def dd_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-scale spelling of the Jaccard tier: shingles present
+    in more than {_STOP_DF} documents are dropped from CANDIDATE
+    GENERATION (bounding every bucket's join at df²) while the score
+    still uses full shingle sets — exact Jaccard for every surviving
+    pair."""
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=0.12, max_doc_freq=_STOP_DF,
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup tier 3: MinHash + banded LSH
 # ---------------------------------------------------------------------------

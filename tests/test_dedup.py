@@ -196,3 +196,45 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert ids == list(range(50))                    # all en, no xx
     ids2 = sorted(r["doc_id"] for r in kept.collect())
     assert ids2 == ids                               # deterministic
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """A short doc embedded in a boilerplate wrapper scores
+    containment 1.0 while its Jaccard is diluted by the wrapper."""
+    inner = "alpha beta gamma delta epsilon zeta"
+    wrapper = ("header one two three four five six seven eight nine ten "
+               + inner + " footer eleven twelve thirteen fourteen fifteen")
+    docs = spark.createDataFrame(
+        [(1, inner), (2, wrapper)], "doc_id bigint, text string")
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.ngram_containment_pairs(docs, threshold=0.9)
+            .collect()}
+    assert cont[(1, 2)] == 1.0
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []          # symmetric Jaccard misses the pair
+
+
+def test_stop_shingle_pruning_drops_boilerplate_only_pairs(spark):
+    """With max_doc_freq set, a pair overlapping ONLY in a ubiquitous
+    boilerplate shingle vanishes from the candidates, while true
+    near-dups keep their exact (full-set) Jaccard."""
+    bp = "subscribe to our newsletter"          # in every doc
+    docs = spark.createDataFrame(
+        [
+            (1, bp + " unique one content here now"),
+            (2, bp + " unrelated two words entirely different"),
+            (3, bp + " unique one content here now"),    # dup of 1
+            (4, bp + " third separate body of text"),
+        ],
+        "doc_id bigint, text string",
+    )
+    unpruned = {(r["id_a"], r["id_b"]) for r in
+                dedup.ngram_jaccard_pairs(docs, threshold=0.01).collect()}
+    assert (1, 2) in unpruned                  # boilerplate-only pair
+    pruned_rows = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.01, max_doc_freq=3).collect()
+    pruned = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pruned_rows}
+    assert (1, 2) not in pruned
+    # the true dup survives with FULL-set jaccard (boilerplate
+    # shingles still count toward the score)
+    assert pruned[(1, 3)] == 1.0
