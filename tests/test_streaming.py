@@ -117,3 +117,32 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     sgot = sorted(r["event_id"] for r in got.select("event_id").collect())
     sexp = sorted(r["event_id"] for r in batch.select("event_id").collect())
     assert sgot == sexp
+
+
+def test_admission_stream_admits_each_content_once(spark, tmp_path):
+    """Rolling corpus build: the first delivery admits unique
+    contents; a second delivery of the SAME file (new filename, so
+    the source treats it as new data) admits nothing."""
+    from metadata_wrangler_spark.streaming import admission
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    state = str(tmp_path / "corpus_state")
+    cp = str(tmp_path / "cp")
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "drop-001.parquet")
+
+    first = admission.run_admission_stream(spark, str(src), state, cp)
+    batch_distinct = (
+        load(spark, SF_DIR, "documents")
+        .select(F.md5(F.expr(
+            r"trim(regexp_replace(lower(text), '\\s+', ' '))"
+        )).alias("fp"))
+        .distinct().count()
+    )
+    assert first.count() == batch_distinct
+
+    # same content re-delivered under a new filename
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "drop-002.parquet")
+    second = admission.run_admission_stream(spark, str(src), state, cp)
+    assert second.count() == batch_distinct          # nothing re-admitted
+    assert second.select("fingerprint").distinct().count() == batch_distinct
