@@ -94,6 +94,41 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def _shingle_tables(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """(sh, sizes): the hashed distinct-shingle rows and per-doc
+    shingle counts shared by the pairwise scorers.
+
+    ``sh`` is `.cache()`'d — both sides of the candidate self-join
+    and the scoring joins read it. The cache is session-LRU-managed
+    (MEMORY_AND_DISK, evictable); a long-lived driver that wants the
+    storage back immediately should `spark.catalog.clearCache()`
+    after collecting, since the returned plans are lazy and own no
+    unpersist scope.
+    """
+    base = with_words(docs, id_col, text_col).select(
+        "id", F.array_distinct(shingles(n)).alias("shs")
+    )
+    sizes = base.select("id", F.size("shs").alias("n_sh"))
+    sh = base.select(
+        "id", F.explode("shs").alias("sh")
+    ).select("id", md5_long(F.col("sh")).alias("hp")).cache()
+    return sh, sizes
+
+
+def _shared_counts(sh: DataFrame) -> DataFrame:
+    """(id_a, id_b, n_shared) over the hashed-shingle equi-join."""
+    return (
+        sh.alias("a").join(
+            sh.alias("b"),
+            (F.col("a.hp") == F.col("b.hp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -123,45 +158,37 @@ def ngram_jaccard_pairs(
     are lost — by construction boilerplate, not content. The MinHash
     tier is the unconditional-cost path.
     """
-    base = with_words(docs, id_col, text_col).select(
-        "id", F.array_distinct(shingles(n)).alias("shs")
-    )
-    sizes = base.select("id", F.size("shs").alias("n_sh"))
-    sh = base.select(
-        "id", F.explode("shs").alias("sh")
-    ).select("id", md5_long(F.col("sh")).alias("hp")).cache()
-    cand_src = sh
-    if max_doc_freq is not None:
+    sh, sizes = _shingle_tables(docs, id_col, text_col, n)
+    if max_doc_freq is None:
+        shared = _shared_counts(sh)
+    else:
         hot = (
             sh.groupBy("hp").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_doc_freq)
             .select("hp")
         )
         cand_src = sh.join(F.broadcast(hot), "hp", "left_anti")
-    a = cand_src.alias("a")
-    b = cand_src.alias("b")
-    cand = (
-        a.join(b, (F.col("a.hp") == F.col("b.hp"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates()
-    )
-    shared = (
-        sh.alias("a").join(
-            sh.alias("b"),
-            (F.col("a.hp") == F.col("b.hp")) & (F.col("a.id") < F.col("b.id")),
+        cand = (
+            cand_src.alias("a").join(
+                cand_src.alias("b"),
+                (F.col("a.hp") == F.col("b.hp"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .dropDuplicates()
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    ) if max_doc_freq is None else (
-        cand.join(sh.alias("a"), cand.id_a == F.col("a.id"))
-        .join(
-            sh.alias("b"),
-            (F.col("b.id") == cand.id_b) & (F.col("a.hp") == F.col("b.hp")),
+        # score surviving candidates on FULL shingle sets
+        shared = (
+            cand.join(sh.alias("a"), cand.id_a == F.col("a.id"))
+            .join(
+                sh.alias("b"),
+                (F.col("b.id") == cand.id_b)
+                & (F.col("a.hp") == F.col("b.hp")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sh_b"))
     jac = F.col("n_shared") / (F.col("sh_a") + F.col("sh_b") - F.col("n_shared"))
@@ -188,21 +215,8 @@ def ngram_containment_pairs(
     equi-join, never all-pairs); only the denominator differs.
     Returns (id_a, id_b, containment), id_a < id_b.
     """
-    base = with_words(docs, id_col, text_col).select(
-        "id", F.array_distinct(shingles(n)).alias("shs")
-    )
-    sizes = base.select("id", F.size("shs").alias("n_sh"))
-    sh = base.select(
-        "id", F.explode("shs").alias("sh")
-    ).select("id", md5_long(F.col("sh")).alias("hp")).cache()
-    shared = (
-        sh.alias("a").join(
-            sh.alias("b"),
-            (F.col("a.hp") == F.col("b.hp")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    sh, sizes = _shingle_tables(docs, id_col, text_col, n)
+    shared = _shared_counts(sh)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sh_b"))
     cont = F.col("n_shared") / F.least(F.col("sh_a"), F.col("sh_b"))

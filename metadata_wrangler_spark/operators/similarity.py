@@ -175,6 +175,11 @@ def lsh_cosine_topk(
         qb = hyperplane_buckets(
             queries, planes, id_col, vec_col
         ).withColumnsRenamed({id_col: "query_id", vec_col: "qvec"})
+    if probe_hamming > 2:
+        raise ValueError(
+            "probe_hamming > 2 is not implemented (probe count grows "
+            f"as C(bits, d); got {probe_hamming})"
+        )
     if probe_hamming > 0:
         probes = [F.col("bucket")]
         for i in range(len(planes)):

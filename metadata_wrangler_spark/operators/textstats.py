@@ -1,10 +1,13 @@
 """Text-analysis operators for the training-data pipeline: token
 counting, quality scoring, language-ID heuristic, fingerprinting.
 
-Everything is built from JVM-side expressions (split/replace/length)
+Everything is built from JVM-side expressions (split/filter/length)
 — at 100 TB these run inside whole-stage codegen with zero Python.
-Counting marker substrings uses the replace-length trick rather than
-regex so the arithmetic is trivially portable to the oracle dialect.
+Token counting filters the word array (exact, handles consecutive
+repeats — the padded replace-length trick undercounts 'the the the'
+because non-overlapping matches consume the shared delimiter);
+space-free scripts (zh) count marker SUBSTRINGS, since their text
+never contains space-delimited tokens.
 """
 
 from __future__ import annotations
@@ -25,16 +28,23 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "und"),
     "zh": ("的", "是", "在"),
 }
+# Languages whose markers are counted as substrings (unsegmented
+# scripts — their text never contains space-delimited tokens).
+SUBSTRING_LANGS = frozenset({"zh"})
 
 
-def count_occurrences(text: Column, token: str) -> Column:
-    """Number of occurrences of ``' token '`` in ``' text '`` —
-    computed as (len(x) - len(replace(x, t, ''))) / len(t)."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    needle = f" {token} "
+def count_token(words: Column, token: str) -> Column:
+    """Exact occurrences of ``token`` in the word array."""
+    return F.size(F.filter(words, lambda w: w == F.lit(token)))
+
+
+def count_substring(text: Column, token: str) -> Column:
+    """Occurrences of ``token`` as a substring — the counting rule
+    for unsegmented scripts. Non-overlapping replace is exact here
+    because no delimiter is shared between adjacent matches."""
     return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-        / len(needle)
+        (F.length(text) - F.length(F.replace(text, F.lit(token), F.lit(""))))
+        / len(token)
     ).cast("int")
 
 
@@ -63,7 +73,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     n_tokens = F.size(words)
     stop_hits = None
     for tok in ("the", "a", "and", "is", "of"):
-        c = count_occurrences(norm, tok)
+        c = count_token(words, tok)
         stop_hits = c if stop_hits is None else (stop_hits + c)
     stopword_ratio = (stop_hits / n_tokens).alias("stopword_ratio")
     distinct_ratio = F.size(F.array_distinct(words)) / n_tokens
@@ -92,10 +102,17 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     without changing the plan shape.
     """
     norm = normalize_text(F.col(text_col))
+    words = F.split(norm, " ")
+
+    def marker_count(lang: str, t: str) -> Column:
+        if lang in SUBSTRING_LANGS:
+            return count_substring(norm, t)
+        return count_token(words, t)
+
     scores = {
         lang: sum(
-            (count_occurrences(norm, t) for t in toks[1:]),
-            start=count_occurrences(norm, toks[0]),
+            (marker_count(lang, t) for t in toks[1:]),
+            start=marker_count(lang, toks[0]),
         )
         for lang, toks in LANG_MARKERS.items()
     }

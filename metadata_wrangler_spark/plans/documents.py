@@ -536,12 +536,21 @@ def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(load(spark, sf_dir, "documents"))
 
 
-def _count_sql(token: str) -> str:
-    padded = f"concat(' ', {_NORM_SQL}, ' ')"
-    needle = f" {token} "
+def _count_token_sql(token: str) -> str:
+    """DuckDB twin of textstats.count_token (word-array filter —
+    exact for consecutive repeats, unlike padded replace-length)."""
     return (
-        f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
-        f" / {len(needle)} AS INT)"
+        f"CAST(len(list_filter({_WORDS_SQL}, x -> x = '{token}')) AS INT)"
+    )
+
+
+def _count_substring_sql(token: str) -> str:
+    """DuckDB twin of textstats.count_substring (unsegmented
+    scripts)."""
+    return (
+        f"CAST((length({_NORM_SQL}) - "
+        f"length(replace({_NORM_SQL}, '{token}', ''))) "
+        f"/ {len(token)} AS INT)"
     )
 
 
@@ -551,7 +560,7 @@ def _count_sql(token: str) -> str:
     WITH base AS (
         SELECT doc_id,
                CAST(len({_WORDS_SQL}) AS INT) AS n_tokens,
-               {' + '.join(_count_sql(t) for t in ('the', 'a', 'and', 'is', 'of'))} AS stop_hits,
+               {' + '.join(_count_token_sql(t) for t in ('the', 'a', 'and', 'is', 'of'))} AS stop_hits,
                len(list_distinct({_WORDS_SQL})) AS n_distinct
         FROM documents
     )
@@ -606,8 +615,13 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_oracle_sql() -> str:
+    def marker_sql(lang: str, t: str) -> str:
+        if lang in textstats.SUBSTRING_LANGS:
+            return _count_substring_sql(t)
+        return _count_token_sql(t)
+
     scores = {
-        lang: " + ".join(_count_sql(t) for t in toks)
+        lang: " + ".join(marker_sql(lang, t) for t in toks)
         for lang, toks in textstats.LANG_MARKERS.items()
     }
     langs = sorted(scores)

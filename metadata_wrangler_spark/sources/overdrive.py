@@ -84,7 +84,10 @@ def parse_overdrive(
         d["imprint"].alias("imprint"),
         d["mediaType"].alias("medium"),
         primary_author.alias("primary_author"),
-        F.size(d["creators"]).alias("n_creators"),
+        # size(NULL) is -1 under legacy sizeOfNull — a record without
+        # a creators key must count 0, not -1
+        F.when(d["creators"].isNull(), F.lit(0))
+        .otherwise(F.size(d["creators"])).alias("n_creators"),
         F.array_sort(
             F.transform(d["languages"], lambda x: x["code"])
         ).alias("languages"),

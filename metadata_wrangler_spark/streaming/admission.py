@@ -42,9 +42,14 @@ def admit_batch(state_path: str, batch: DataFrame) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
     )
+    from pyspark.errors import AnalysisException
     try:
         state = spark.read.parquet(state_path)
-    except Exception:
+    except AnalysisException:
+        # First batch ever: the state table does not exist yet. Any
+        # OTHER read failure must propagate — treating it as an empty
+        # corpus would re-admit the whole batch and append duplicate
+        # fingerprints.
         state = spark.createDataFrame(
             [], "doc_id BIGINT, fingerprint STRING"
         )

@@ -218,3 +218,27 @@ def test_binary_prefix_on_reference_cover_fixtures(spark):
         has_prefix(F.col("payload"), standin)
     ).collect()}
     assert flagged == {2}
+
+
+def test_count_token_handles_consecutive_repeats(spark):
+    """'the the the' counts 3 — the padded replace-length trick
+    undercounted consecutive tokens (non-overlapping matches consume
+    the shared delimiter)."""
+    from metadata_wrangler_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "the the the"), (2, "a a")], "doc_id bigint, text string")
+    out = {r["doc_id"]: r["stopword_ratio"] for r in
+           textstats.quality_score(docs).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 1.0
+
+
+def test_language_id_detects_unsegmented_chinese(spark):
+    """zh markers are substrings — unsegmented text has no
+    space-delimited tokens to match."""
+    from metadata_wrangler_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "他是在北京的学生")], "doc_id bigint, text string")
+    row = textstats.language_id(docs).collect()[0]
+    assert row["predicted_lang"] == "zh"
+    assert row["score_zh"] == 3
