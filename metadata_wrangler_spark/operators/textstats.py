@@ -193,3 +193,45 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
         F.md5(norm).alias("fingerprint"),
         F.md5(F.concat_ws(" ", F.slice(words, 1, 5))).alias("prefix_key"),
     )
+
+
+# PII patterns for the scrubbing pass (C4-style corpus cleanup).
+# Kept deliberately simple and portable: the same regex dialect runs
+# in Spark and the DuckDB oracle.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}",
+    "IP": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+# Replacement order matters: IP before PHONE would still be safe, but
+# PHONE must not run before EMAIL (digits inside an address are not a
+# phone number) — scrub in the declared order.
+PII_ORDER = ("EMAIL", "PHONE", "IP")
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact emails/phones/IPs to typed placeholder tokens and count
+    what was removed — the standard pre-training privacy pass.
+
+    Pure `regexp_replace`/`regexp_count` chains (codegen, one scan,
+    no shuffle); patterns are intentionally conservative — at
+    production scale swap in the full pattern set without changing
+    the plan shape.
+    """
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind]
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{kind.lower()}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind}>")
+    return docs.select(
+        F.col(id_col),
+        *counts,
+        scrubbed.alias("scrubbed_text"),
+    ).withColumn(
+        "has_pii",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0,
+    )

@@ -614,6 +614,47 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(load(spark, sf_dir, "documents"))
 
 
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of textstats.pii_scrub: counts are taken on the
+    progressively scrubbed text (same order), then replaced."""
+    pats = textstats.PII_PATTERNS
+    cur = "text"
+    count_cols, replaced = [], {}
+    for kind in textstats.PII_ORDER:
+        pat = pats[kind].replace("'", "''")
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT)"
+            f" AS n_{kind.lower()}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '<{kind}>', 'g')"
+    return f"""
+    SELECT doc_id,
+           {', '.join(count_cols)},
+           {cur} AS scrubbed_text,
+           (CAST(len(regexp_extract_all(text,
+                '{pats["EMAIL"]}')) AS INT)
+            + CAST(len(regexp_extract_all(regexp_replace(text,
+                '{pats["EMAIL"]}', '<EMAIL>', 'g'),
+                '{pats["PHONE"]}')) AS INT)
+            + CAST(len(regexp_extract_all(regexp_replace(
+                regexp_replace(text, '{pats["EMAIL"]}', '<EMAIL>', 'g'),
+                '{pats["PHONE"]}', '<PHONE>', 'g'),
+                '{pats["IP"]}')) AS INT)) > 0 AS has_pii
+    FROM documents WHERE doc_id % 9 = 4
+    """
+
+
+@register("txt_pii_scrub", oracle=_pii_oracle_sql())
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (C4-style): redact emails/phones/IPs to
+    typed placeholders and count removals — pure regexp chains, one
+    scan, no shuffle. The synthetic corpus is mostly PII-free, so
+    the plan validates the transformation identity path; crafted PII
+    inputs are covered in tests/test_functions.py."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 4)
+    return textstats.pii_scrub(docs)
+
+
 def _langid_oracle_sql() -> str:
     def marker_sql(lang: str, t: str) -> str:
         if lang in textstats.SUBSTRING_LANGS:

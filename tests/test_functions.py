@@ -242,3 +242,26 @@ def test_language_id_detects_unsegmented_chinese(spark):
     row = textstats.language_id(docs).collect()[0]
     assert row["predicted_lang"] == "zh"
     assert row["score_zh"] == 3
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from metadata_wrangler_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@example.org or 212-555-0187 ok"),
+            (2, "server at 10.0.0.1 went down"),
+            (3, "no sensitive content here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "<EMAIL>" in out[1]["scrubbed_text"]
+    assert "<PHONE>" in out[1]["scrubbed_text"]
+    assert "jane.doe" not in out[1]["scrubbed_text"]
+    assert "212-555" not in out[1]["scrubbed_text"]
+    assert out[1]["has_pii"] is True
+    assert out[2]["n_ip"] == 1
+    assert out[2]["scrubbed_text"] == "server at <IP> went down"
+    assert out[3]["has_pii"] is False
+    assert out[3]["scrubbed_text"] == "no sensitive content here"
