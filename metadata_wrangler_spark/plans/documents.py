@@ -614,6 +614,40 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "txt_corpus_report",
+    oracle=f"""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT md5({_NORM_SQL})) AS n_distinct,
+           CAST(1.0 - COUNT(DISTINCT md5({_NORM_SQL})) / COUNT(*)
+                AS DOUBLE) AS dup_rate,
+           CAST(SUM(length(text)) / COUNT(*) AS DOUBLE) AS avg_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def txt_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health rollup per (source, lang): doc counts, token
+    totals, exact-dup rate (distinct canonical fingerprints vs rows),
+    mean length — the mix report every ingest cycle emits. One
+    hash-aggregate; COUNT(DISTINCT) rewrites to the standard
+    two-phase expand internally."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    fp = F.md5(dedup.normalize_text(F.col("text")))
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words)).cast("bigint").alias("total_tokens"),
+        F.countDistinct(fp).alias("n_distinct"),
+        (1.0 - F.countDistinct(fp) / F.count(F.lit(1)))
+        .cast("double").alias("dup_rate"),
+        (F.sum(F.length("text")) / F.count(F.lit(1)))
+        .cast("double").alias("avg_chars"),
+    )
+
+
 def _pii_oracle_sql() -> str:
     """DuckDB twin of textstats.pii_scrub: counts are taken on the
     progressively scrubbed text (same order), then replaced."""
