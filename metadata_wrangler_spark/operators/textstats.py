@@ -132,11 +132,18 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style within-document repetition signals: duplicate
-    2-gram / 5-gram fractions (1 − distinct/total, array-level, pure
-    codegen) and the top-2-gram fraction (share of all 2-grams taken
-    by the most frequent one — needs a per-(doc, gram) count, one
-    explode + two aggregations keyed on doc id, map-side partial,
-    no skew).
+    2-gram / 5-gram fractions (1 − distinct/total) and the
+    top-2-gram fraction (share of all 2-grams taken by the most
+    frequent one).
+
+    Single-pass plan: the tokenizer runs ONCE; the 5-gram stats and
+    the 2-gram total reduce to per-row scalars that ride through the
+    one explode of the 2-gram array, so the whole thing is
+    project → Generate → two stacked hash-aggregates keyed on doc id
+    (map-side partial, no skew, no self-join back onto the doc table).
+    The distinct-2-gram count falls out of the second aggregate for
+    free (one group per distinct gram), so no `array_distinct(g2)`
+    pass either.
 
     `keep` applies the repetition-filter rule: reject documents whose
     repetition exceeds the thresholds (values follow the Gopher rules'
@@ -144,35 +151,51 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     """
     from metadata_wrangler_spark.operators.dedup import shingles, with_words
 
-    base = with_words(docs, id_col, text_col).select(
+    # The scalar stats MUST be selected one step below the explode:
+    # put in the same select, ExtractGenerator leaves them in a
+    # Project ABOVE the Generate and they get re-evaluated once per
+    # exploded gram row instead of once per document (measured 17×
+    # slower at sf0.1).
+    pre = with_words(docs, id_col, text_col).select(
         "id",
+        F.size(shingles(2)).alias("n2"),
+        F.size(shingles(5)).alias("n5"),
+        F.size(F.array_distinct(shingles(5))).alias("d5"),
         shingles(2).alias("g2"),
-        shingles(5).alias("g5"),
     )
-    dup_frac = lambda c: (  # noqa: E731
-        F.when(F.size(c) <= 0, F.lit(0.0)).otherwise(
-            1.0 - F.size(F.array_distinct(c)) / F.size(c)
+    base = pre.select(
+        "id", "n2", "n5", "d5",
+        # explode_outer keeps empty docs as a single null-gram row so
+        # they still appear in the output (gated to 0.0 below).
+        F.explode_outer("g2").alias("g"),
+    )
+    per_doc = (
+        base.groupBy("id", "g")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n2").alias("n2"),
+            F.first("n5").alias("n5"),
+            F.first("d5").alias("d5"),
+        )
+        .groupBy("id")
+        .agg(
+            F.max("c").alias("mx"),
+            F.count("g").alias("d2"),  # count(g) skips the null-gram row
+            F.first("n2").alias("n2"),
+            F.first("n5").alias("n5"),
+            F.first("d5").alias("d5"),
         )
     )
-    fracs = base.select(
-        "id",
-        F.size("g2").alias("n_2grams"),
-        dup_frac(F.col("g2")).alias("dup_2gram_frac"),
-        dup_frac(F.col("g5")).alias("dup_5gram_frac"),
-    )
-    top = (
-        base.select("id", F.explode("g2").alias("g"))
-        .groupBy("id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id")
-        .agg((F.max("c") / F.sum("c")).alias("top_2gram_frac"))
-    )
-    out = fracs.join(top, "id", "left").select(
+    empty2 = F.col("n2") <= 0
+    out = per_doc.select(
         F.col("id").alias(id_col),
-        "n_2grams",
-        "dup_2gram_frac",
-        "dup_5gram_frac",
-        F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        F.col("n2").alias("n_2grams"),
+        F.when(empty2, F.lit(0.0))
+         .otherwise(1.0 - F.col("d2") / F.col("n2")).alias("dup_2gram_frac"),
+        F.when(F.col("n5") <= 0, F.lit(0.0))
+         .otherwise(1.0 - F.col("d5") / F.col("n5")).alias("dup_5gram_frac"),
+        F.when(empty2, F.lit(0.0))
+         .otherwise(F.col("mx") / F.col("n2")).alias("top_2gram_frac"),
     )
     keep = (
         (F.col("dup_2gram_frac") <= 0.6)
