@@ -32,6 +32,12 @@ def deduped_events_stream(
     unbounded state.
     """
     events = incremental.read_events_stream(spark, source_dir)
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        # Watermarks only accept TIMESTAMP (ltz); sessions pin
+        # spark.sql.session.timeZone=UTC so this cast is value-stable.
+        from pyspark.sql import functions as F
+
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events.withWatermark("ts", watermark).dropDuplicates(list(key_cols))
 
 

@@ -15,18 +15,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events table schema as stored (ts is TIMESTAMP(NANOS) → read as
-# long under spark.sql.legacy.parquet.nanosAsLong).
-EVENTS_RAW_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-    "event_type STRING, value DOUBLE"
-)
+
+def _events_schema(spark: SparkSession, source_dir: str) -> tuple[str, bool]:
+    """Detect the physical type of ``ts`` from one batch footer read
+    (mirrors catalog.load's detect-then-convert) and return
+    ``(stream_schema_ddl, needs_nanos_conversion)``.
+
+    TIMESTAMP(MICROS) parquet reads natively (``timestamp_ntz`` when
+    isAdjustedToUTC=false, else ``timestamp``); TIMESTAMP(NANOS)
+    only reads as BIGINT under the nanosAsLong conf and needs an
+    explicit div-1000. Hard-coding either assumption corrupts the
+    other layout — this probe costs one footer read at stream start.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_kind = dict(spark.read.parquet(source_dir).dtypes).get("ts", "bigint")
+    ts_ddl = {
+        "bigint": "BIGINT",
+        "timestamp_ntz": "TIMESTAMP_NTZ",
+    }.get(ts_kind, "TIMESTAMP")
+    schema = (
+        f"event_id BIGINT, ts {ts_ddl}, user_id BIGINT, "
+        "event_type STRING, value DOUBLE"
+    )
+    return schema, ts_kind == "bigint"
 
 
-def normalize_events(df: DataFrame) -> DataFrame:
-    """nanos → microsecond timestamp (same conversion as
-    catalog.load)."""
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    schema, is_nanos = _events_schema(spark, source_dir)
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    if is_nanos:
+        # nanos-as-long → real microsecond timestamp (integer div:
+        # nano epochs exceed 2^53, float division would corrupt).
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def windowed_rollup(events: DataFrame) -> DataFrame:
@@ -45,14 +66,6 @@ def windowed_rollup(events: DataFrame) -> DataFrame:
             "event_type", "n_events", "total_value",
         )
     )
-
-
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(source_dir)
-    )
-    return normalize_events(raw)
 
 
 def run_windowed_stream(
