@@ -17,7 +17,12 @@ from metadata_wrangler_spark import plans
 
 def _plans() -> tuple[dict, dict]:
     plans.load_all_plans()
-    return plans.QUERIES, plans.ORACLES
+    # VERIFICATION_PRIORITY ordering: one representative of every
+    # SURVEY.md §2 family sits inside the driver's leading
+    # correctness window (see plans/__init__.py).
+    queries = plans.ordered_queries()
+    oracles = {n: plans.ORACLES[n] for n in queries if n in plans.ORACLES}
+    return queries, oracles
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -39,6 +39,79 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's correctness gate hash-checks the FIRST 50 entries of
+# `queries()` each round (dict iteration order). Round 2 verified the
+# first 50 registrations (all dd_/txt_/mm_/d_/p_/j_/a_/w_/so_ core
+# entries — green in CORRECTNESS_r02.json); this list promotes the
+# remaining families (f_/g_/sim_/ev_/s_/pipe_ plus the scoring w_
+# queries) into the window so every SURVEY.md §2 family earns a
+# driver-verified row. Near-duplicate variants (multi-probe /
+# multi-table LSH — same plan as sim_lsh_topk with a wider probe
+# explode) stay behind the window alongside the r2-verified set.
+VERIFICATION_PRIORITY: tuple[str, ...] = (
+    "so_drop_duplicates",
+    "f_regex_extract_ids",
+    "f_normalize_fingerprint",
+    "f_levenshtein_ratio",
+    "f_date_functions",
+    "f_isbn10_to_13",
+    "f_title_token_jaccard",
+    "a_category_pct",
+    "j_first_match",
+    "w_order_by_rank",
+    "w_viaf_candidate_score",
+    "f_token_sort_ratio",
+    "ev_tumbling_window",
+    "ev_incremental_updates",
+    "ev_sessionized_gaps",
+    "f_role_vocab_map",
+    "f_stateful_role_split",
+    "f_name_munge",
+    "f_title_safe_strip",
+    "f_url_classify",
+    "f_binary_prefix",
+    "f_strip_accents",
+    "w_coalesce_cascade",
+    "w_shortest_candidate",
+    "g_edge_one_hop",
+    "g_transitive_closure",
+    "g_connected_components",
+    "pipe_provider_end_to_end",
+    "pipe_lookup_urn",
+    "pipe_updates_feed",
+    "pipe_metadata_nested_apply",
+    "s_xml_classify",
+    "s_xml_classify_response",
+    "s_viaf_cluster",
+    "s_jsonld_contributor",
+    "s_jsonld_graph",
+    "s_marc_json",
+    "s_ntriples_scan",
+    "s_html_scrape",
+    "s_opds_feed",
+    "s_cached_fetch",
+    "s_soap_demand",
+    "s_csv_roundtrip",
+    "s_opds_sink",
+    "s_image_mirror_rewrite",
+    "s_overdrive_json",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "dd_embedding_cosine",
+)
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """QUERIES re-keyed so VERIFICATION_PRIORITY names come first
+    (in that order), then everything else in registration order."""
+    missing = [n for n in VERIFICATION_PRIORITY if n not in QUERIES]
+    if missing:
+        raise KeyError(f"VERIFICATION_PRIORITY names not registered: {missing}")
+    rest = [n for n in QUERIES if n not in set(VERIFICATION_PRIORITY)]
+    return {n: QUERIES[n] for n in (*VERIFICATION_PRIORITY, *rest)}
+
+
 def load_all_plans() -> None:
     """Import every plan module so registration side effects run."""
     from metadata_wrangler_spark.plans import (  # noqa: F401
