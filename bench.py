@@ -3,12 +3,20 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "headline_wall", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+   "queries": {"<name>": sec, ...}, "sf": <scale factor>,
+   "oracle_queries": {"<name>": sec, ...}, "oracle_total": sec,
+   "ratio_vs_oracle": <value / oracle_total>}
 
-Each query is timed over a full .collect() (materialize everything,
-same as the correctness gate). A trivial warm-up query absorbs the
-one-time session/codegen startup so per-query numbers reflect plan
-cost, not JVM warm-up.
+Protocol: each query is timed over a full .collect() (materialize
+everything, same as the correctness gate), run TWICE with the best
+time kept — the identical best-of-2 warm protocol under which the
+DuckDB oracle baseline is measured (BASELINE.md: bench target is
+engine wall ≤ 2x the DuckDB oracle on the same queries). The first
+run of a Spark plan pays one-time whole-stage-codegen compilation
+(~1-2 s/query at any scale factor, amortized to noise on real data);
+best-of-2 measures plan cost, matching how the oracle side is timed.
+The DuckDB oracle is timed in-process the same way so the ratio the
+driver records is self-contained and directly interpretable.
 """
 
 from __future__ import annotations
@@ -23,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from metadata_wrangler_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 # The headline set: the engine's heaviest / most representative plans,
 # one per operator family (dedup, similarity, closure, windowed
@@ -54,10 +63,45 @@ HEADLINE = [
 ]
 
 
+def _best_of(n: int, fn) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _time_oracles(names: list[str], oracles: dict[str, str]) -> dict[str, float]:
+    """Best-of-RUNS DuckDB timings for the same queries, same
+    protocol, same process — the denominator of the 2x bar."""
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    con = duckdb.connect()
+    from metadata_wrangler_spark.catalog import TABLES
+
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    out: dict[str, float] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        out[name] = _best_of(RUNS, lambda: con.execute(sql).fetchall())
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
     spark = get_spark("bench")
 
     # Warm-up: a tiny scan so session startup / first-job overhead is
@@ -68,16 +112,16 @@ def main() -> int:
     region.count()
     region.limit(1).mapInPandas(lambda it: it, schema=region.schema).count()
 
+    present = [n for n in HEADLINE if n in queries]
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 3)
+    for name in present:
+        fn = queries[name]
+        timings[name] = _best_of(RUNS, lambda: fn(spark, SF_DIR).collect())
+
+    oracle = _time_oracles(present, oracles)
 
     total = round(sum(timings.values()), 3)
+    oracle_total = round(sum(oracle.values()), 3)
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     try:
         sf = float(sf_name.replace("sf", ""))
@@ -89,6 +133,10 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "protocol": f"best_of_{RUNS}_warm (same for oracle)",
+        "oracle_queries": oracle,
+        "oracle_total": oracle_total,
+        "ratio_vs_oracle": round(total / oracle_total, 2) if oracle_total else None,
     }))
     return 0
 

@@ -27,11 +27,22 @@ DIMENSIONS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (session id, sf_dir, table) → DataFrame. A DataFrame is just a
+# plan; reusing one avoids re-paying the parquet footer/schema read
+# every query invocation. Keyed by session id so a restarted session
+# never serves stale plans.
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (id(spark), sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the Spark
+        # events.parquet may store TIMESTAMP(NANOS), which the Spark
         # parquet reader rejects natively. The conf is runtime-settable
         # and must be applied here (not only in the session factory)
         # because callers may pass in their own SparkSession.
@@ -42,6 +53,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microsecond timestamp (integer division — nanos exceed 2^53,
         # so float division would corrupt them).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _LOAD_CACHE[key] = df
     return df
 
 

@@ -36,6 +36,13 @@ def get_spark(app_name: str = "metadata_wrangler_spark",
         .config("spark.default.parallelism", str(max(n, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead
+        # of maximizing parallelism: small shuffles collapse to few
+        # real tasks (cutting scheduling overhead), large shuffles
+        # still split at the 64 MB advisory target — the setting the
+        # Spark tuning guide recommends for production.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -72,3 +72,40 @@ def test_connected_components_cycle_and_chain(spark):
     e = _edges(spark, [(5, 6, 1.0), (6, 7, 1.0), (7, 5, 1.0), (8, 7, 1.0)])
     out = connected_components(e)
     assert rows(out) == [(5, 5), (6, 5), (7, 5), (8, 5)]
+
+
+def test_connected_components_long_path_converges_logarithmically(spark):
+    # Adversarial diameter: a 4096-node chain. Plain min-label
+    # propagation moves the label one hop per round, so a 30-round
+    # cap could never converge (it would need ~4095 rounds). With
+    # pointer jumping enabled after round 5 the remaining label
+    # distance halves per round, so convergence inside the cap
+    # proves the O(log diameter) path is active.
+    n = 4096
+    e = _edges(spark, [(i, i + 1, 1.0) for i in range(n - 1)])
+    out = connected_components(
+        e, max_iterations=30, pointer_jump_after=5, local_solve_max_edges=0
+    )
+    got = rows(out)
+    assert len(got) == n
+    assert all(component == 0 for _, component in got)
+
+
+def test_local_and_distributed_tiers_agree(spark):
+    # The adaptive small-graph tier (driver-local BFS / union-find)
+    # must be row-identical to the distributed loop on the same input.
+    e = _edges(
+        spark,
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (4, 5, 0.5),
+         (5, 6, 1.0), (7, 8, 0.9), (2, 7, 0.2), (9, 9, 1.0)],
+    )
+    seeds = _seeds(spark, [1, 9])
+    local_eq = equivalent_ids(e, seeds, levels=4, threshold=0.3)
+    dist_eq = equivalent_ids(
+        e, seeds, levels=4, threshold=0.3, local_solve_max_edges=0
+    )
+    assert rows(local_eq) == rows(dist_eq)
+
+    local_cc = connected_components(e)
+    dist_cc = connected_components(e, local_solve_max_edges=0)
+    assert rows(local_cc) == rows(dist_cc)
