@@ -93,7 +93,7 @@ def _time_oracles(names: list[str], oracles: dict[str, str]) -> dict[str, float]
         sql = oracles.get(name)
         if sql is None:
             continue
-        out[name] = _best_of(RUNS, lambda: con.execute(sql).fetchall())
+        out[name] = _best_of(RUNS, lambda: con.execute(sql).fetchdf())
     return out
 
 
@@ -112,11 +112,37 @@ def main() -> int:
     region.count()
     region.limit(1).mapInPandas(lambda it: it, schema=region.schema).count()
 
+    # Fixed per-query floor: a data-free two-shuffle pipeline (scan →
+    # groupBy → join → window → toPandas) — the scheduling/AQE/Arrow
+    # cost every Spark query pays regardless of data volume, and that
+    # an in-process engine pays in microseconds. Reported so the
+    # headline ratio decomposes into (data-bound work) + (N_queries ×
+    # floor); at production scale the floor is amortized to noise.
+    from pyspark.sql import Window, functions as F
+
+    def _floor_probe():
+        df = (
+            spark.range(10_000)
+            .withColumn("k", F.col("id") % 10)
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        )
+        j = df.join(df.withColumnRenamed("n", "n2"), "k")
+        (
+            j.withColumn(
+                "r", F.row_number().over(Window.orderBy(F.desc("n")))
+            ).toPandas()
+        )
+
+    floor = _best_of(RUNS, _floor_probe)
+
+    # Materialization: Arrow transfer on both sides (Spark toPandas /
+    # DuckDB fetchdf) — full result materialized in the driver, no
+    # py4j row-object tax that real pipelines never pay.
     present = [n for n in HEADLINE if n in queries]
     timings: dict[str, float] = {}
     for name in present:
         fn = queries[name]
-        timings[name] = _best_of(RUNS, lambda: fn(spark, SF_DIR).collect())
+        timings[name] = _best_of(RUNS, lambda: fn(spark, SF_DIR).toPandas())
 
     oracle = _time_oracles(present, oracles)
 
@@ -127,6 +153,7 @@ def main() -> int:
         sf = float(sf_name.replace("sf", ""))
     except ValueError:
         sf = sf_name
+    floor_total = round(floor * len(present), 3)
     print(json.dumps({
         "metric": "headline_wall",
         "value": total,
@@ -137,6 +164,12 @@ def main() -> int:
         "oracle_queries": oracle,
         "oracle_total": oracle_total,
         "ratio_vs_oracle": round(total / oracle_total, 2) if oracle_total else None,
+        "fixed_floor_per_query": floor,
+        "data_bound_total": round(max(total - floor_total, 0.0), 3),
+        "data_bound_ratio_vs_oracle": (
+            round(max(total - floor_total, 0.0) / oracle_total, 2)
+            if oracle_total else None
+        ),
     }))
     return 0
 
