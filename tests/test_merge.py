@@ -106,3 +106,77 @@ def test_parquet_state_table_commit_roundtrip(spark, tmp_path):
     table.commit(post)
     got = {r["key"]: r["title"] for r in table.read().collect()}
     assert got == {1: "Title One", 2: "Recovered Title", 3: "Title Three"}
+
+
+def test_versioned_table_interleaved_merges_serialize(spark, tmp_path):
+    # Two writers race from the same base snapshot; the loser must
+    # detect the conflict, re-read, and re-derive — so the final
+    # table equals the SERIAL composition in commit order.
+    t = merge.VersionedParquetTable(spark, str(tmp_path / "editions"))
+    base = _editions(spark)
+    t.init(base)
+
+    staged_a = spark.createDataFrame(
+        [(2, "Title From A", "pub-a2"), (4, "A New Row", "pub-a")],
+        "key bigint, title string, publisher string",
+    )
+    staged_b = spark.createDataFrame(
+        [(1, None, "ignored"), (2, "Title From B", "ignored"),
+         (5, "B New Row", "pub-b")],
+        "key bigint, title string, publisher string",
+    )
+
+    def merge_a(cur):
+        return merge.policy_merge(cur, staged_a, ["key"], ["title"])
+
+    def merge_b(cur):
+        return merge.policy_merge(cur, staged_b, ["key"], ["title"])
+
+    # Interleave by hand: both writers read version 0 and compute.
+    post_a_on_v0 = merge_a(t.read(0))
+    post_b_on_v0 = merge_b(t.read(0))
+    # B wins the race for version 1; A's stale commit must fail.
+    assert t.try_commit(0, post_b_on_v0) is True
+    assert t.try_commit(0, post_a_on_v0) is False
+    # A retries through the optimistic loop and lands on version 2.
+    assert t.merge(merge_a) == 2
+
+    serial = merge_a(merge_b(base))
+    assert rows(t.read()) == rows(serial)
+    # Aborted commit left only an unreferenced data dir; vacuum
+    # removes it and the surviving snapshot still reads back intact.
+    t.vacuum()
+    assert rows(t.read()) == rows(serial)
+
+
+def test_versioned_table_queue_transition_merge(spark, tmp_path):
+    # D7 CoverageRecord-style transition committed transactionally:
+    # registered -> success for a batch, concurrent with a second
+    # batch registering new ids. Both commit; no update lost.
+    t = merge.VersionedParquetTable(spark, str(tmp_path / "queue"))
+    t.init(spark.createDataFrame(
+        [(1, "registered"), (2, "registered"), (3, "success")],
+        "id bigint, status string",
+    ))
+
+    def complete_batch(cur):
+        return merge.update_where(
+            cur, F.col("id").isin([1, 2]),
+            {"status": F.lit("success")},
+        )
+
+    def register_new(cur):
+        return merge.get_one_or_create(
+            cur,
+            cur.sparkSession.createDataFrame(
+                [(4, "registered")], "id bigint, status string"
+            ),
+            ["id"],
+        )
+
+    v1 = t.merge(complete_batch)
+    v2 = t.merge(register_new)
+    assert (v1, v2) == (1, 2)
+    assert rows(t.read()) == [
+        (1, "success"), (2, "success"), (3, "success"), (4, "registered"),
+    ]
