@@ -51,17 +51,28 @@ def mirror_images(
     df: DataFrame,
     url_col: str,
     payload_col: str,
-    uploader: Callable[[str, bytes], None],
+    uploader: Callable[[str, bytes], None] | None = None,
+    client_factory: Callable[[], Callable[[str, bytes], None]] | None = None,
 ) -> int:
     """S11: upload image payloads via foreachPartition — one client
-    per partition, never per row. Returns the row count pushed.
-    The url rewrite that follows a successful mirror run is
+    per PARTITION, one upload call per row. Returns the row count
+    pushed. ``client_factory`` is the injection seam: it runs once
+    per partition (build the S3/HTTP connection there) and returns
+    the per-row upload callable; a bare ``uploader`` is wrapped in a
+    trivial factory. The url rewrite that follows a successful
+    mirror run is
     `merge.update_where(df, pred, {url: regexp_replace(...)})`."""
+    if client_factory is None:
+        if uploader is None:
+            raise ValueError("pass uploader or client_factory")
+        def client_factory():  # noqa: E306 — trivial compat shim
+            return uploader
     count = df.count()
 
     def handle(rows) -> None:
+        client = client_factory()
         for row in rows:
-            uploader(row[url_col], row[payload_col])
+            client(row[url_col], row[payload_col])
 
     df.select(url_col, payload_col).foreachPartition(handle)
     return count

@@ -33,7 +33,16 @@ GAP_SECONDS = 3600
 def _sessionize(key, pdf_iter, state: GroupState):
     """Per-user fold: continue the session while gaps stay within
     GAP_SECONDS, emit one row per CLOSED session; the open session
-    rides in state across micro-batches."""
+    rides in state across micro-batches.
+
+    Late-data bound: in-batch reorder is fully handled (the batch
+    slice is sorted). A CROSS-batch late event merges into the open
+    session — extending its span backward/forward as needed — iff it
+    arrives within GAP_SECONDS of the open session's last event;
+    lateness beyond that bound must be dropped by the upstream
+    watermark (it would otherwise split the session). This is the
+    standard watermark-bounded correctness contract of stateful
+    streaming sessionization."""
     (user_id,) = key
     if state.exists:
         last_epoch, session_no, n_events, session_start = state.get
@@ -48,6 +57,7 @@ def _sessionize(key, pdf_iter, state: GroupState):
             epoch = int(epoch)
             if last_epoch is None:
                 session_no, n_events, session_start = 1, 1, epoch
+                last_epoch = epoch
             elif epoch - last_epoch > GAP_SECONDS:
                 closed["user_id"].append(user_id)
                 closed["session_no"].append(session_no)
@@ -56,9 +66,13 @@ def _sessionize(key, pdf_iter, state: GroupState):
                 closed["session_end_epoch"].append(last_epoch)
                 session_no += 1
                 n_events, session_start = 1, epoch
+                last_epoch = epoch
             else:
+                # Covers cross-batch late arrivals: the session's span
+                # absorbs the event instead of tracking arrival order.
                 n_events += 1
-            last_epoch = epoch
+                session_start = min(session_start, epoch)
+                last_epoch = max(last_epoch, epoch)
 
     state.update((last_epoch, session_no, n_events, session_start))
     yield pd.DataFrame(closed)
@@ -69,10 +83,17 @@ def sessionize_stream(
     source_dir: str,
     checkpoint_dir: str,
     query_name: str = "sessions",
+    output_dir: str | None = None,
 ) -> DataFrame:
     """AvailableNow run of the stateful sessionizer over the events
     parquet stream; emits CLOSED sessions (the open tail stays in
-    state, exactly like a production gap-session operator)."""
+    state, exactly like a production gap-session operator).
+
+    With ``output_dir`` the closed sessions append to a parquet sink
+    — the recoverable production shape: re-running against the same
+    checkpoint resumes state and processes only NEW files. The
+    default in-memory sink is single-run (Spark's memory sink cannot
+    recover a checkpoint)."""
     from metadata_wrangler_spark.streaming.incremental import (
         read_events_stream,
     )
@@ -83,13 +104,18 @@ def sessionize_stream(
         _sessionize, OUTPUT_SCHEMA, STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
+    writer = (
+        out.writeStream.queryName(query_name)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
+    if output_dir is not None:
+        q = writer.format("parquet").option("path", output_dir).start()
+        q.awaitTermination()
+        # Explicit schema: a sink that has emitted zero rows has no
+        # part files to infer from.
+        return spark.read.schema(OUTPUT_SCHEMA).parquet(output_dir)
+    q = writer.format("memory").start()
     q.awaitTermination()
     return spark.table(query_name)
