@@ -15,6 +15,7 @@ import hashlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -899,4 +900,136 @@ def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(bpe).cast("int").alias("n_bpe_tokens"),
         F.size(ws).cast("int").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "txt_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT source, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM toks
+    )
+    SELECT source,
+           CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def txt_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents are packed into
+    ~2048-token bins contiguously per source shard (bin = cumulative
+    token count before the doc, integer-divided by the budget) — the
+    deterministic greedy layout a pretraining loader consumes.
+
+    Scale shape: packing is inherently sequential, so it runs WITHIN
+    a shard key (source), never as one global window — each source's
+    window sorts inside its own partition, no single-partition
+    bottleneck; at 100 TB the shard key is (source, date) and the
+    window never sees more than a shard.
+    """
+    from metadata_wrangler_spark.operators.dedup import normalize_text
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(normalize_text(F.col("text")), " "))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = docs.select(
+        "source", "doc_id", n_tokens.cast("bigint").alias("n_tokens")
+    ).withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        packed.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / 2048).cast("bigint")
+            .alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "txt_boilerplate_passages",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               md5(concat_ws('_', w[i], w[i+1], w[i+2], w[i+3],
+                                  w[i+4], w[i+5], w[i+6], w[i+7])) AS fp
+        FROM words, unnest(generate_series(1, len(w) - 7, 8)) AS t(i)
+    ), df AS (
+        SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY fp
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler_chunks,
+           CAST(SUM(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS boiler_frac
+    FROM chunks c JOIN df USING (fp)
+    GROUP BY c.doc_id
+    """,
+)
+def txt_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage (boilerplate) detection: docs are cut into
+    non-overlapping 8-word chunks, chunk fingerprints appearing in
+    >= 3 distinct documents are boilerplate, and each document gets
+    its boilerplate fraction — the passage-level dedup signal used to
+    strip headers/footers/licences from web corpora.
+
+    Scale shape: one explode (non-overlapping stride — output tokens
+    ~= input tokens, unlike overlapping shingles), one hash-aggregate
+    for document frequency, one equi-join back on the fingerprint.
+    The df side is orders of magnitude smaller than the corpus after
+    the groupBy; no quadratic candidate step exists in this plan.
+    """
+    from metadata_wrangler_spark.operators.dedup import normalize_text
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(normalize_text(F.col("text")), " ")
+    starts = F.sequence(F.lit(1), F.size(words) - 7, F.lit(8))
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.md5(
+                        F.concat_ws("_", F.slice(words, s, 8))
+                    ),
+                )
+            ).alias("fp"),
+        )
+        .where(F.size(words) >= 8)
+    )
+    df_counts = chunks.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    joined = chunks.join(df_counts, "fp")
+    boiler = F.when(F.col("n_docs") >= 3, 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(boiler).cast("bigint").alias("n_boiler_chunks"),
+        (F.sum(boiler).cast("double") / F.count(F.lit(1)))
+        .alias("boiler_frac"),
     )

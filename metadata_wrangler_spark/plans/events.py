@@ -147,3 +147,137 @@ def ev_sessionized_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_event_types"),
     )
+
+
+@register(
+    "ev_asof_join",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+               LAST_VALUE(CASE WHEN event_type = 'click'
+                               THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS click_epoch
+        FROM events
+    )
+    SELECT user_id, event_id, epoch AS purchase_epoch, click_epoch,
+           epoch - click_epoch AS gap_seconds
+    FROM ordered
+    WHERE event_type = 'purchase'
+    """,
+)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each purchase matched to the most recent
+    prior-or-equal click of the same user (the operator Spark lacks
+    natively; MERGE_ASOF / ASOF JOIN in other engines).
+
+    Spark re-expression: tag both sides into ONE ordered stream and
+    carry the latest click with last(ignorenulls) over a running
+    window — one shuffle on user_id, no join at all, no per-row
+    range probe. At 100 TB this beats any non-equi join rewrite:
+    cost is a single sort within user partitions. Tie-break on
+    (ts, event_id) keeps both engines deterministic.
+
+    Reference mapping: "most recent coverage record before this
+    timestamp" (`/root/reference/monitor.py:65-106` checkpoint
+    sweeps); the purchase/click pairing is the star-schema stand-in.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    epoch = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    tagged = ev.select(
+        "user_id", "event_id", "event_type",
+        epoch.alias("epoch"),
+        F.col("ts"),
+    ).withColumn(
+        "click_epoch",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("epoch")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return tagged.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id",
+        F.col("epoch").alias("purchase_epoch"),
+        "click_epoch",
+        (F.col("epoch") - F.col("click_epoch")).alias("gap_seconds"),
+    )
+
+
+@register(
+    "ev_range_join",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+               event_type
+        FROM events
+    )
+    SELECT err.user_id, err.event_id,
+           err.epoch AS error_epoch,
+           COUNT(x.event_id) AS n_following
+    FROM e err
+    LEFT JOIN e x
+      ON x.user_id = err.user_id
+     AND x.epoch > err.epoch
+     AND x.epoch <= err.epoch + 60
+    WHERE err.event_type = 'error'
+    GROUP BY 1, 2, 3
+    """,
+)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — for every error event, how many events
+    of the same user land in the following 60 seconds.
+
+    Spark re-expression of the non-equi time-range join: both sides
+    bucket time at the range width (60 s); a probe can only match a
+    candidate in its own or the next bucket, so the error side
+    explodes to exactly TWO probe buckets and the join becomes an
+    equi-join on (user_id, bucket) + a residual range filter. Cost
+    is bounded by bucket occupancy — never the cartesian per user a
+    naive inequality join plans. The same rewrite is how range joins
+    scale on any shuffle engine.
+    """
+    ev = load(spark, sf_dir, "events")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    base = ev.select(
+        "user_id", "event_id", epoch.alias("epoch"), "event_type",
+        F.floor(epoch / 60).cast("bigint").alias("bucket"),
+    )
+    errors = base.where(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("event_id"),
+        F.col("epoch").alias("error_epoch"),
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    cand = errors.join(
+        base.select(
+            F.col("user_id"), F.col("bucket"),
+            F.col("epoch").alias("x_epoch"),
+            F.col("event_id").alias("x_id"),
+        ),
+        ["user_id", "bucket"],
+    ).where(
+        (F.col("x_epoch") > F.col("error_epoch"))
+        & (F.col("x_epoch") <= F.col("error_epoch") + 60)
+    )
+    counts = cand.groupBy("user_id", "event_id", "error_epoch").agg(
+        F.count(F.lit(1)).alias("n_following")
+    )
+    all_errors = base.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.col("epoch").alias("error_epoch")
+    )
+    return all_errors.join(
+        counts, ["user_id", "event_id", "error_epoch"], "left"
+    ).select(
+        "user_id", "event_id", "error_epoch",
+        F.coalesce("n_following", F.lit(0)).cast("bigint")
+        .alias("n_following"),
+    )
