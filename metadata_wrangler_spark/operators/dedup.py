@@ -336,13 +336,17 @@ def minhash_lsh_pairs(
         for bnd in range(bands)
     ]
     banded = sig.select("id", *band_cols)
-    # One row per (doc, band) — the LSH bucket table.
+    # One row per (doc, band) — the LSH bucket table. Cached: BOTH
+    # sides of the candidate self-join read it, and without the cache
+    # Spark plans the whole scan→shingle→signature subtree twice
+    # (verified: two FileScans, no ReusedExchange). Same pattern as
+    # _shingle_tables; session-LRU-managed.
     bucket = banded.selectExpr(
         "id",
         "stack({}, {}) as (band_no, bucket)".format(
             bands, ", ".join(f"'{b}', band_{b}" for b in range(bands))
         ),
-    )
+    ).cache()
     a = bucket.alias("a")
     b = bucket.alias("b")
     return (
@@ -460,7 +464,7 @@ def simhash_pairs(
     ])
     bucket = fp.select(
         "id", "simhash", F.posexplode(bands_arr).alias("band_no", "band_val")
-    )
+    ).cache()  # both self-join sides read it — compute simhash once
     a, b = bucket.alias("a"), bucket.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

@@ -167,7 +167,10 @@ def lsh_cosine_topk(
         # The query set is a slice of the corpus: reuse the bucket
         # projection instead of analyzing a second copy of the
         # plane-literal expression (saves one giant plan on the
-        # driver AND lets the filter push to the same scan).
+        # driver AND lets the filter push to the same scan). Cached:
+        # the corpus side and the broadcast query side both read it —
+        # without the cache the plane dot products run twice.
+        cb = cb.cache()
         qb = cb.withColumnsRenamed(
             {"corpus_id": "query_id", "cvec": "qvec"}
         ).where(query_pred(F.col("query_id")))
@@ -258,6 +261,10 @@ def ivf_cosine_topk(
     query side only; the join stays an equi-join on cell id.
     """
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    if query_pred is not None:
+        # corpus-side cells AND the query slice read `assigned`;
+        # cache so the centroid-score array computes once.
+        assigned = assigned.cache()
     cb = assigned.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cvec"),
@@ -343,6 +350,9 @@ def lsh_cosine_topk_multitable(
     if query_pred is not None:
         # Query slice of the corpus: reuse the L-table bucket
         # projection (one giant literal plan analyzed, not two).
+        # Cached so the L×dot-product projection runs once, not once
+        # per join side.
+        cb = cb.cache()
         qb = cb.withColumnsRenamed(
             {"corpus_id": "query_id", "cvec": "qvec", "cvec_n": "qvec_n"}
         ).where(query_pred(F.col("query_id")))

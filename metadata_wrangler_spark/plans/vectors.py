@@ -397,7 +397,9 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     b = similarity.hyperplane_buckets(emb, _PLANES)
-    b = b.withColumn("n", similarity.norm(F.col("embedding")))
+    # cached: both self-join sides read the bucket+norm projection —
+    # without it the hyperplane dot products run twice.
+    b = b.withColumn("n", similarity.norm(F.col("embedding"))).cache()
     a, c = b.alias("a"), b.alias("b")
     cos = similarity.dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.n") * F.col("b.n")
