@@ -40,9 +40,14 @@ def _events_schema(spark: SparkSession, source_dir: str) -> tuple[str, bool]:
     return schema, ts_kind == "bigint"
 
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, source_dir: str, **reader_options: str
+) -> DataFrame:
     schema, is_nanos = _events_schema(spark, source_dir)
-    raw = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if reader_options:
+        reader = reader.options(**reader_options)
+    raw = reader.parquet(source_dir)
     if is_nanos:
         # nanos-as-long → real microsecond timestamp (integer div:
         # nano epochs exceed 2^53, float division would corrupt).
@@ -66,6 +71,61 @@ def windowed_rollup(events: DataFrame) -> DataFrame:
             "event_type", "n_events", "total_value",
         )
     )
+
+
+ROLLUP_SCHEMA = (
+    "window_day DATE, event_type STRING, "
+    "n_events BIGINT, total_value DOUBLE"
+)
+
+
+def run_windowed_stream_append(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    watermark: str = "1 day",
+    query_name: str = "windowed_rollup_append",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The production shape of the windowed rollup: watermarked
+    APPEND mode to a parquet sink. Unlike the complete-mode memory
+    variant (bounded-input testing only — complete mode keeps every
+    window in state forever), append emits each window exactly once,
+    after the watermark passes its end, and the state store drops it
+    — bounded state at any input size, and the sink is a plain table
+    downstream jobs read.
+
+    Watermark mechanics worth knowing: the watermark advances at
+    micro-batch boundaries, so a window finalizes in the batch AFTER
+    the one that carried its last event — including Spark's trailing
+    no-data batch, which commits the final advance at end of run.
+    ``max_files_per_trigger`` splits a backlog into multiple batches
+    accordingly (and is the knob a backfill run uses to bound batch
+    size)."""
+    events = read_events_stream(
+        spark, source_dir,
+        **({"maxFilesPerTrigger": str(max_files_per_trigger)}
+           if max_files_per_trigger else {}),
+    )
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        # Watermarks only accept TIMESTAMP (ltz); sessions pin UTC so
+        # the cast is value-stable.
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_rollup(events.withWatermark("ts", watermark))
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Explicit schema: a sink that has emitted zero rows has no part
+    # files to infer from.
+    return spark.read.schema(ROLLUP_SCHEMA).parquet(output_dir)
 
 
 def run_windowed_stream(

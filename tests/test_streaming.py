@@ -146,3 +146,47 @@ def test_admission_stream_admits_each_content_once(spark, tmp_path):
     second = admission.run_admission_stream(spark, str(src), state, cp)
     assert second.count() == batch_distinct          # nothing re-admitted
     assert second.select("fingerprint").distinct().count() == batch_distinct
+
+
+def test_windowed_append_finalizes_windows_behind_watermark(spark, tmp_path):
+    # Three single-file micro-batches (maxFilesPerTrigger=1) at day 1,
+    # day 5, day 9. The watermark advances at batch boundaries (plus
+    # Spark's trailing no-data batch, which commits the final
+    # advance), so it ends at day9-1d = day 8: the day-1 and day-5
+    # windows finalize and emit exactly once, while the day-9 window
+    # stays in state awaiting later data. Append mode = each window
+    # emitted once, then dropped from state — the bounded-state
+    # production shape.
+    import datetime as dt
+    import glob
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _write(name, day, n):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(
+            [(day * 100 + i, dt.datetime(2024, 1, day, 10, 0, i),
+              7, "click", 1.0) for i in range(n)],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double",
+        ).coalesce(1).write.mode("overwrite").parquet(str(staging))
+        (part,) = glob.glob(str(staging / "part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    _write("f1", 1, 4)
+    _write("f2", 5, 2)
+    _write("f3", 9, 3)
+
+    got = incremental.run_windowed_stream_append(
+        spark, str(src), str(tmp_path / "cp"), str(tmp_path / "out"),
+        max_files_per_trigger=1, query_name="t_append",
+    )
+    rows = sorted(
+        (str(r["window_day"]), r["event_type"], r["n_events"],
+         r["total_value"]) for r in got.collect()
+    )
+    assert rows == [
+        ("2024-01-01", "click", 4, 4.0),
+        ("2024-01-05", "click", 2, 2.0),
+    ]
