@@ -114,3 +114,70 @@ def test_closure_empty_and_self_loop(spark):
     loop = spark.createDataFrame([(5, 5)], "src bigint, dst bigint")
     cc = connected_components(loop).collect()
     assert [(r["node"], r["component"]) for r in cc] == [(5, 5)]
+
+
+def test_asof_and_range_join_match_brute_force(spark, tmp_path):
+    """The windowed as-of rewrite and the bucketed range-join rewrite
+    must equal their O(n^2) definitions on adversarial small inputs
+    (epoch collisions, bucket boundaries, users with no match)."""
+    import datetime as dt
+
+    from metadata_wrangler_spark.plans import QUERIES, load_all_plans
+
+    load_all_plans()
+    base = dt.datetime(2024, 1, 1)
+    base_epoch = int(
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    )
+
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(1, 3),          # user_id
+                  st.integers(0, 200),        # epoch offset
+                  st.sampled_from(["click", "purchase", "error", "view"])),
+        min_size=40, max_size=40,
+    ))
+    def run(evs):
+        rows = [(i, base + dt.timedelta(seconds=s), u, t, 1.0)
+                for i, (u, s, t) in enumerate(evs)]
+        sf = str(tmp_path / "prop")
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            sf + "/events.parquet"
+        )
+        ev = [(i, base_epoch + s, u, t) for i, (u, s, t) in enumerate(evs)]
+
+        # brute-force as-of: latest click strictly before the
+        # purchase in (epoch, event_id) order
+        expect_asof = {}
+        for i, ep, u, t in ev:
+            if t != "purchase":
+                continue
+            clicks = [(e2, i2) for i2, e2, u2, t2 in ev
+                      if u2 == u and t2 == "click" and (e2, i2) < (ep, i)]
+            expect_asof[i] = max(clicks)[0] if clicks else None
+        got_asof = {
+            r["event_id"]: r["click_epoch"]
+            for r in QUERIES["ev_asof_join"](spark, sf).collect()
+        }
+        assert got_asof == expect_asof
+
+        # brute-force range join: events within (e, e+60] same user
+        expect_range = {}
+        for i, ep, u, t in ev:
+            if t != "error":
+                continue
+            expect_range[i] = sum(
+                1 for i2, e2, u2, _ in ev
+                if u2 == u and ep < e2 <= ep + 60
+            )
+        got_range = {
+            r["event_id"]: r["n_following"]
+            for r in QUERIES["ev_range_join"](spark, sf).collect()
+        }
+        assert got_range == expect_range
+
+    run()
