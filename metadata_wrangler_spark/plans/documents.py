@@ -1033,3 +1033,58 @@ def txt_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(boiler).cast("double") / F.count(F.lit(1)))
         .alias("boiler_frac"),
     )
+
+
+@register(
+    "txt_ngram_topk",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest({_shingles_sql(2).replace("'_'", "' '")}) AS gram
+        FROM words
+    )
+    SELECT gram,
+           COUNT(*) AS n_total,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM grams
+    GROUP BY gram
+    ORDER BY n_total DESC, gram ASC
+    LIMIT 20
+    """,
+)
+def txt_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k bigrams with document frequency — the
+    vocabulary/stopword-discovery profile a corpus pipeline runs
+    before tuning dedup shingles and quality filters.
+
+    Scale shape: explode → hash-aggregate with map-side partial
+    combine (gram counts collapse before the shuffle), then a
+    global top-k that Spark executes as TakeOrderedAndProject —
+    per-partition heaps, never a full sort of the gram table.
+    """
+    from metadata_wrangler_spark.operators.dedup import (
+        normalize_text, shingles,
+    )
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(normalize_text(F.col("text")), " ")
+    grams = docs.select(
+        "doc_id", words.alias("w")
+    ).select(
+        "doc_id",
+        F.explode(F.transform(
+            F.expr("sequence(1, greatest(size(w) - 1, 0))"),
+            lambda i: F.concat_ws(
+                " ", F.element_at("w", i), F.element_at("w", i + 1)
+            ),
+        )).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("gram"))
+        .limit(20)
+    )
