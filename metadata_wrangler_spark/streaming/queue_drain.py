@@ -40,8 +40,26 @@ def default_processor(todo: DataFrame) -> DataFrame:
     )
 
 
+def _transition(
+    records: DataFrame,
+    items: DataFrame,
+    data_source: str,
+    operation: str,
+    now: str,
+    processor: Callable[[DataFrame], DataFrame],
+    backoff_seconds: int,
+) -> DataFrame:
+    """register → claim eligible → process → post-state (pure)."""
+    registered = queue.register(
+        records, items, data_source, operation, ts=now
+    )
+    todo = queue.eligible(registered, now, backoff_seconds)
+    outcomes = processor(todo)
+    return queue.apply_outcomes(registered, outcomes)
+
+
 def drain_batch(
-    table: ParquetStateTable,
+    table,
     items: DataFrame,
     data_source: str,
     operation: str,
@@ -50,14 +68,19 @@ def drain_batch(
     backoff_seconds: int = 0,
 ) -> None:
     """One drain step (shared by the streaming foreachBatch and any
-    batch cron): register → claim eligible → process → apply."""
-    records = table.read()
-    registered = queue.register(
-        records, items, data_source, operation, ts=now
-    )
-    todo = queue.eligible(registered, now, backoff_seconds)
-    outcomes = processor(todo)
-    table.commit(queue.apply_outcomes(registered, outcomes))
+    batch cron). ``table`` is either a ParquetStateTable (read +
+    overwrite commit — single-writer crons) or a
+    VersionedParquetTable (the transition runs inside an optimistic
+    merge, so a drain racing a registrar serializes instead of
+    losing updates)."""
+    def fn(records: DataFrame) -> DataFrame:
+        return _transition(records, items, data_source, operation,
+                           now, processor, backoff_seconds)
+
+    if hasattr(table, "merge"):
+        table.merge(fn)
+    else:
+        table.commit(fn(table.read()))
 
 
 def run_drain_stream(

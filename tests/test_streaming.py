@@ -190,3 +190,39 @@ def test_windowed_append_finalizes_windows_behind_watermark(spark, tmp_path):
         ("2024-01-01", "click", 4, 4.0),
         ("2024-01-05", "click", 2, 2.0),
     ]
+
+
+def test_queue_drain_through_versioned_table_commits_per_batch(spark, tmp_path):
+    # The same drain, but committed through the optimistic ACID
+    # table: every micro-batch lands as one atomic version, and the
+    # final state matches the single-writer overwrite path.
+    from metadata_wrangler_spark.operators.merge import (
+        VersionedParquetTable,
+    )
+
+    initial = spark.createDataFrame(
+        [(2, "oclc", "classify", queue.TRANSIENT,
+          "2024-01-01 00:00:00", "boom")],
+        "identifier_id bigint, data_source string, operation string, "
+        "status string, ts string, exception string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    items = spark.createDataFrame([(2,), (3,)], "identifier_id bigint")
+    items_dir = str(tmp_path / "items")
+    items.write.parquet(items_dir)
+
+    vt = VersionedParquetTable(spark, str(tmp_path / "acid_state"))
+    vt.init(initial)
+    queue_drain.run_drain_stream(
+        spark, items_dir, vt, str(tmp_path / "cp"),
+    )
+    assert vt.current_version() >= 1  # init + >=1 drain commit
+
+    plain = ParquetStateTable(spark, str(tmp_path / "plain_state"))
+    plain.init(initial)
+    queue_drain.drain_batch(
+        plain, items, "oclc", "classify", "2024-01-15 00:00:00"
+    )
+    sgot = sorted(tuple(r) for r in vt.read().collect())
+    sexp = sorted(tuple(r) for r in plain.read().collect())
+    assert sgot == sexp
