@@ -45,9 +45,11 @@ def register(name: str, oracle: str | None = None):
 # entries — green in CORRECTNESS_r02.json); this list promotes the
 # remaining families (f_/g_/sim_/ev_/s_/pipe_ plus the scoring w_
 # queries) into the window so every SURVEY.md §2 family earns a
-# driver-verified row. Near-duplicate variants (multi-probe /
-# multi-table LSH — same plan as sim_lsh_topk with a wider probe
-# explode) stay behind the window alongside the r2-verified set.
+# driver-verified row, and one representative of the p_/d_/txt_/mm_
+# families (fully verified in round 2) keeps every family green each
+# round. Near-duplicate variants (multi-probe / multi-table LSH,
+# response/shortest/strip/token-sort twins of in-window entries)
+# stay behind the window alongside the rest of the r2-verified set.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     "so_drop_duplicates",
     "f_regex_extract_ids",
@@ -60,19 +62,19 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "j_first_match",
     "w_order_by_rank",
     "w_viaf_candidate_score",
-    "f_token_sort_ratio",
+    "mm_binary_features",
     "ev_tumbling_window",
     "ev_incremental_updates",
     "ev_sessionized_gaps",
     "f_role_vocab_map",
     "f_stateful_role_split",
     "f_name_munge",
-    "f_title_safe_strip",
+    "txt_quality_score",
     "f_url_classify",
     "f_binary_prefix",
     "f_strip_accents",
     "w_coalesce_cascade",
-    "w_shortest_candidate",
+    "d_policy_merge_preview",
     "g_edge_one_hop",
     "g_transitive_closure",
     "g_connected_components",
@@ -81,7 +83,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "pipe_updates_feed",
     "pipe_metadata_nested_apply",
     "s_xml_classify",
-    "s_xml_classify_response",
+    "p_compound_predicates",
     "s_viaf_cluster",
     "s_jsonld_contributor",
     "s_jsonld_graph",

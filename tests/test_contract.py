@@ -51,3 +51,22 @@ def test_lookup_urn_covers_all_dispositions(spark):
                for r in by_status[404])
     assert all(r["message"] == "Metadata needed." for r in by_status[202])
     assert all(r["message"].startswith("Customer") for r in by_status[200])
+
+
+def test_verification_window_covers_every_family():
+    """The driver hash-checks the FIRST 50 entries of queries().
+    Lock the ordering contract: the leading 50 are exactly
+    VERIFICATION_PRIORITY (every name registered, no duplicates),
+    and every operator-family prefix appears inside the window —
+    a new registration can never silently push a family out."""
+    from metadata_wrangler_spark import plans
+
+    q = mod.queries()
+    names = list(q)
+    prio = list(plans.VERIFICATION_PRIORITY)
+    assert len(prio) == 50
+    assert len(set(prio)) == 50
+    assert names[:50] == prio
+    window_families = {n.split("_")[0] for n in names[:50]}
+    all_families = {n.split("_")[0] for n in names}
+    assert window_families == all_families
