@@ -281,3 +281,75 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_following", F.lit(0)).cast("bigint")
         .alias("n_following"),
     )
+
+
+_KMV_K = 64
+
+
+@register(
+    "a_kmv_distinct_sketch",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+        FROM hashed
+    ), mins AS (
+        SELECT event_type, COUNT(*) AS n_seen, MAX(h) AS kth
+        FROM ranked WHERE r <= {_KMV_K} GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(CAST(CASE WHEN m.n_seen < {_KMV_K} THEN CAST(m.n_seen AS DOUBLE)
+                ELSE ({_KMV_K} - 1) * power(2, 60) / CAST(m.kth AS DOUBLE)
+           END AS DECIMAL(18,6)) AS DOUBLE) AS kmv_estimate,
+           x.n_exact
+    FROM mins m
+    JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY event_type) x USING (event_type)
+    """,
+)
+def a_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketch per event type via K-minimum-values:
+    keep the K smallest distinct hash values; estimate
+    (K-1)/h_(K) with h normalized to (0,1). Unlike HLL the sketch is
+    DETERMINISTIC given the hash, so the DuckDB oracle reproduces it
+    bit-for-bit — an approximate operator with an exact correctness
+    gate (exact COUNT DISTINCT emitted alongside for the error bar).
+
+    Scale story: a KMV sketch is associatively mergeable (the min-K
+    of a union is the min-K of the min-Ks), so partial sketches
+    combine across partitions/days without rescanning — the pattern
+    every production distinct-sketch pipeline uses; memory is O(K)
+    per group vs O(distinct) for the exact path.
+    """
+    from metadata_wrangler_spark.operators.dedup import md5_long
+    ev = load(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        md5_long(F.col("user_id").cast("string")).alias("h"),
+    ).dropDuplicates()
+    w = W.partitionBy("event_type").orderBy("h")
+    mins = (
+        hashed.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(2.0 ** 60)
+        / F.col("kth").cast("double")
+    )
+    return mins.join(exact, "event_type").select(
+        "event_type",
+        est.cast("decimal(18,6)").cast("double").alias("kmv_estimate"),
+        "n_exact",
+    )
