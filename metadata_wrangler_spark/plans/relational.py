@@ -950,10 +950,13 @@ def f_title_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the array (no extra shuffle); the candidate join runs on the
     # hashed token (bigint ≪ string shuffle bytes) with the token
     # table cached for both sides.
+    # cached: the token table (both self-join sides) AND both size
+    # lookups derive from this projection — one scan + one
+    # split/distinct instead of four.
     base = p.select(
         "p_partkey", "p_brand",
         F.array_distinct(F.split(F.col("p_name"), " ")).alias("ws"),
-    )
+    ).cache()
     sets = base.select("p_partkey", F.size("ws").alias("n_tokens"))
     tok = base.select(
         "p_partkey", "p_brand", F.explode("ws").alias("w")
