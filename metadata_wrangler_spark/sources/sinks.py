@@ -76,3 +76,22 @@ def mirror_images(
 
     df.select(url_col, payload_col).foreachPartition(handle)
     return count
+
+
+def write_partitioned_layout(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+) -> None:
+    """Write a table with directory partitioning and (optionally)
+    within-file clustering — the 100 TB layout step: a read filtered
+    on the partition key prunes whole directories before any IO, and
+    sorted row groups give min/max-statistics skipping on the sort
+    key. One shuffle on the partition key keeps one writer per
+    partition (no small-file explosion from every task writing every
+    partition)."""
+    out = df.repartition(*[F.col(c) for c in partition_by])
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)

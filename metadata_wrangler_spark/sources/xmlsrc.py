@@ -26,9 +26,36 @@ CLASSIFY_SCHEMA = (
 )
 
 
+def parse_rejects(
+    df: DataFrame, schema: str, xml_col: str = "xml"
+) -> DataFrame:
+    """Dead-letter feed: rows whose non-null payload failed to parse
+    under ``schema`` (``from_xml`` is PERMISSIVE — malformed XML
+    nulls out and would otherwise vanish silently at the explode).
+    The reference records these as transient-failure CoverageRecords
+    (`/root/reference/coverage_provider.py:340-354`); route this
+    frame to the retry queue (`operators.queue.register` with a
+    failure status) instead of losing them."""
+    with_corrupt = schema.rstrip() + ", _corrupt_record STRING"
+    parsed = df.withColumn(
+        "_doc",
+        F.from_xml(
+            F.col(xml_col), with_corrupt,
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    return parsed.where(
+        F.col(xml_col).isNotNull()
+        & F.col("_doc._corrupt_record").isNotNull()
+    ).drop("_doc")
+
+
 def parse_classify(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     """One row per <work> element: (doc columns…, owi, title, author,
-    editions, holdings)."""
+    editions, holdings). Malformed payloads drop out here — capture
+    them with ``parse_rejects(df, CLASSIFY_SCHEMA)`` for the retry
+    queue."""
     parsed = df.withColumn(
         "_doc", F.from_xml(F.col(xml_col), CLASSIFY_SCHEMA)
     )

@@ -87,3 +87,38 @@ def test_mirror_images_calls_uploader_per_row(spark, tmp_path):
     assert n == 2
     assert sorted(p.name for p in outdir.iterdir()) == ["u1", "u2"]
     assert (outdir / "u1").read_bytes() == b"img1"
+
+
+def test_partitioned_layout_prunes_on_read(spark, tmp_path):
+    from metadata_wrangler_spark.catalog import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_by_lang")
+    sinks.write_partitioned_layout(
+        docs, path, partition_by=["lang"], sort_by=["doc_id"]
+    )
+    reread = spark.read.parquet(path)
+    assert sorted(r["doc_id"] for r in reread.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    # A lang filter must reach the scan as a PARTITION filter (whole
+    # directories skipped), not a row-level data filter.
+    q = reread.where(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "(lang" in plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+
+
+def test_parse_rejects_captures_malformed_xml(spark):
+    from metadata_wrangler_spark.sources import xmlsrc
+
+    rows = spark.createDataFrame(
+        [(1, "<classify><broken"), (2, "not xml at all"), (3, None),
+         (4, '<classify><workList><work title="T" author="A" owi="9" '
+             'editions="1" holdings="2"/></workList></classify>')],
+        "id bigint, xml string",
+    )
+    parsed = xmlsrc.parse_classify(rows)
+    rejects = xmlsrc.parse_rejects(rows, xmlsrc.CLASSIFY_SCHEMA)
+    assert [r["id"] for r in parsed.collect()] == [4]
+    assert sorted(r["id"] for r in rejects.collect()) == [1, 2]
