@@ -353,3 +353,65 @@ def a_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.cast("decimal(18,6)").cast("double").alias("kmv_estimate"),
         "n_exact",
     )
+
+
+@register(
+    "ev_session_window_native",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(prev_ts)) AS BIGINT) >= 3600
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sno
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) + 3600
+               AS session_end_epoch,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sno
+    """,
+)
+def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via Spark's NATIVE session_window operator — the
+    built-in alternative to the applyInPandasWithState sessionizer
+    (streaming/sessionize.py) and the lag+cumsum batch twin
+    (ev_sessionized_gaps). session_window merges events whose
+    [ts, ts+gap) windows overlap, so a strict gap >= 3600 starts a
+    new session and the emitted window end is last_event + gap —
+    the oracle reproduces exactly that via cumulative-sum grouping.
+
+    Scale: one shuffle on user_id, JVM-native merge — in streaming
+    the same expression runs under a watermark with state dropped at
+    window close, no Python state function needed.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "1 hour").alias("win"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp(F.col("win.start"))).cast("bigint")
+            .alias("session_start_epoch"),
+            F.floor(F.unix_timestamp(F.col("win.end"))).cast("bigint")
+            .alias("session_end_epoch"),
+            "n_events",
+        )
+    )
