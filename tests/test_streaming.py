@@ -226,3 +226,73 @@ def test_queue_drain_through_versioned_table_commits_per_batch(spark, tmp_path):
     sgot = sorted(tuple(r) for r in vt.read().collect())
     sexp = sorted(tuple(r) for r in plain.read().collect())
     assert sgot == sexp
+
+
+def test_native_session_window_streams_with_watermark(spark, tmp_path):
+    # The ev_session_window_native expression running under
+    # readStream + watermark: sessions whose close falls behind the
+    # final watermark emit exactly once; the open tail stays in
+    # state. Three single-file batches; user 7's day-1 burst (two
+    # events 10 s apart) is one closed session.
+    import datetime as dt
+    import glob
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _write(name, day, secs):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(
+            [(day * 1000 + s, dt.datetime(2024, 1, day, 12, 0, 0)
+              + dt.timedelta(seconds=s), 7, "click", 1.0) for s in secs],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double",
+        ).coalesce(1).write.mode("overwrite").parquet(str(staging))
+        (part,) = glob.glob(str(staging / "part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    _write("f1", 1, [0, 10])
+    _write("f2", 5, [0])
+    _write("f3", 9, [0])
+
+    events = incremental.read_events_stream(
+        spark, str(src), maxFilesPerTrigger="1"
+    )
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy("user_id", F.session_window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("win.start").alias("start_epoch"),
+            F.unix_timestamp("win.end").alias("end_epoch"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = ("user_id bigint, start_epoch bigint, "
+                  "end_epoch bigint, n_events bigint")
+    got = sorted(
+        tuple(r) for r in spark.read.schema(out_schema)
+        .parquet(str(tmp_path / "out")).collect()
+    )
+    base = int(dt.datetime(2024, 1, 1, 12, tzinfo=dt.timezone.utc)
+               .timestamp())
+    day5 = int(dt.datetime(2024, 1, 5, 12, tzinfo=dt.timezone.utc)
+               .timestamp())
+    # day-1 session: [noon, noon+10s+1h), 2 events; day-5 session
+    # emitted by the final watermark (day 8); day-9 stays in state.
+    assert got == [
+        (7, base, base + 10 + 3600, 2),
+        (7, day5, day5 + 3600, 1),
+    ]
