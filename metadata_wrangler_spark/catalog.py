@@ -27,18 +27,35 @@ DIMENSIONS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# (session id, sf_dir, table) → DataFrame. A DataFrame is just a
+# session → {(sf_dir, table) → DataFrame}. A DataFrame is just a
 # plan; reusing one avoids re-paying the parquet footer/schema read
-# every query invocation. Keyed by session id so a restarted session
-# never serves stale plans.
-_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# every query invocation. Keyed weakly on the live session object
+# (not id(spark) — CPython reuses ids after GC, which could serve a
+# plan bound to a dead session) so entries die with the session.
+# Caveat: a cached plan pins the scan's file listing; for a table
+# directory rewritten in place under the SAME session, call
+# ``invalidate(sf_dir)`` to drop the stale listing.
+import weakref
+
+_LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def invalidate(sf_dir: str | None = None) -> None:
+    """Drop cached plans (for ``sf_dir``, or all) — needed when a
+    table directory is rewritten in place mid-session."""
+    for per_session in _LOAD_CACHE.values():
+        for key in [k for k in per_session if sf_dir is None or k[0] == sf_dir]:
+            del per_session[key]
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark), sf_dir, name)
-    cached = _LOAD_CACHE.get(key)
+    per_session = _LOAD_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     if name == "events":
@@ -53,7 +70,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microsecond timestamp (integer division — nanos exceed 2^53,
         # so float division would corrupt them).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    _LOAD_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

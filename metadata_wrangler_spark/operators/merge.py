@@ -163,8 +163,11 @@ class VersionedParquetTable:
         <path>/_versions/v{N}.json                manifest: data dir of N
 
     A committed version is an immutable snapshot directory plus a
-    manifest file. ``v{N}.json`` is claimed with O_CREAT|O_EXCL —
-    atomic on a local/POSIX FS; on HDFS this maps to atomic rename,
+    manifest file. The manifest body is written to a temp file and
+    ``v{N}.json`` is then claimed with an atomic ``link(2)`` — the
+    manifest is complete at the instant it becomes visible, and the
+    claim fails (FileExistsError) if another writer got there first.
+    Atomic on a local/POSIX FS; on HDFS this maps to atomic rename,
     on S3 to a conditional PUT (If-None-Match), which is exactly how
     production table formats claim their log entries. Two writers
     racing for version N: one wins, the loser gets
@@ -242,12 +245,25 @@ class VersionedParquetTable:
         )
         post_state.write.mode("overwrite").parquet(data_dir)
         manifest = os.path.join(self._versions_dir, f"v{target}.json")
+        # Write the manifest body to a private temp file first, then
+        # claim the version with an atomic link(2). The claim either
+        # fully succeeds (manifest appears complete in one step — a
+        # concurrent reader can never observe a half-written JSON) or
+        # fails with FileExistsError because another writer got there
+        # first. A crash before the link leaves only a .tmp file and
+        # an unreferenced data dir, both vacuumable; it can never
+        # leave v{N}.json empty/truncated.
+        tmp = manifest + f".{uuid.uuid4().hex[:12]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": target, "data_dir": data_dir}, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, manifest)
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": target, "data_dir": data_dir}, f)
+        finally:
+            os.unlink(tmp)
         return True
 
     def merge(self, fn, max_retries: int = 10) -> int:
@@ -263,17 +279,73 @@ class VersionedParquetTable:
             f"{self.path}: lost {max_retries} optimistic races"
         )
 
-    def vacuum(self) -> None:
-        """Delete data directories not referenced by any manifest
-        (aborted commits) and all but the latest snapshot."""
+    def vacuum(self, retention_seconds: float = 3600.0) -> None:
+        """Garbage-collect old state, concurrency-safely.
+
+        Two classes of garbage, handled differently:
+
+        * **Superseded versions** (< current): their manifest is
+          deleted first, then their snapshot dir — so a concurrent
+          ``read(version)`` either wins (opens the manifest before we
+          unlink it, data still present because we delete the dir
+          after) or gets a clean ``FileNotFoundError``, never a
+          manifest pointing at vanished data.
+        * **Unreferenced data dirs** (aborted commits, leftover
+          ``.tmp`` manifests): deleted only when older than
+          ``retention_seconds`` (mtime), mirroring Delta's vacuum
+          retention — a dir a concurrent ``try_commit`` just wrote
+          but has not yet claimed is always younger than the grace
+          period, so a racing commit can never have its data swept
+          out from under its manifest claim.
+        """
         import os
         import shutil
+        import time
 
-        live = {self._manifest(self.current_version())["data_dir"]}
+        current = self.current_version()
+        if current < 0:
+            return
+        import re
+
+        referenced = {self._manifest(current)["data_dir"]}
+
+        # 1. Retire superseded versions: manifest first, then data.
+        for name in os.listdir(self._versions_dir):
+            m = re.fullmatch(r"v(\d+)\.json", name)
+            if not (m and int(m.group(1)) < current):
+                continue
+            manifest_path = os.path.join(self._versions_dir, name)
+            try:
+                data_dir = self._manifest(int(m.group(1)))["data_dir"]
+            except (FileNotFoundError, ValueError):
+                continue
+            try:
+                os.unlink(manifest_path)
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(data_dir, ignore_errors=True)
+
+        # 2. Aborted/unclaimed leftovers, behind the retention fence.
+        cutoff = time.time() - retention_seconds
         for name in os.listdir(self._data_dir):
             full = os.path.join(self._data_dir, name)
-            if full not in live:
-                shutil.rmtree(full, ignore_errors=True)
+            if full in referenced:
+                continue
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+        for name in os.listdir(self._versions_dir):
+            if not name.endswith(".tmp"):
+                continue
+            full = os.path.join(self._versions_dir, name)
+            try:
+                if os.path.getmtime(full) <= cutoff:
+                    os.unlink(full)
+            except FileNotFoundError:
+                pass
 
 
 class ParquetStateTable:

@@ -40,42 +40,48 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate hash-checks the FIRST 50 entries of
-# `queries()` each round (dict iteration order). Round 2 verified the
-# first 50 registrations (all dd_/txt_/mm_/d_/p_/j_/a_/w_/so_ core
-# entries — green in CORRECTNESS_r02.json); this list promotes the
-# remaining families (f_/g_/sim_/ev_/s_/pipe_ plus the scoring w_
-# queries) into the window so every SURVEY.md §2 family earns a
-# driver-verified row, and one representative of the p_/d_/txt_/mm_
-# families (fully verified in round 2) keeps every family green each
-# round. Near-duplicate variants (multi-probe / multi-table LSH,
-# response/shortest/strip/token-sort twins of in-window entries)
-# stay behind the window alongside the rest of the r2-verified set.
+# `queries()` each round (dict iteration order). Rounds 1-3 verified
+# every registered query EXCEPT the 13 that landed behind the window
+# in round 3 (as-of/range joins, native session_window, LSH
+# probe/multitable tiers, sequence packing, boilerplate, n-gram
+# profile, KMV sketch, and four string-function twins). Round 4
+# promotes all 13 into the leading window so zero never-verified
+# queries remain, and keeps one previously-green representative of
+# every SURVEY.md §2 family (so_/f_/a_/j_/w_/mm_/ev_/txt_/d_/g_/
+# pipe_/s_/p_/sim_/dd_) green each round. The rotated-out stalwarts
+# (r2- and r3-green string functions and source parsers) are still
+# covered by pytest's all-109 oracle sweep (tests/test_all_oracles.py).
 VERIFICATION_PRIORITY: tuple[str, ...] = (
+    # --- round-3 additions, never driver-verified before round 4 ---
+    "ev_asof_join",
+    "ev_range_join",
+    "ev_session_window_native",
+    "a_kmv_distinct_sketch",
+    "sim_lsh_probe_topk",
+    "sim_lsh_multitable_topk",
+    "txt_sequence_packing",
+    "txt_boilerplate_passages",
+    "txt_ngram_topk",
+    "f_title_safe_strip",
+    "f_token_sort_ratio",
+    "w_shortest_candidate",
+    "s_xml_classify_response",
+    # --- previously-green family representatives ---
     "so_drop_duplicates",
-    "f_regex_extract_ids",
-    "f_normalize_fingerprint",
     "f_levenshtein_ratio",
-    "f_date_functions",
-    "f_isbn10_to_13",
     "f_title_token_jaccard",
+    "f_stateful_role_split",
     "a_category_pct",
     "j_first_match",
     "w_order_by_rank",
     "w_viaf_candidate_score",
+    "w_coalesce_cascade",
     "mm_binary_features",
     "ev_tumbling_window",
     "ev_incremental_updates",
     "ev_sessionized_gaps",
-    "f_role_vocab_map",
-    "f_stateful_role_split",
-    "f_name_munge",
     "txt_quality_score",
-    "f_url_classify",
-    "f_binary_prefix",
-    "f_strip_accents",
-    "w_coalesce_cascade",
     "d_policy_merge_preview",
-    "g_edge_one_hop",
     "g_transitive_closure",
     "g_connected_components",
     "pipe_provider_end_to_end",
@@ -86,15 +92,12 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "p_compound_predicates",
     "s_viaf_cluster",
     "s_jsonld_contributor",
-    "s_jsonld_graph",
     "s_marc_json",
     "s_ntriples_scan",
     "s_html_scrape",
     "s_opds_feed",
     "s_cached_fetch",
     "s_soap_demand",
-    "s_csv_roundtrip",
-    "s_opds_sink",
     "s_image_mirror_rewrite",
     "s_overdrive_json",
     "sim_cosine_topk",

@@ -398,12 +398,20 @@ def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id, JVM-native merge — in streaming
     the same expression runs under a watermark with state dropped at
     window close, no Python state function needed.
+
+    ts is truncated to whole seconds BEFORE session_window so the
+    gap comparison happens at the same precision as the oracle's
+    epoch() arithmetic — otherwise a pair with true sub-second gap
+    in [3599, 3600) would merge here but split there (latent,
+    data-dependent mismatch).
     """
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(
             "user_id",
-            F.session_window("ts", "1 hour").alias("win"),
+            F.session_window(
+                F.date_trunc("second", F.col("ts")), "1 hour"
+            ).alias("win"),
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

@@ -97,8 +97,20 @@ def sessionize_stream(
     from metadata_wrangler_spark.streaming.incremental import (
         read_events_stream,
     )
-    events = read_events_stream(spark, source_dir).select(
-        "user_id", F.unix_timestamp("ts").alias("epoch")
+    events = read_events_stream(spark, source_dir)
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        # Watermarks need TIMESTAMP; the session runs with
+        # spark.sql.session.timeZone=UTC so the cast is value-stable.
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Enforce the docstring's late-data contract: events later than
+    # GAP_SECONDS relative to the stream's max event time are dropped
+    # HERE, not merely assumed dropped upstream — without this, an
+    # arbitrarily late event would silently drag an open session's
+    # start backward over previously emitted sessions.
+    # `ts` stays in the projection: the stateful operator only
+    # filters late rows when the event-time column itself reaches it.
+    events = events.withWatermark("ts", f"{GAP_SECONDS} seconds").select(
+        "user_id", "ts", F.unix_timestamp("ts").alias("epoch")
     )
     out = events.groupBy("user_id").applyInPandasWithState(
         _sessionize, OUTPUT_SCHEMA, STATE_SCHEMA,

@@ -49,6 +49,44 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def oracle_connection(sf_dir: str):
+    """DuckDB connection with every engine table registered as a
+    view over the same parquet the Spark side reads."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def check_one(spark, con, fn, sql: str | None, sf_dir: str) -> list[str]:
+    """Run one named plan on Spark and its oracle on DuckDB; return
+    the list of mismatches (empty = green). This is the exact
+    comparison the driver's correctness gate applies — shared by the
+    CLI below and tests/test_all_oracles.py."""
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = [c.lower() for c in sdf.columns]
+    if sql is None:
+        return []  # rows-only check: reaching here without raising
+    rel = con.sql(sql)
+    ocols = [c.lower() for c in rel.columns]
+    orows = rel.fetchall()
+    problems = []
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+    if len(srows) != len(orows):
+        problems.append(f"rows spark={len(srows)} duck={len(orows)}")
+    if not problems:
+        sh = value_hash(scols, srows)
+        oh = value_hash(ocols, orows)
+        if sh != oh:
+            problems.append(f"hash spark={sh} duck={oh}")
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -58,12 +96,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     spark = get_spark("check_oracle")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = oracle_connection(sf_dir)
 
     failures = []
     for name, fn in queries.items():
