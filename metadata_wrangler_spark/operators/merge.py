@@ -182,6 +182,18 @@ class VersionedParquetTable:
     class is the cluster-scale equivalent of that transaction
     boundary. The merge plans (`policy_merge`, queue transitions)
     are unchanged — they compute post-states; this commits them.
+
+    Production target: on a cluster with a real table format this
+    class collapses to ``MERGE INTO`` on Delta/Iceberg — ``merge(fn)``
+    maps to the MERGE statement, ``try_commit`` to the format's
+    commit-log claim (Delta's ``_delta_log/N.json`` put-if-absent,
+    Iceberg's metadata swap — the identical protocol this implements
+    by hand), ``vacuum`` to ``VACUUM``/``expire_snapshots``. Not
+    wired here because the sandbox has neither the delta-spark /
+    iceberg-spark-runtime packages nor network to fetch their jars;
+    the seam (read / merge / try_commit / vacuum) and the
+    serializability test in tests/test_merge.py are format-agnostic
+    and would run unchanged against the real formats.
     """
 
     def __init__(self, spark: SparkSession, path: str):

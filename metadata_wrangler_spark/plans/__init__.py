@@ -99,7 +99,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "s_cached_fetch",
     "s_soap_demand",
     "s_image_mirror_rewrite",
-    "s_overdrive_json",
+    "j_skew_salted_join",
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",

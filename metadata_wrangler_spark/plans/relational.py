@@ -1189,3 +1189,63 @@ def f_token_sort_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", ratio.cast("double").alias("token_sort_ratio")
     )
+
+
+@register(
+    "j_skew_salted_join",
+    oracle="""
+    WITH ev AS (
+        SELECT CASE WHEN user_id % 10 < 7 THEN 1 ELSE user_id END
+                   AS join_key,
+               value
+        FROM events
+    ), dim AS (
+        SELECT c_custkey AS join_key, c_mktsegment
+        FROM customer WHERE c_custkey <= 1500
+    )
+    SELECT dim.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor((ev.value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS total_value
+    FROM ev JOIN dim ON ev.join_key = dim.join_key
+    GROUP BY dim.c_mktsegment
+    """,
+)
+def j_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join under explicit salting (operators.skew): 70% of
+    the fact rows collapse onto ONE join key (a Zipf-like head), the
+    dimension is forced through a SHUFFLE_HASH join — the shape where
+    an unsalted shuffle sends 70% of the data to one reducer and the
+    straggler owns the job's wall-clock.
+
+    salted_join spreads the hot key across n_salts reducers by
+    hashing the whole fact row into a salt and replicating the
+    dimension ×n_salts; the result is identical to the plain join
+    (the oracle IS the plain join), only the partitioning differs.
+    At 100 TB this — or AQE's skew splitting, which this class of
+    rewrite predates and still beats when skew is known a priori —
+    is the difference between a balanced stage and a 1000× straggler.
+
+    Reference analogue: identifier lookups fan in to a handful of
+    very popular works (`coverage_provider.py:346-354` registers by
+    identifier; popular identifiers dominate).
+    """
+    from metadata_wrangler_spark.operators import skew
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(1).cast("bigint"))
+        .otherwise(F.col("user_id")).alias("join_key"),
+        "value",
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 1500)
+        .select(F.col("c_custkey").alias("join_key"), "c_mktsegment")
+        # Keep the dimension out of broadcast: the point is to
+        # exercise the salted SHUFFLE path the operator exists for.
+        .hint("shuffle_hash")
+    )
+    joined = skew.salted_join(ev, dim, "join_key", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )

@@ -34,6 +34,12 @@ def get_spark(app_name: str = "metadata_wrangler_spark",
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
         .config("spark.default.parallelism", str(max(n, 8)))
+        # FAIR job scheduling: concurrent actions from different
+        # driver threads (bench batches, notebook users, serving
+        # endpoints) share executors instead of queueing FIFO behind
+        # whichever job was submitted first. Each submitting thread
+        # picks its own pool via spark.scheduler.pool.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # coalescePartitions.parallelismFirst stays at its default
