@@ -48,6 +48,14 @@ def get_spark(app_name: str = "metadata_wrangler_spark",
         # CPU-heavy small shuffles (levenshtein / shingle verify run
         # on 1 partition), costing far more than the task-scheduling
         # it saves.
+        # AQE coalescing merges post-shuffle partitions up to
+        # minPartitionSize (default 1 MiB). For CPU-bound stages with
+        # tiny shuffle bytes (pair scoring: levenshtein, shingle
+        # verify, cosine re-rank) that default serializes minutes of
+        # CPU into 1-2 tasks — bytes are a bad proxy for CPU cost.
+        # 64 KiB keeps those stages wide while still folding away
+        # truly-empty partitions.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -55,6 +63,12 @@ def get_spark(app_name: str = "metadata_wrangler_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Default openCost (4 MiB) makes a 6 MiB single-file table a
+        # 2-split scan — serializing CPU-heavy projections (tokenize/
+        # shingle/minhash) over it. Small openCost lets split count
+        # follow totalBytes/parallelism; actual parallelism is still
+        # bounded by the file's row-group layout.
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         # The driver's events table stores TIMESTAMP(NANOS), which the
         # Spark parquet reader rejects natively; read as long and let
         # catalog.load convert to a microsecond timestamp column.

@@ -180,3 +180,60 @@ def test_versioned_table_queue_transition_merge(spark, tmp_path):
     assert rows(t.read()) == [
         (1, "success"), (2, "success"), (3, "success"), (4, "registered"),
     ]
+
+
+def test_versioned_table_crashed_writer_leaves_no_partial_manifest(
+    spark, tmp_path
+):
+    # A writer that dies between writing its snapshot and claiming
+    # the manifest must leave NOTHING a reader can trip over: the
+    # temp manifest is invisible to current_version/_manifest, and
+    # vacuum (past the retention fence) clears both leftovers.
+    t = merge.VersionedParquetTable(spark, str(tmp_path / "t"))
+    t.init(_editions(spark))
+
+    import os
+    # Simulate the crash: orphaned data dir + orphaned .tmp manifest
+    # (exactly what a death between parquet write and link() leaves).
+    orphan_data = os.path.join(str(tmp_path / "t"), "data", "v1-deadbeef")
+    os.makedirs(orphan_data)
+    orphan_tmp = os.path.join(
+        str(tmp_path / "t"), "_versions", "v1.json.deadbeef.tmp"
+    )
+    with open(orphan_tmp, "w") as f:
+        f.write('{"version": 1')  # truncated on purpose
+
+    # Readers are unaffected: the claimed version is still 0 and
+    # reads back complete.
+    assert t.current_version() == 0
+    assert len(t.read().collect()) == 3
+
+    # Inside the retention window the orphans are spared (they could
+    # belong to an in-flight commit)…
+    t.vacuum()
+    assert os.path.isdir(orphan_data) and os.path.exists(orphan_tmp)
+    # …past it they are garbage.
+    t.vacuum(retention_seconds=0.0)
+    assert not os.path.isdir(orphan_data)
+    assert not os.path.exists(orphan_tmp)
+    # And the next commit proceeds normally onto version 1.
+    assert t.merge(lambda cur: cur) == 1
+
+
+def test_versioned_table_vacuum_retires_old_versions_cleanly(
+    spark, tmp_path
+):
+    # Superseded versions lose manifest AND data together: an old
+    # read() raises a clean FileNotFoundError instead of a manifest
+    # pointing at vanished parquet.
+    t = merge.VersionedParquetTable(spark, str(tmp_path / "t"))
+    t.init(_editions(spark))
+    t.merge(lambda cur: cur.where(F.col("key") != 3))
+    assert t.current_version() == 1
+
+    t.vacuum()
+    assert t.current_version() == 1
+    assert len(t.read().collect()) == 2
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        t.read(0)

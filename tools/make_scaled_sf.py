@@ -116,12 +116,25 @@ def main() -> int:
                    label
             FROM t, copies""",
     }
+    # Row-group sizing: row groups are the parquet split unit, so a
+    # single-file table with few row groups caps scan parallelism at
+    # that count — and broadcast-join pair scoring (cosine, token
+    # jaccard) runs INSIDE the probe side's scan stage, so a 3-row-
+    # group embeddings file serializes millions of pair scores onto
+    # 3 tasks. At production scale a table is many files and this
+    # never arises; locally, size row groups so every table splits
+    # to ≥ the core count.
+    row_group = {
+        "documents": 1024, "embeddings": 512, "part": 4096,
+        "customer": 4096, "supplier": 512,
+    }
     for table, body in jobs.items():
         sql = body.replace(
             "FROM t", f"FROM read_parquet('{src}/{table}.parquet') t"
         )
         con.execute(
-            f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+            f"COPY ({sql}) TO '{dst}/{table}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {row_group.get(table, 65536)})"
         )
         (n,) = con.sql(
             f"SELECT COUNT(*) FROM read_parquet('{dst}/{table}.parquet')"
