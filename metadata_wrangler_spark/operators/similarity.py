@@ -375,3 +375,140 @@ def lsh_cosine_topk_multitable(
         .where(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k, Arrow-vectorized.
+
+    Same semantics as ``cosine_topk`` (self-matches excluded, ties on
+    rounded cosine broken by corpus id) at a fraction of the constant:
+    the query set — bounded by contract, it is the broadcast side —
+    is collected to a numpy matrix, and each corpus Arrow batch is
+    scored with 64 vectorized fused multiply-add passes in
+    ``mapInPandas``. Crucially the accumulation loops over the vector
+    DIMENSION, so every (query, corpus) dot product is the same
+    left-associated IEEE addition chain as the higher-order-function
+    fold and the oracle's list_sum — bit-identical values, ~50× less
+    per-pair interpreter overhead.
+
+    Each batch emits only its per-query top-k (any global top-k
+    member is in its batch's top-k), so the final rank window reads
+    |queries| × k × n_batches rows instead of |queries| × |corpus|.
+
+    Scale: corpus-side work is one scan, embarrassingly parallel;
+    driver holds only the query matrix. This is still the O(|Q|·|C|)
+    VERIFICATION tier — the LSH/IVF tiers are the 100 TB candidate
+    generators — but its constant no longer drowns the comparison.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    nq, dim = qm.shape
+    qn = np.zeros(nq)
+    for i in range(dim):  # sequential, matches norm()'s fold order
+        qn += qm[:, i] * qm[:, i]
+    qn = np.sqrt(qn)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            nb = len(c_ids)
+            acc = np.zeros((nb, nq))
+            cn = np.zeros(nb)
+            for i in range(dim):
+                ci = cm[:, i]
+                acc += ci[:, None] * qm[None, :, i]
+                cn += ci * ci
+            cos = acc / (np.sqrt(cn)[:, None] * qn[None, :])
+            # decimal(18,6) half-up rounding, same as the JVM/oracle
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            # exclude self-matches
+            cos[c_ids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(k, nb)
+            out = {"query_id": [], "corpus_id": [], "cosine": []}
+            for j in range(nq):
+                col = cos[:, j]
+                # top-k by (cosine desc, corpus_id asc)
+                order = np.lexsort((c_ids, -col))[:kk]
+                keep = order[np.isfinite(col[order])]
+                out["query_id"].extend([q_ids[j]] * len(keep))
+                out["corpus_id"].extend(c_ids[keep])
+                out["cosine"].extend(col[keep])
+            yield pd.DataFrame(out)
+
+    scored = corpus.mapInPandas(
+        score, schema="query_id long, corpus_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs_arrow(
+    bucketed: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Within-bucket exact-cosine near-duplicate pairs,
+    Arrow-vectorized: one shuffle on the LSH bucket key, then each
+    bucket's pairwise score matrix is computed in numpy inside
+    ``applyInPandas`` — accumulating over the vector DIMENSION so
+    every pair's dot product is the same left-associated IEEE chain
+    as the expression fold / the oracle's list_sum (bit-identical),
+    with ~50× less per-pair overhead than the interpreted HOF.
+
+    Emits (id_a, id_b, cosine) with id_a < id_b and
+    cosine >= threshold. Per-bucket cost is occupancy² — the
+    LSH design bounds occupancy; at 100 TB use more bucket bits /
+    tables (sim_lsh_multitable_topk) exactly as for top-k."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        nb = len(ids)
+        if nb < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        dim = cm.shape[1]
+        acc = np.zeros((nb, nb))
+        cn = np.zeros(nb)
+        for i in range(dim):
+            ci = cm[:, i]
+            acc += ci[:, None] * ci[None, :]
+            cn += ci * ci
+        rn = np.sqrt(cn)
+        cos = acc / (rn[:, None] * rn[None, :])
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        ia, ib = np.triu_indices(nb, k=1)  # ids sorted → id_a < id_b
+        c = cos[ia, ib]
+        keep = c >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": c[keep]}
+        )
+
+    return bucketed.groupBy(bucket_col).applyInPandas(pairs, out_schema)

@@ -51,10 +51,13 @@ _NORM = ("sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]), "
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k for a broadcast query set —
-    one corpus scan, per-query window rank. The baseline ANN tier."""
+    one corpus scan, per-query top-k. The baseline ANN tier, scored
+    by the Arrow-vectorized path (bit-identical to the HOF fold in
+    similarity.cosine_topk, which remains the pure-expression
+    spelling)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.expr(_QUERY_PRED))
-    return similarity.cosine_topk(emb, queries, k=_K)
+    return similarity.cosine_topk_arrow(emb, queries, k=_K)
 
 
 def _fixed_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
@@ -397,24 +400,7 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     b = similarity.hyperplane_buckets(emb, _PLANES)
-    # cached: both self-join sides read the bucket+norm projection —
-    # without it the hyperplane dot products run twice.
-    b = b.withColumn("n", similarity.norm(F.col("embedding"))).cache()
-    a, c = b.alias("a"), b.alias("b")
-    cos = similarity.dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.n") * F.col("b.n")
-    )
-    cos_r = cos.cast("decimal(18,6)").cast("double")
-    return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos_r.alias("cosine"),
-        )
-        .where(F.col("cosine") >= _DUP_THRESHOLD)
-    )
+    # One shuffle on the bucket key; each bucket's pairwise cosine
+    # matrix is Arrow-vectorized (bit-identical to the expression
+    # fold — see cosine_pairs_arrow).
+    return similarity.cosine_pairs_arrow(b, threshold=_DUP_THRESHOLD)

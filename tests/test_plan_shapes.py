@@ -18,6 +18,10 @@ SF = "/root/testdata/sf0.001"
 ARROW_STAGES = {
     "mm_binary_features", "mm_image_features", "mm_frame_sample",
     "s_cached_fetch", "s_soap_demand", "pipe_provider_end_to_end",
+    # Arrow-vectorized exact-cosine scorers (numpy accumulation over
+    # the vector dimension, bit-identical to the expression fold —
+    # operators/similarity.py cosine_topk_arrow / cosine_pairs_arrow)
+    "sim_cosine_topk", "dd_embedding_cosine",
 }
 
 
