@@ -124,3 +124,63 @@ def test_ivf_recall_and_nprobe_monotone(spark, sf_dir):
     assert r2 > 0, f"nprobe=2 recall {r2}"
     assert r8 >= r2, (r8, r2)
     assert r_all == 1.0, f"full-probe recall {r_all}"
+
+
+def _random_vectors(n, dim, seed):
+    # Deterministic float32 vectors via the same LCG the plans use
+    # (no RNG state, reproducible across runs).
+    state = seed
+    rows = []
+    for vid in range(n):
+        vec = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            vec.append(((state >> 32) / float(1 << 31)) - 1.0)
+        rows.append((vid, [float(x) for x in vec]))
+    return rows
+
+
+def test_cosine_topk_arrow_bit_identical_to_expression(spark):
+    # The Arrow scorer accumulates over the vector dimension, which
+    # must reproduce the HOF fold's left-associated IEEE chain
+    # EXACTLY — same rows, same bits, including rank ties broken on
+    # the rounded value.
+    rows = _random_vectors(n=80, dim=17, seed=99)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") % 11 == 0)
+    expr = similarity.cosine_topk(df, queries, k=4)
+    arrow = similarity.cosine_topk_arrow(df, queries, k=4)
+    assert sorted(map(tuple, expr.collect())) == sorted(
+        map(tuple, arrow.collect())
+    )
+
+
+def test_cosine_pairs_arrow_bit_identical_to_expression(spark):
+    from metadata_wrangler_spark.plans.vectors import _PLANES as planes
+    rows = _random_vectors(n=120, dim=64, seed=7)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = similarity.hyperplane_buckets(df, planes)
+    b = b.withColumn("n", similarity.norm(F.col("embedding")))
+    a, c = b.alias("a"), b.alias("b")
+    cos = similarity.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.n") * F.col("b.n")
+    )
+    cos_r = cos.cast("decimal(18,6)").cast("double")
+    threshold = -0.5  # keep lots of pairs so ties/negatives exercise
+    expr = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos_r.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    arrow = similarity.cosine_pairs_arrow(b, threshold=threshold)
+    assert sorted(map(tuple, expr.collect())) == sorted(
+        map(tuple, arrow.collect())
+    )
