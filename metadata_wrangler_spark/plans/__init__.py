@@ -52,6 +52,8 @@ def register(name: str, oracle: str | None = None):
 # (r2- and r3-green string functions and source parsers) are still
 # covered by pytest's all-109 oracle sweep (tests/test_all_oracles.py).
 VERIFICATION_PRIORITY: tuple[str, ...] = (
+    # --- round-4 addition: Catalyst-native recursive CTE twin ---
+    "g_transitive_closure_rcte",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -101,7 +103,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "s_image_mirror_rewrite",
     "j_skew_salted_join",
     "sim_cosine_topk",
-    "sim_lsh_topk",
     "sim_ivf_topk",
     "dd_embedding_cosine",
 )

@@ -127,6 +127,49 @@ def g_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node"), F.col("level").cast("int").alias("level"))
 
 
+# The recursive-CTE twin uses UNION ALL in the recursive step (the
+# only recursion mode Spark's UnionLoop guarantees) — termination
+# comes from the level bound, and path multiplicity is erased by the
+# final MIN(level) GROUP BY, so the result set is identical to the
+# deduplicating-UNION walk above.
+RCTE_WALK_SQL = f"""
+    WITH RECURSIVE edges AS ({EDGES_SQL}),
+    walk(node, level) AS (
+        SELECT c_custkey AS node, 0 AS level
+        FROM customer WHERE c_custkey % 97 = 1
+        UNION ALL
+        SELECT e.dst AS node, w.level + 1 AS level
+        FROM walk w
+        JOIN edges e ON e.src = w.node
+        WHERE w.level < 6 AND e.strength > 0.7
+    )
+    SELECT node, CAST(MIN(level) AS INT) AS level
+    FROM walk
+    GROUP BY node
+"""
+
+
+@register("g_transitive_closure_rcte", oracle=RCTE_WALK_SQL)
+def g_transitive_closure_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 twin: the SAME bounded closure expressed as an ANSI
+    recursive CTE and executed natively by Catalyst (Spark 4.x
+    UnionLoopExec) — the identical query text runs on DuckDB as the
+    oracle, so this is the engine's "recursive SQL parity" proof.
+
+    Reference: `scripts.py:493-496`, `oclc/linked_data.py:958-962`
+    (`Identifier.recursively_equivalent_identifier_ids`, which the
+    reference implements as a recursive SQL function in core).
+
+    `operators.closure.equivalent_ids` (g_transitive_closure) stays
+    the scale path: it checkpoints per level, dedups the frontier
+    each hop (UnionLoop's UNION ALL re-expands every path, fine at
+    depth 6 / fan-out 2, exponential on dense graphs), and applies
+    the strength filter before the shuffle.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(RCTE_WALK_SQL)
+
+
 @register(
     "g_connected_components",
     oracle=f"""

@@ -113,3 +113,12 @@ def test_incremental_watermark_pushes_to_scan(spark, queries):
         plan = explain_str(queries[name](spark, SF))
         pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
         assert any("GreaterThan(ts," in l for l in pushed), name
+
+
+def test_recursive_cte_uses_native_union_loop(spark, queries):
+    # g_transitive_closure_rcte must be planned by Catalyst's
+    # recursive-CTE machinery (UnionLoop), not silently rewritten to
+    # a one-shot union — the whole point of the twin is native
+    # recursive SQL support alongside the checkpointed library BFS.
+    plan = explain_str(queries["g_transitive_closure_rcte"](spark, SF))
+    assert "UnionLoop" in plan
