@@ -52,8 +52,9 @@ def register(name: str, oracle: str | None = None):
 # (r2- and r3-green string functions and source parsers) are still
 # covered by pytest's all-109 oracle sweep (tests/test_all_oracles.py).
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- round-4 addition: Catalyst-native recursive CTE twin ---
+    # --- round-4 additions: recursive CTE twin, stream-stream join ---
     "g_transitive_closure_rcte",
+    "ev_stream_stream_join",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -80,7 +81,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "w_coalesce_cascade",
     "mm_binary_features",
     "ev_tumbling_window",
-    "ev_incremental_updates",
     "ev_sessionized_gaps",
     "txt_quality_score",
     "d_policy_merge_preview",

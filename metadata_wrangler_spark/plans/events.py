@@ -283,6 +283,45 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ev_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_seconds,
+           p.value AS amount
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 120 MINUTES
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def ev_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join, batch twin: clicks joined to same-user
+    purchases within 2 h — the register→outcome correlation the
+    reference does through the CoverageRecord state table
+    (`coverage_provider.py:328-354` → `coverage_utils.py:113-167`).
+
+    The IDENTICAL join body (streaming.joins.attribution_pairs) runs
+    under readStream with watermarks on both sides
+    (streaming.joins.run_attribution_stream); equivalence is pinned
+    in tests/test_streaming.py. Scale: equi-join on user_id with the
+    range as residual; streaming state is bounded by rate × window
+    via watermark eviction.
+    """
+    from metadata_wrangler_spark.streaming.joins import attribution_pairs
+
+    ev = load(spark, sf_dir, "events")
+    return attribution_pairs(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
 _KMV_K = 64
 
 

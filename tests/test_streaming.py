@@ -296,3 +296,24 @@ def test_native_session_window_streams_with_watermark(spark, tmp_path):
         (7, base, base + 10 + 3600, 2),
         (7, day5, day5 + 3600, 1),
     ]
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    from metadata_wrangler_spark.plans import QUERIES, load_all_plans
+    from metadata_wrangler_spark.streaming import joins
+
+    load_all_plans()
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-000.parquet")
+
+    got = joins.run_attribution_stream(
+        spark, str(src), str(tmp_path / "cp"), str(tmp_path / "out"),
+        query_name="t_attr",
+    )
+    batch = QUERIES["ev_stream_stream_join"](spark, SF_DIR)
+
+    sgot = sorted(tuple(r) for r in got.collect())
+    sexp = sorted(tuple(r) for r in batch.collect())
+    assert sgot == sexp
+    assert len(sgot) > 0
