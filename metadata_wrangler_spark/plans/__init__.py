@@ -55,6 +55,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- round-4 additions: recursive CTE twin, stream-stream join ---
     "g_transitive_closure_rcte",
     "ev_stream_stream_join",
+    "dd_semantic_prune",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -78,7 +79,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "j_first_match",
     "w_order_by_rank",
     "w_viaf_candidate_score",
-    "w_coalesce_cascade",
     "mm_binary_features",
     "ev_tumbling_window",
     "ev_sessionized_gaps",

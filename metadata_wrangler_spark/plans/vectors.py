@@ -404,3 +404,84 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matrix is Arrow-vectorized (bit-identical to the expression
     # fold — see cosine_pairs_arrow).
     return similarity.cosine_pairs_arrow(b, threshold=_DUP_THRESHOLD)
+
+
+# --- SemDeDup-style semantic pruning --------------------------------------
+
+
+def _semantic_prune_oracle_sql() -> str:
+    cent_lits = [
+        "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        for row in _CENTROIDS
+    ]
+    scores = "list_value(" + ", ".join(
+        _DOT.format(a="embedding", b=c) for c in cent_lits
+    ) + ")"
+    return f"""
+    WITH cs AS (
+        SELECT vec_id, embedding, {scores} AS scores
+        FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, embedding,
+               list_indexof(scores, list_aggregate(scores, 'max')) - 1 AS cell
+        FROM cs
+    ), pairs AS (
+        SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(CAST(
+                   {_DOT.format(a='a.embedding', b='b.embedding')}
+                   / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})
+               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT id_b AS pruned_id,
+           CAST(MIN(cell) AS INT) AS cell,
+           MIN(id_a) AS dup_of,
+           COUNT(*) AS n_dup_partners
+    FROM pairs
+    WHERE cosine >= {_DUP_THRESHOLD}
+    GROUP BY id_b
+    """
+
+
+@register("dd_semantic_prune", oracle=_semantic_prune_oracle_sql())
+def dd_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): cluster
+    the corpus into coarse cells (argmax-centroid, the IVF
+    assignment), then within each cell drop every vector that has a
+    near-duplicate (cosine >= threshold) with a SMALLER id — the
+    deterministic keep-first rule. Emits the prune log: each pruned
+    vector, its cell, its lowest-id duplicate partner, and how many
+    smaller-id partners it had.
+
+    Cross-cell duplicates are not candidates — that is SemDeDup's
+    own documented approximation (duplicates cluster together). For
+    exact transitive duplicate GROUPS, feed the same pairs into
+    operators.closure.connected_components (the dd_minhash_clusters
+    pattern).
+
+    Scale shape: equi-join on cell id, quadratic only within a cell;
+    at 100 TB the centroid count grows with the corpus (k ~ N/1e5)
+    so cell occupancy — and per-cell cost — stays bounded, and the
+    cell assignment is written once as cell-partitioned parquet.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = similarity.ivf_assign(emb, _CENTROIDS).select(
+        "vec_id", "embedding", "cell"
+    )
+    pairs = similarity.cosine_pairs_arrow(
+        assigned.withColumnRenamed("cell", "bucket"),
+        threshold=_DUP_THRESHOLD,
+    )
+    pruned = pairs.groupBy("id_b").agg(
+        F.min("id_a").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_dup_partners"),
+    )
+    return pruned.join(
+        assigned.select(F.col("vec_id").alias("id_b"), "cell"), "id_b"
+    ).select(
+        F.col("id_b").alias("pruned_id"),
+        F.col("cell").cast("int").alias("cell"),
+        "dup_of",
+        "n_dup_partners",
+    )

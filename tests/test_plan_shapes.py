@@ -21,7 +21,7 @@ ARROW_STAGES = {
     # Arrow-vectorized exact-cosine scorers (numpy accumulation over
     # the vector dimension, bit-identical to the expression fold —
     # operators/similarity.py cosine_topk_arrow / cosine_pairs_arrow)
-    "sim_cosine_topk", "dd_embedding_cosine",
+    "sim_cosine_topk", "dd_embedding_cosine", "dd_semantic_prune",
 }
 
 
