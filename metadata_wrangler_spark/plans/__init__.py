@@ -56,6 +56,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "g_transitive_closure_rcte",
     "ev_stream_stream_join",
     "dd_semantic_prune",
+    "txt_tfidf_topk",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -74,7 +75,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "so_drop_duplicates",
     "f_levenshtein_ratio",
     "f_title_token_jaccard",
-    "f_stateful_role_split",
     "a_category_pct",
     "j_first_match",
     "w_order_by_rank",

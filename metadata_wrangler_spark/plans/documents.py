@@ -1088,3 +1088,85 @@ def txt_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_total"), F.asc("gram"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus analysis: TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+# Rational BM25-style idf (N - df + 0.5)/(df + 0.5) instead of the
+# log form: every operation (int→double cast, add, divide, multiply)
+# is exactly specified by IEEE-754, so Spark and DuckDB produce the
+# same bits without trusting two libms to round ln() identically.
+# Monotone in df exactly like log-idf, which is all ranking needs.
+
+@register(
+    "txt_tfidf_topk",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), terms AS (
+        SELECT doc_id, unnest(w) AS term FROM w
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM terms WHERE term <> '' GROUP BY 1, 2
+    ), dfx AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+               CAST(CAST(
+                   CAST(tf.tf AS DOUBLE) *
+                   ((CAST(n.n AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5)
+                    / (CAST(dfx.df AS DOUBLE) + 0.5))
+               AS DECIMAL(18,6)) AS DOUBLE) AS score
+        FROM tf JOIN dfx USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+        SELECT doc_id, term, tf, df, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term ASC) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= 3
+    """,
+)
+def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the corpus-keyword profile
+    (what a quality/topic triage pass reads before sampling).
+
+    Scale shape: two hash aggregations ((doc_id, term) then term)
+    plus an equi-join on term to attach document frequency; the
+    corpus size enters as a broadcast 1-row aggregate, and the final
+    window partitions by doc_id (naturally balanced). No driver
+    loops, no UDFs; at 100 TB the df side is Zipf-skewed but tiny
+    relative to tf (vocab ≪ corpus) so AQE broadcasts it.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    terms = d.select("doc_id", F.explode(words).alias("term")).where(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("_n"))
+    idf = (
+        (F.col("_n").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.col("tf").cast("double") * idf)
+            .cast("decimal(18,6)").cast("double").alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
