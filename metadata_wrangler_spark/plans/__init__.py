@@ -57,6 +57,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ev_stream_stream_join",
     "dd_semantic_prune",
     "txt_tfidf_topk",
+    "sim_ivf_train_step",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -103,7 +104,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "s_image_mirror_rewrite",
     "j_skew_salted_join",
     "sim_cosine_topk",
-    "sim_ivf_topk",
     "dd_embedding_cosine",
 )
 

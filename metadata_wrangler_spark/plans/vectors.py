@@ -485,3 +485,99 @@ def dd_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_of",
         "n_dup_partners",
     )
+
+
+# --- IVF training: one distributed k-means (Lloyd) step -------------------
+
+
+def _ivf_train_oracle_sql() -> str:
+    cent_lits = [
+        "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        for row in _CENTROIDS
+    ]
+    scores = "list_value(" + ", ".join(
+        _DOT.format(a="embedding", b=c) for c in cent_lits
+    ) + ")"
+    dim = len(_CENTROIDS[0])
+    return f"""
+    WITH cs AS (
+        SELECT vec_id, embedding, {scores} AS scores
+        FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, embedding,
+               list_indexof(scores, list_aggregate(scores, 'max')) - 1 AS cell
+        FROM cs
+    ), dims AS (
+        SELECT cell, CAST(i - 1 AS INT) AS pos,
+               CAST(embedding[i] AS DOUBLE) AS v
+        FROM assigned, UNNEST(range(1, {dim + 1})) AS t(i)
+    )
+    SELECT CAST(cell AS INT) AS cell, pos,
+           COUNT(*) AS n_members,
+           CAST(floor(SUM(CAST(floor(v * 10000 + 0.5) AS BIGINT))
+                      / 10000.0 / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS mean
+    FROM dims
+    GROUP BY 1, 2
+    """
+
+
+@register("sim_ivf_train_step", oracle=_ivf_train_oracle_sql())
+def sim_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed k-means (Lloyd) step for the IVF coarse
+    quantizer, as pure DataFrame ops: assign every vector to its
+    argmax-centroid cell, then emit the per-(cell, dimension) member
+    count and mean — the refreshed centroid components. This is the
+    "sampled k-means job" the IVF tier's docstring defers to,
+    actually shipped.
+
+    Scale shape: posexplode fans each vector into dim rows, then ONE
+    hash aggregation on (cell, pos) with map-side partial combine —
+    no driver-side vectors, no collect. Iterating K steps is a
+    driver loop over this plan with the new centroids re-broadcast
+    each round (same checkpoint cadence as operators/closure.py);
+    at 100 TB you train on a deterministic hash-sample
+    (txt_mixture_sample's gate) and assign the full corpus once.
+
+    Means use the engine's order-independent decimal accumulation
+    (plans/relational.dsum) so the refreshed centroids are
+    bit-identical across engines and partitionings.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = similarity.ivf_assign(emb, _CENTROIDS).select(
+        "embedding", "cell"
+    )
+    dims = assigned.select(
+        "cell", F.posexplode(F.col("embedding")).alias("pos", "v")
+    )
+    val = F.col("v").cast("double")
+    return (
+        dims.groupBy("cell", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            # final re-quantization via the explicit floor trick, NOT
+            # a DECIMAL cast: double→decimal tie rounding differs
+            # between engines on boundary values; floor(x*1e6+0.5) is
+            # the same IEEE chain everywhere.
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.floor(val * 10000 + F.lit(0.5)).cast("bigint")
+                        )
+                        / F.lit(10000.0)
+                    )
+                    / F.count(F.lit(1))
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("mean"),
+        )
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("pos").cast("int").alias("pos"),
+            "n_members",
+            "mean",
+        )
+    )
