@@ -58,6 +58,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "dd_semantic_prune",
     "txt_tfidf_topk",
     "sim_ivf_train_step",
+    "a_rollup_report",
+    "ev_pivot_daily_matrix",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -76,7 +78,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "so_drop_duplicates",
     "f_levenshtein_ratio",
     "f_title_token_jaccard",
-    "a_category_pct",
     "j_first_match",
     "w_order_by_rank",
     "w_viaf_candidate_score",
@@ -86,7 +87,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "txt_quality_score",
     "d_policy_merge_preview",
     "g_transitive_closure",
-    "g_connected_components",
     "pipe_provider_end_to_end",
     "pipe_lookup_urn",
     "pipe_updates_feed",

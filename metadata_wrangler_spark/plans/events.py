@@ -462,3 +462,43 @@ def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "ev_pivot_daily_matrix",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           {", ".join(
+               f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ev_pivot_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT crosstab: days × event types as columns — the dashboard
+    matrix view of A4's long-form daily buckets.
+
+    The pivot values are DECLARED (not discovered): an unlisted
+    ``pivot("event_type")`` runs an extra distinct-scan job to find
+    the columns and makes the output schema data-dependent — both
+    wrong at scale. With declared values this is one hash aggregation
+    with map-side partials, same cost as the long form.
+    """
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )

@@ -1249,3 +1249,45 @@ def j_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("total_value"),
     )
+
+
+@register(
+    "a_rollup_report",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) / 10000.0 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity report via ROLLUP — per-(flag, status),
+    per-flag subtotal, and grand-total rows from ONE aggregation
+    (the reference builds its report totals with separate queries,
+    `scripts.py:654-664`; grouping sets collapse them into a single
+    pass — Spark expands the rollup map-side, so it is still one
+    shuffle).
+
+    Null grouping keys from the rollup are relabeled 'ALL' (the
+    grouping columns are non-null in this schema, so the label is
+    unambiguous).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL"))
+            .alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL"))
+            .alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
