@@ -512,3 +512,80 @@ def cosine_pairs_arrow(
         )
 
     return bucketed.groupBy(bucket_col).applyInPandas(pairs, out_schema)
+
+
+def ivf_train(
+    df: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """Train the IVF coarse quantizer with spherical k-means:
+    ``iters`` distributed Lloyd steps, assignment against the
+    UNIT-NORMALIZED codebook (argmax dot == argmax cosine), update =
+    per-cell mean direction. Each step is one posexplode + hash
+    aggregation (plans/vectors.sim_ivf_train_step is the
+    oracle-checked single step); only the k×dim mean matrix and a
+    scalar coherence come back to the driver — bounded by the
+    codebook size, never by the data.
+
+    Returns (unit codebook, per-iteration mean coherence) where
+    coherence is mean(max_c x·c) over unit centroids — the spherical
+    k-means objective, non-decreasing across iterations (both Lloyd
+    steps are ascent steps: reassignment by definition of argmax;
+    the mean direction maximizes Σ x·c over unit c), up to the 1e-4
+    mean quantization. Empty cells keep their previous centroid (the
+    standard dead-cell rule).
+
+    At 100 TB: train on a deterministic hash-sample of the corpus
+    (`documents`-style gate), then one full-corpus ivf_assign writes
+    the cell-partitioned layout. Reference analog: none (the
+    reference has no vector search); this backs SURVEY.md's IVF tier.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    def _unit(c: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        return [x / n for x in c]
+
+    cents = [_unit(list(map(float, c))) for c in centroids]
+    coherences: list[float] = []
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, id_col, vec_col)
+        val = F.col("v").cast("double")
+        rows = (
+            assigned.select(
+                "cell",
+                F.array_max("cell_scores").alias("best"),
+                F.posexplode(F.col(vec_col)).alias("pos", "v"),
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    (
+                        F.sum(
+                            F.floor(val * 10000 + F.lit(0.5)).cast("bigint")
+                        )
+                        / F.lit(10000.0)
+                    )
+                    / F.count(F.lit(1))
+                ).alias("mean"),
+                F.sum(F.col("best")).alias("coh"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        means = [list(c) for c in cents]
+        coh_total = 0.0
+        n_total = 0
+        for r in rows:
+            means[r["cell"]][r["pos"]] = float(r["mean"])
+            if r["pos"] == 0:
+                coh_total += float(r["coh"])
+                n_total += int(r["n"])
+        coherences.append(coh_total / max(n_total, 1))
+        cents = [_unit(c) for c in means]
+    return cents, coherences

@@ -184,3 +184,25 @@ def test_cosine_pairs_arrow_bit_identical_to_expression(spark):
     assert sorted(map(tuple, expr.collect())) == sorted(
         map(tuple, arrow.collect())
     )
+
+
+def test_ivf_train_refines_codebook(spark):
+    """Spherical k-means iterations must not worsen the objective:
+    mean best dot against the unit codebook is NON-DECREASING
+    (tolerance for the 1e-4 mean quantization), the codebook stays
+    unit-norm and keeps its shape, and training moves it."""
+    import math
+
+    from metadata_wrangler_spark.operators.similarity import ivf_train
+    from metadata_wrangler_spark.plans.vectors import _CENTROIDS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, coh = ivf_train(emb, _CENTROIDS, iters=3)
+    assert len(cents) == len(_CENTROIDS)
+    assert all(len(c) == len(_CENTROIDS[0]) for c in cents)
+    for c in cents:
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+    assert len(coh) == 3
+    for a, b in zip(coh, coh[1:]):
+        assert b >= a - 1e-3, coh
+    assert cents != [list(map(float, c)) for c in _CENTROIDS]
