@@ -60,6 +60,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sim_ivf_train_step",
     "a_rollup_report",
     "ev_pivot_daily_matrix",
+    "txt_chunk_overlap",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -88,7 +89,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "d_policy_merge_preview",
     "g_transitive_closure",
     "pipe_provider_end_to_end",
-    "pipe_lookup_urn",
     "pipe_updates_feed",
     "pipe_metadata_nested_apply",
     "s_xml_classify",

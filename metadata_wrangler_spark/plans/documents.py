@@ -1170,3 +1170,63 @@ def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG prep: overlapping chunk windows
+# ---------------------------------------------------------------------------
+
+_CHUNK_WORDS = 50
+_CHUNK_STRIDE = 40  # 10-word overlap between consecutive chunks
+
+
+@register(
+    "txt_chunk_overlap",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), s AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, greatest(len(w) - 1, 0),
+                                      {_CHUNK_STRIDE})) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS INT) AS chunk_no,
+           CAST(len(w[start + 1 : start + {_CHUNK_WORDS}]) AS INT)
+               AS n_tokens,
+           md5(array_to_string(w[start + 1 : start + {_CHUNK_WORDS}], ' '))
+               AS fingerprint
+    FROM s
+    WHERE start < len(w)
+    """,
+)
+def txt_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunk windows — retrieval/embedding prep: each
+    document becomes {_CHUNK_WORDS}-word chunks at a
+    {_CHUNK_STRIDE}-word stride (10-word overlap so no boundary
+    sentence is lost to both neighbors). Emits the chunk fingerprint,
+    not the text — the id an embedding/dedup stage joins back on.
+
+    Pure expressions: sequence → explode for the starts, slice for
+    the window, one md5 per chunk. No shuffle at all until a
+    downstream stage aggregates — chunking is map-side, which is
+    what lets it run inline in a 100 TB ingest scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(words) - 1, F.lit(0)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    exploded = d.select(
+        "doc_id", words.alias("w"), F.explode(starts).alias("start")
+    ).where(F.col("start") < F.size("w"))
+    chunk = F.slice(F.col("w"), F.col("start") + 1, _CHUNK_WORDS)
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_no"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("fingerprint"),
+    )
