@@ -323,13 +323,26 @@ def lsh_cosine_topk_multitable(
     when neighbours sit at wide angles (catch probability
     1-(1-p^b)^L vs p^b for one table).
 
-    Implementation is one equi-join on (table_no, bucket): each side
-    carries L bucket rows per vector (explode on table_no), so the
-    join stays an equi-join and candidate dedup is a dropDuplicates
-    on the pair key. At scale the corpus-side bucket table is
-    written once as bucketed parquet keyed by (table_no, bucket).
+    Candidate generation is one equi-join on (table_no, bucket) over
+    ID-ONLY bucket rows (each side carries L rows per vector), deduped
+    on the pair key. Scoring never ships vectors per pair: candidates
+    are grouped per corpus vector (its query-id list rides along),
+    the corpus vector crosses the Arrow boundary ONCE, and the
+    bounded query matrix is broadcast into the Python workers — the
+    same dimension-ordered accumulation as ``dot()``'s fold, so
+    cosines stay bit-identical to the expression spelling and the
+    oracle. (The first cut scored (qvec, cvec) pairs via
+    score_pairs_arrow: correct, but per-pair vector transfer was
+    2.7 GB at sf1 with this recall config reaching ~65% of the
+    corpus per query — 20 s → 66 s. Pair-id grouping ships ~50 MB.)
+
+    At scale the corpus-side bucket table is written once as
+    bucketed parquet keyed by (table_no, bucket).
     """
-    def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
         # All L bucket codes are computed in ONE projection over one
         # scan, then exploded to (table_no, bucket) rows — a
         # union-of-L-scans spelling reads the corpus L times.
@@ -338,37 +351,87 @@ def lsh_cosine_topk_multitable(
             f"'bucket', CAST({_bucket_sql(vec_col, planes)} AS INT))"
             for t, planes in enumerate(tables)
         )
-        # one norm per vector, computed BEFORE the ×L explode
         return df.select(
             F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(out_vec),
-            norm(F.col(vec_col)).alias(f"{out_vec}_n"),
             F.explode(F.expr(f"array({entries})")).alias("tb"),
-        ).select(out_id, out_vec, f"{out_vec}_n", "tb.table_no", "tb.bucket")
+        ).select(out_id, "tb.table_no", "tb.bucket")
 
-    cb = bucketed(corpus, "corpus_id", "cvec")
+    cb = bucketed(corpus, "corpus_id")
     if query_pred is not None:
         # Query slice of the corpus: reuse the L-table bucket
-        # projection (one giant literal plan analyzed, not two).
-        # Cached so the L×dot-product projection runs once, not once
-        # per join side.
+        # projection (cached so the L×dot projection runs once, not
+        # once per join side).
         cb = cb.cache()
-        qb = cb.withColumnsRenamed(
-            {"corpus_id": "query_id", "cvec": "qvec", "cvec_n": "qvec_n"}
-        ).where(query_pred(F.col("query_id")))
+        qb = cb.withColumnRenamed("corpus_id", "query_id").where(
+            query_pred(F.col("query_id"))
+        )
+        qdf = corpus.where(query_pred(F.col(id_col)))
     else:
-        qb = bucketed(queries, "query_id", "qvec")
+        qb = bucketed(queries, "query_id")
+        qdf = queries
     cand = (
         cb.join(F.broadcast(qb), ["table_no", "bucket"])
         .where(F.col("query_id") != F.col("corpus_id"))
-        .select("query_id", "corpus_id", "qvec", "cvec", "qvec_n", "cvec_n")
+        .select("query_id", "corpus_id")
         .dropDuplicates(["query_id", "corpus_id"])
     )
-    sim = dot(F.col("qvec"), F.col("cvec")) / (
-        F.col("qvec_n") * F.col("cvec_n")
+    per_corpus = cand.groupBy("corpus_id").agg(
+        F.collect_list("query_id").alias("qids")
     )
-    sim_r = sim.cast("decimal(18,6)").cast("double")
-    scored = cand.select("query_id", "corpus_id", sim_r.alias("cosine"))
+    corpus_vecs = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )
+    withvec = per_corpus.join(corpus_vecs, "corpus_id")
+
+    # Bounded query matrix — the broadcast side by contract.
+    qrows = qdf.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qindex = {int(i): j for j, i in enumerate(q_ids)}
+    nq, dim = qm.shape
+    qn = np.zeros(nq)
+    for i in range(dim):  # sequential, matches norm()'s fold order
+        qn += qm[:, i] * qm[:, i]
+    qn = np.sqrt(qn)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+            )
+            cn = np.zeros(len(pdf))
+            for i in range(dim):
+                cn += cm[:, i] * cm[:, i]
+            cn = np.sqrt(cn)
+            counts = pdf["qids"].map(len).to_numpy(dtype=np.int64)
+            if not counts.sum():
+                continue
+            c_idx = np.repeat(np.arange(len(pdf)), counts)
+            q_idx = np.array(
+                [qindex[int(q)] for lst in pdf["qids"] for q in lst],
+                dtype=np.int64,
+            )
+            acc = np.zeros(len(c_idx))
+            for i in range(dim):
+                acc += qm[q_idx, i] * cm[c_idx, i]
+            cos = acc / (qn[q_idx] * cn[c_idx])
+            # decimal(18,6) half-up rounding, same as the JVM/oracle
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[q_idx],
+                    "corpus_id": pdf["corpus_id"].to_numpy(
+                        dtype=np.int64
+                    )[c_idx],
+                    "cosine": cos,
+                }
+            )
+
+    scored = withvec.mapInPandas(
+        score, schema="query_id long, corpus_id long, cosine double"
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -589,3 +652,49 @@ def ivf_train(
         coherences.append(coh_total / max(n_total, 1))
         cents = [_unit(c) for c in means]
     return cents, coherences
+
+
+def score_pairs_arrow(cand: DataFrame) -> DataFrame:
+    """Score candidate pairs carrying their vectors and
+    expression-computed norms (columns query_id, corpus_id, qvec,
+    cvec, qvec_n, cvec_n) in Arrow batches.
+
+    The dot product accumulates over the vector DIMENSION — the same
+    left-associated IEEE chain as ``dot()``'s fold and the oracle's
+    list_sum — and the cosine divides by the qvec_n*cvec_n product
+    exactly as the expression spelling, then rounds decimal(18,6)
+    half-up (sign-aware). Values are bit-identical to the
+    interpreted-HOF spelling at ~50× less per-pair overhead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qvec"]]
+            )
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+            )
+            acc = np.zeros(len(pdf))
+            for i in range(qm.shape[1]):
+                acc += qm[:, i] * cm[:, i]
+            cos = acc / (
+                pdf["qvec_n"].to_numpy(dtype=np.float64)
+                * pdf["cvec_n"].to_numpy(dtype=np.float64)
+            )
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "corpus_id": pdf["corpus_id"],
+                    "cosine": cos,
+                }
+            )
+
+    return cand.mapInPandas(
+        score, schema="query_id long, corpus_id long, cosine double"
+    )

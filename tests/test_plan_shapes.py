@@ -22,6 +22,8 @@ ARROW_STAGES = {
     # the vector dimension, bit-identical to the expression fold —
     # operators/similarity.py cosine_topk_arrow / cosine_pairs_arrow)
     "sim_cosine_topk", "dd_embedding_cosine", "dd_semantic_prune",
+    # Arrow-vectorized candidate-pair scorer (score_pairs_arrow)
+    "sim_lsh_multitable_topk",
 }
 
 

@@ -206,3 +206,36 @@ def test_ivf_train_refines_codebook(spark):
     for a, b in zip(coh, coh[1:]):
         assert b >= a - 1e-3, coh
     assert cents != [list(map(float, c)) for c in _CENTROIDS]
+
+
+def test_score_pairs_arrow_matches_expression_spelling(spark):
+    """score_pairs_arrow must be bit-identical to the interpreted
+    dot()/(qn*cn) + decimal(18,6) spelling it replaces — including
+    negative cosines (sign-aware half-up) and a non-64 dimension."""
+    from pyspark.sql import functions as F
+
+    from metadata_wrangler_spark.operators import similarity as sim
+
+    rows = [
+        (1, 10, [1.0, 2.0, -3.0], [0.5, -1.5, 2.5]),
+        (1, 11, [1.0, 2.0, -3.0], [1.0, 2.0, -3.0]),
+        (2, 10, [-0.1, 0.7, 0.2], [0.3, 0.3, -0.9]),
+        (2, 12, [-0.1, 0.7, 0.2], [-0.1, -0.7, -0.2]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, corpus_id long, qvec array<double>, cvec array<double>"
+    ).select(
+        "query_id", "corpus_id", "qvec", "cvec",
+        sim.norm(F.col("qvec")).alias("qvec_n"),
+        sim.norm(F.col("cvec")).alias("cvec_n"),
+    )
+    expr = df.select(
+        "query_id", "corpus_id",
+        (sim.dot(F.col("qvec"), F.col("cvec"))
+         / (F.col("qvec_n") * F.col("cvec_n")))
+        .cast("decimal(18,6)").cast("double").alias("cosine"),
+    )
+    got = sim.score_pairs_arrow(df)
+    sgot = sorted(tuple(r) for r in got.collect())
+    sexp = sorted(tuple(r) for r in expr.collect())
+    assert sgot == sexp
