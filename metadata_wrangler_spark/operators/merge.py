@@ -291,6 +291,26 @@ class VersionedParquetTable:
             f"{self.path}: lost {max_retries} optimistic races"
         )
 
+    def compact(self, target_files: int = 8, max_retries: int = 10) -> int:
+        """Small-file compaction — OPTIMIZE/rewrite_data_files for
+        this table: commit a new version whose logical content is
+        identical to the current snapshot but rewritten into
+        ``target_files`` balanced files.
+
+        Streaming ingestion through merge()/foreachBatch accretes one
+        file per batch-partition; thousands of tiny files degrade
+        scans (footer reads dominate, splits shrink below row-group
+        size — the inverse of the sf1 row-group lesson in
+        BENCH_NOTES.md). Compaction is just another optimistic
+        commit: readers are never blocked, and a concurrent merge
+        either lands first (compaction retries on the merged state)
+        or lands after and sees the compacted files. Old versions
+        stay readable until vacuum().
+        """
+        return self.merge(
+            lambda df: df.repartition(target_files), max_retries
+        )
+
     def vacuum(self, retention_seconds: float = 3600.0) -> None:
         """Garbage-collect old state, concurrency-safely.
 

@@ -237,3 +237,37 @@ def test_versioned_table_vacuum_retires_old_versions_cleanly(
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         t.read(0)
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
+    """compact() must be a pure physical rewrite: same rows, fewer
+    files, new version; the pre-compaction version stays readable
+    (time travel) until vacuum."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from metadata_wrangler_spark.operators.merge import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(tmp_path / "tbl"))
+    t.init(spark.range(0, 100).select(F.col("id"), (F.col("id") % 7).alias("k")))
+    # accrete small files: several merges, each written many-partition
+    for i in range(3):
+        t.merge(lambda df, i=i: df.unionByName(
+            df.limit(10).select((F.col("id") + 1000 * (i + 1)).alias("id"), "k")
+        ).repartition(16))
+    before_version = t.current_version()
+    before_rows = sorted(tuple(r) for r in t.read().collect())
+    before_files = len(glob.glob(os.path.join(
+        t._manifest(before_version)["data_dir"], "part-*.parquet")))
+    assert before_files >= 16
+
+    v = t.compact(target_files=4)
+    assert v == before_version + 1
+    after_files = len(glob.glob(os.path.join(
+        t._manifest(v)["data_dir"], "part-*.parquet")))
+    assert after_files <= 4
+    assert sorted(tuple(r) for r in t.read().collect()) == before_rows
+    # time travel to the pre-compaction version still works
+    assert sorted(tuple(r) for r in t.read(before_version).collect()) == before_rows
