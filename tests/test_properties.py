@@ -181,3 +181,27 @@ def test_asof_and_range_join_match_brute_force(spark, tmp_path):
         assert got_range == expect_range
 
     run()
+
+
+def test_decimal_aggregates_partition_invariant(spark):
+    """The engine's numeric-stability convention (plans/__init__
+    docstring) claims dsum/davg are bit-identical across
+    partitionings — the property that makes value hashes stable at
+    any cluster size. Pin it: same data, 1 vs 37 partitions, equal
+    bits."""
+    from pyspark.sql import functions as F
+
+    from metadata_wrangler_spark.plans.relational import davg, dsum
+
+    data = [(i % 5, ((i * 7919) % 997) / 31.0 - 16.0) for i in range(20000)]
+    base = spark.createDataFrame(data, "k int, v double")
+
+    def agg(df):
+        return sorted(
+            tuple(r)
+            for r in df.groupBy("k")
+            .agg(dsum(F.col("v")).alias("s"), davg(F.col("v")).alias("a"))
+            .collect()
+        )
+
+    assert agg(base.repartition(1)) == agg(base.repartition(37))
