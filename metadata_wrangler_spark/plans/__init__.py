@@ -45,12 +45,16 @@ def register(name: str, oracle: str | None = None):
 # in round 3 (as-of/range joins, native session_window, LSH
 # probe/multitable tiers, sequence packing, boilerplate, n-gram
 # profile, KMV sketch, and four string-function twins). Round 4
-# promotes all 13 into the leading window so zero never-verified
+# promotes all 13 into the leading window — plus the ten queries
+# added during round 4 itself (recursive-CTE twin, stream-stream
+# join, semantic prune, TF-IDF, k-means step, ROLLUP/PIVOT, RAG
+# chunking, cohort retention, funnel) — so zero never-verified
 # queries remain, and keeps one previously-green representative of
 # every SURVEY.md §2 family (so_/f_/a_/j_/w_/mm_/ev_/txt_/d_/g_/
 # pipe_/s_/p_/sim_/dd_) green each round. The rotated-out stalwarts
 # (r2- and r3-green string functions and source parsers) are still
-# covered by pytest's all-109 oracle sweep (tests/test_all_oracles.py).
+# covered by pytest's all-queries oracle sweep
+# (tests/test_all_oracles.py, every registered query at sf0.001).
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- round-4 additions: recursive CTE twin, stream-stream join ---
     "g_transitive_closure_rcte",
@@ -61,6 +65,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "a_rollup_report",
     "ev_pivot_daily_matrix",
     "txt_chunk_overlap",
+    "ev_cohort_retention",
+    "ev_funnel_conversion",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -80,7 +86,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "f_levenshtein_ratio",
     "f_title_token_jaccard",
     "j_first_match",
-    "w_order_by_rank",
     "w_viaf_candidate_score",
     "mm_binary_features",
     "ev_tumbling_window",
@@ -90,7 +95,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "g_transitive_closure",
     "pipe_provider_end_to_end",
     "pipe_updates_feed",
-    "pipe_metadata_nested_apply",
     "s_xml_classify",
     "p_compound_predicates",
     "s_viaf_cluster",

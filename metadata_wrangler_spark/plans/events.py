@@ -502,3 +502,93 @@ def ev_pivot_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _EVENT_TYPES
         ],
     )
+
+
+@register(
+    "ev_cohort_retention",
+    oracle="""
+    WITH firstw AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+        FROM events GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+    )
+    SELECT CAST(cohort AS DATE) AS cohort_week,
+           CAST(week AS DATE) AS activity_week,
+           COUNT(*) AS n_users
+    FROM act JOIN firstw USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (ISO Monday in both engines), counted in every week they return —
+    the table behind a retention triangle.
+
+    Scale shape: two aggregations sharing the user_id shuffle key
+    plus one equi-join on user_id; Catalyst reuses the exchange. No
+    window, no self-join over raw events.
+    """
+    ev = load(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    firstw = ev.groupBy("user_id").agg(F.min(week).alias("cohort"))
+    act = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        act.join(firstw, "user_id")
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            F.col("week").cast("date").alias("activity_week"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "ev_funnel_conversion",
+    oracle="""
+    WITH steps AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(*) FILTER (t_click IS NOT NULL) AS n_click,
+           COUNT(*) FILTER (t_click < t_view) AS n_click_then_view,
+           COUNT(*) FILTER (t_click < t_view AND t_view < t_purchase)
+               AS n_full_funnel
+    FROM steps
+    """,
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: users whose FIRST click precedes their
+    first view precedes their first purchase — the ordered-step
+    conversion count, computed from one conditional-min aggregation
+    per user (no sequence self-joins, no per-user sort).
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("click").alias("t_click"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("t_click").isNotNull(), 1)).alias("n_click"),
+        F.count(F.when(F.col("t_click") < F.col("t_view"), 1)).alias(
+            "n_click_then_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") < F.col("t_view"))
+                & (F.col("t_view") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
