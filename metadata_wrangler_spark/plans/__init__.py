@@ -67,6 +67,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "txt_chunk_overlap",
     "ev_cohort_retention",
     "ev_funnel_conversion",
+    "d_scd2_merge",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -97,7 +98,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "pipe_updates_feed",
     "s_xml_classify",
     "p_compound_predicates",
-    "s_viaf_cluster",
     "s_jsonld_contributor",
     "s_marc_json",
     "s_ntriples_scan",

@@ -460,3 +460,88 @@ def d_queue_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_records")
     )
+
+
+_SCD2_EPOCH = "2024-01-01 00:00:00"
+_SCD2_BATCH = "2024-02-01 00:00:00"
+
+
+@register(
+    "d_scd2_merge",
+    oracle=f"""
+    WITH updates AS (
+        SELECT c_custkey, 'UPDATED-' || c_mktsegment AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    unchanged AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               TIMESTAMP '{_SCD2_EPOCH}' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               TRUE AS is_current
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.c_custkey = c.c_custkey)
+    ),
+    closed AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               TIMESTAMP '{_SCD2_EPOCH}' AS valid_from,
+               TIMESTAMP '{_SCD2_BATCH}' AS valid_to,
+               FALSE AS is_current
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM updates u
+                      WHERE u.c_custkey = c.c_custkey)
+    ),
+    opened AS (
+        SELECT u.c_custkey, u.c_mktsegment,
+               TIMESTAMP '{_SCD2_BATCH}' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               TRUE AS is_current
+        FROM updates u
+    )
+    SELECT * FROM unchanged
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM opened
+    """,
+)
+def d_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension merge: one update batch against the
+    customer dimension produces the full history post-state — rows
+    untouched by the batch stay open, changed rows are CLOSED
+    (valid_to = batch time, is_current = false) and a new OPEN row
+    is appended per update. The reference's per-source replacement
+    policies version attributes implicitly (Metadata.apply keeps the
+    old Edition row per source, `oclc/classify.py:958-967`); SCD2 is
+    the warehouse-native spelling of that history.
+
+    Scale shape: one semi- and one anti-join on the dimension key
+    plus a union — no window, no full-table comparison; at 100 TB
+    the updates side is the small broadcast side. Committed through
+    VersionedParquetTable/Delta MERGE exactly like the other
+    post-state plans.
+    """
+    c = load(spark, sf_dir, "customer")
+    updates = c.where(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.concat(F.lit("UPDATED-"), F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    epoch = F.lit(_SCD2_EPOCH).cast("timestamp")
+    batch = F.lit(_SCD2_BATCH).cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+    base = c.select("c_custkey", "c_mktsegment")
+    unchanged = base.join(updates, "c_custkey", "left_anti").select(
+        "c_custkey", "c_mktsegment",
+        epoch.alias("valid_from"), null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = base.join(updates, "c_custkey", "left_semi").select(
+        "c_custkey", "c_mktsegment",
+        epoch.alias("valid_from"), batch.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = updates.select(
+        "c_custkey", "c_mktsegment",
+        batch.alias("valid_from"), null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(opened)
