@@ -68,6 +68,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ev_cohort_retention",
     "ev_funnel_conversion",
     "d_scd2_merge",
+    "ev_moving_average",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -99,7 +100,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "s_xml_classify",
     "p_compound_predicates",
     "s_jsonld_contributor",
-    "s_marc_json",
     "s_ntriples_scan",
     "s_html_scrape",
     "s_opds_feed",

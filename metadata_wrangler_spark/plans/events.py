@@ -592,3 +592,45 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "ev_moving_average",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           CAST(SUM(n) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS avg_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ev_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of daily event counts per type
+    — the dashboard smoothing query. Row-framed over the
+    pre-aggregated daily series (one row per day), so the window
+    input is |types| × |days|, never raw events; the mean is an
+    exact BIGINT sum divided in DOUBLE (no decimal quantization
+    needed — integer counts are exact in both engines).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type", "day", "n",
+        (F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w))
+        .alias("avg_7d"),
+    )
