@@ -342,19 +342,53 @@ def lsh_cosine_topk_multitable(
     import numpy as np
     import pandas as pd
 
+    plane_mats = [
+        [np.asarray(p, dtype=np.float64) for p in planes]
+        for planes in tables
+    ]
+    n_tables = len(tables)
+
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
-        # All L bucket codes are computed in ONE projection over one
-        # scan, then exploded to (table_no, bucket) rows — a
-        # union-of-L-scans spelling reads the corpus L times.
-        entries = ", ".join(
-            f"named_struct('table_no', {t}, "
-            f"'bucket', CAST({_bucket_sql(vec_col, planes)} AS INT))"
-            for t, planes in enumerate(tables)
+        # All L bucket codes are computed in ONE Arrow pass over one
+        # scan. The vectors cross into Python once and only id-sized
+        # (id, table_no, bucket) rows come back — nothing vector-sized
+        # returns to the JVM. Each plane dot accumulates over the
+        # vector DIMENSION (the same left-associated IEEE chain as
+        # _dot_plane_sql's fold), so the sign pattern — and therefore
+        # every bucket — is bit-identical to the expression spelling
+        # and the DuckDB oracle. (The expression spelling costs
+        # L×b interpreted folds per vector: 3.9 s for 8×3 planes over
+        # 20k vectors at sf1, vs vectorized microseconds.)
+        def buckets(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cm = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                n, dim = cm.shape
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                out_ids = np.tile(ids, n_tables)
+                out_tables = np.repeat(
+                    np.arange(n_tables, dtype=np.int32), n
+                )
+                codes = np.empty(n_tables * n, dtype=np.int32)
+                for t, planes in enumerate(plane_mats):
+                    code = np.zeros(n, dtype=np.int32)
+                    for bit, p in enumerate(planes):
+                        acc = np.zeros(n)
+                        for i in range(dim):
+                            acc += cm[:, i] * p[i]
+                        code |= (acc >= 0.0).astype(np.int32) << bit
+                    codes[t * n:(t + 1) * n] = code
+                yield pd.DataFrame(
+                    {out_id: out_ids, "table_no": out_tables,
+                     "bucket": codes}
+                )
+
+        return df.mapInPandas(
+            buckets, schema=f"{out_id} long, table_no int, bucket int"
         )
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(F.expr(f"array({entries})")).alias("tb"),
-        ).select(out_id, "tb.table_no", "tb.bucket")
 
     cb = bucketed(corpus, "corpus_id")
     if query_pred is not None:

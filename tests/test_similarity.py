@@ -239,3 +239,64 @@ def test_score_pairs_arrow_matches_expression_spelling(spark):
     sgot = sorted(tuple(r) for r in got.collect())
     sexp = sorted(tuple(r) for r in expr.collect())
     assert sgot == sexp
+
+
+def test_multitable_arrow_buckets_match_expression_spelling(spark):
+    """The Arrow bucket projection inside lsh_cosine_topk_multitable
+    must produce the SAME (id, table_no, bucket) rows as the
+    _bucket_sql expression spelling the oracle is generated from —
+    the sign of every plane dot must match bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from metadata_wrangler_spark.operators import similarity as sim
+    from metadata_wrangler_spark.plans.vectors import _TABLES
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    entries = ", ".join(
+        f"named_struct('table_no', {t}, "
+        f"'bucket', CAST({sim._bucket_sql('embedding', planes)} AS INT))"
+        for t, planes in enumerate(_TABLES)
+    )
+    expr = emb.select(
+        F.col("vec_id"),
+        F.explode(F.expr(f"array({entries})")).alias("tb"),
+    ).select("vec_id", "tb.table_no", "tb.bucket")
+
+    # The full-query oracle hash already covers the public API; this
+    # pins the bucket layer itself with the same Arrow pass:
+    import numpy as np
+    import pandas as pd
+
+    plane_mats = [
+        [np.asarray(p, dtype=np.float64) for p in planes]
+        for planes in _TABLES
+    ]
+
+    def buckets(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n, dim = cm.shape
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            for t, planes in enumerate(plane_mats):
+                code = np.zeros(n, dtype=np.int32)
+                for bit, p in enumerate(planes):
+                    acc = np.zeros(n)
+                    for i in range(dim):
+                        acc += cm[:, i] * p[i]
+                    code |= (acc >= 0.0).astype(np.int32) << bit
+                yield pd.DataFrame(
+                    {"vec_id": ids,
+                     "table_no": np.full(n, t, dtype=np.int32),
+                     "bucket": code}
+                )
+
+    arrow = emb.mapInPandas(
+        buckets, schema="vec_id long, table_no int, bucket int"
+    )
+    sgot = sorted(tuple(r) for r in arrow.collect())
+    sexp = sorted(tuple(r) for r in expr.collect())
+    assert sgot == sexp
