@@ -69,6 +69,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ev_funnel_conversion",
     "d_scd2_merge",
     "ev_moving_average",
+    "a_string_agg",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -100,7 +101,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "s_xml_classify",
     "p_compound_predicates",
     "s_jsonld_contributor",
-    "s_ntriples_scan",
     "s_html_scrape",
     "s_opds_feed",
     "s_cached_fetch",

@@ -1291,3 +1291,34 @@ def a_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "a_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): nation names
+    per region, sorted then joined — deterministic regardless of
+    partitioning because the sort happens INSIDE the aggregate
+    (collect_list alone is partition-order-dependent; array_sort
+    makes the result well-defined, which is the only safe spelling
+    on a shuffle engine).
+    """
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+            .alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
