@@ -91,6 +91,7 @@ def run_attribution_stream(
     gap_minutes: int = GAP_MINUTES,
     lateness: str = "10 minutes",
     query_name: str = "attribution_pairs",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """One AvailableNow pass of the watermarked stream-stream inner
     join to an append parquet sink.
@@ -101,7 +102,11 @@ def run_attribution_stream(
     vice versa — the eviction Spark derives from the join's time
     condition. Inner-join matches emit immediately (no
     finalization wait; only outer joins hold results back)."""
-    events = read_events_stream(spark, source_dir)
+    events = read_events_stream(
+        spark, source_dir,
+        **({"maxFilesPerTrigger": str(max_files_per_trigger)}
+           if max_files_per_trigger else {}),
+    )
     clicks = _typed_leg(events, "click").withWatermark("ts", lateness)
     purchases = _typed_leg(events, "purchase").withWatermark("ts", lateness)
     pairs = attribution_pairs(clicks, purchases, gap_minutes)

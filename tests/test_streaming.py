@@ -317,3 +317,96 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     sexp = sorted(tuple(r) for r in batch.collect())
     assert sgot == sexp
     assert len(sgot) > 0
+
+
+def test_stream_stream_join_evicts_state_behind_watermark(spark, tmp_path):
+    """The join's bounded-state claim, behaviorally: once the
+    watermark passes a click's join window its state is evicted
+    (visible in numRowsRemoved), and a purchase whose EVENT time
+    would match but which arrives after eviction produces no pair.
+
+    Subtlety this test encodes: the watermark operators sit on the
+    type-filtered legs, so only click/purchase events advance them —
+    an event of another type is filtered out upstream and moves
+    nothing (the first version of this test drove the watermark with
+    a 'view' and proved only that)."""
+    import glob
+    import os
+    from datetime import datetime
+
+    from metadata_wrangler_spark.streaming import incremental, joins
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+    def ev(eid, ts, uid, etype):
+        return (eid, datetime.fromisoformat(ts), uid, etype, 1.0)
+
+    # batch 1: the in-window pair, plus far-future click/purchase
+    # events (user 2, 3 h apart so they never pair) that push BOTH
+    # legs' watermarks past click@00:00's join window (2 h + 10 min)
+    batch1 = spark.createDataFrame([
+        ev(1, "2024-01-01 00:00:00", 1, "click"),
+        ev(2, "2024-01-01 00:10:00", 1, "purchase"),
+        ev(5, "2024-01-01 10:00:00", 2, "click"),
+        ev(6, "2024-01-01 13:00:00", 2, "purchase"),
+    ], schema)
+    # batch 2: quiet traffic; state cleanup runs at micro-batch END,
+    # so this batch is where click@00:00's state is removed
+    batch2 = spark.createDataFrame([
+        ev(7, "2024-01-01 13:00:00", 3, "click"),
+        ev(8, "2024-01-01 16:30:00", 3, "purchase"),
+    ], schema)
+    # batch 3: event time WOULD match click@00:00 (20 min gap), but
+    # it arrives two batches after the watermark passed the window
+    batch3 = spark.createDataFrame([
+        ev(4, "2024-01-01 00:20:00", 1, "purchase"),
+    ], schema)
+
+    files = [str(src / f"part-00{i}.parquet") for i in range(3)]
+    for i, (batch, dest) in enumerate(
+        zip((batch1, batch2, batch3), files)
+    ):
+        scratch = str(tmp_path / ("scratch_" + os.path.basename(dest)))
+        batch.coalesce(1).write.mode("overwrite").parquet(scratch)
+        shutil.move(
+            glob.glob(os.path.join(scratch, "part-*.parquet"))[0], dest
+        )
+        # file source orders batches by modification time
+        os.utime(dest, (1700000000 + 100 * i,) * 2)
+
+    events = incremental.read_events_stream(
+        spark, str(src), maxFilesPerTrigger="1"
+    )
+    clicks = joins._typed_leg(events, "click").withWatermark(
+        "ts", "10 minutes"
+    )
+    purchases = joins._typed_leg(events, "purchase").withWatermark(
+        "ts", "10 minutes"
+    )
+    q = (
+        joins.attribution_pairs(clicks, purchases)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.schema(joins.PAIRS_SCHEMA).parquet(
+        str(tmp_path / "out")
+    )
+    pair_ids = sorted((r[0], r[1]) for r in out.collect())
+    assert pair_ids == [(1, 2)]  # late (1, 4) never materializes
+    removed = sum(
+        p["stateOperators"][0]["numRowsRemoved"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert removed >= 2  # click@00:00 + purchase@00:10 state evicted
