@@ -70,6 +70,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "d_scd2_merge",
     "ev_moving_average",
     "a_string_agg",
+    "g_pagerank",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -101,7 +102,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "s_xml_classify",
     "p_compound_predicates",
     "s_jsonld_contributor",
-    "s_html_scrape",
     "s_opds_feed",
     "s_cached_fetch",
     "s_soap_demand",

@@ -203,3 +203,109 @@ def g_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = build_edges(spark, sf_dir).where(F.col("strength") > 0.85)
     return connected_components(edges)
+
+
+# --- PageRank (fixed-iteration, deterministic) ----------------------------
+
+_PR_D = 0.85
+_PR_ITERS = 3
+# rank scale ~1/N (N=15k at sf0.1): quantize at 1e-10 so the
+# stability rounding sits far below rank magnitude
+_PR_Q = "10000000000.0"
+
+
+def _pr_oracle_sql() -> str:
+    # every customer has exactly TWO out-edges (build_edges), so the
+    # contribution is rank/2 — no dangling-mass term needed
+    def step(prev: str, out: str) -> str:
+        return f"""
+    {out} AS (
+        SELECT n.node,
+               CAST(floor((0.15 / n.n + {_PR_D} * (
+                   COALESCE(CAST(s.contrib AS DOUBLE), 0.0) / {_PR_Q}
+               )) * {_PR_Q} + 0.5) AS BIGINT) / {_PR_Q} AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(CAST(floor(r.rank / 2 * {_PR_Q} + 0.5) AS BIGINT))
+                       AS contrib
+            FROM edges e JOIN {prev} r ON r.node = e.src
+            GROUP BY e.dst
+        ) s ON s.node = n.node
+    )"""
+
+    steps = ",".join(
+        step(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS)
+    )
+    return f"""
+    WITH edges AS ({EDGES_SQL}),
+    nodes AS (
+        SELECT c_custkey AS node,
+               CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS n
+        FROM customer
+    ),
+    r0 AS (
+        SELECT node, n,
+               CAST(floor(1.0 / n * {_PR_Q} + 0.5) AS BIGINT) / {_PR_Q}
+                   AS rank
+        FROM nodes
+    ),{steps}
+    SELECT node, rank FROM r{_PR_ITERS}
+    """
+
+
+@register("g_pagerank", oracle=_pr_oracle_sql())
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, {_PR_ITERS} fixed iterations, damping {_PR_D} — the
+    third iterative graph algorithm alongside the bounded closure and
+    connected components. Every iteration is one equi-join on the
+    edge source plus one aggregation on the destination; ranks are
+    quantized at 1e-10 through the engine's floor-chain so the
+    DuckDB oracle (the same iterations unrolled as CTEs) matches
+    bit-for-bit regardless of partitioning.
+
+    Scale shape: the edge table partitioning is reusable across
+    iterations (same join key every round); at real iteration counts
+    checkpoint per round exactly as operators/closure.py does. The
+    synthetic graph gives every node out-degree 2, so contributions
+    are rank/2 and no dangling-mass redistribution is needed (a
+    production variant adds the dangling sum as a broadcast scalar).
+    """
+    edges = build_edges(spark, sf_dir).select("src", "dst")
+    c = load(spark, sf_dir, "customer")
+    cnt = c.agg(F.count(F.lit(1)).alias("_n"))
+    nodes = c.crossJoin(F.broadcast(cnt)).select(
+        F.col("c_custkey").alias("node"), F.col("_n").cast("double").alias("n")
+    )
+    q = float(_PR_Q)
+
+    def quant(col):
+        return F.floor(col * q + F.lit(0.5)).cast("bigint") / F.lit(q)
+
+    ranks = nodes.select("node", "n", quant(F.lit(1.0) / F.col("n")).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.floor(F.col("rank") / 2 * q + F.lit(0.5)).cast("bigint")
+                ).alias("contrib")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                nodes.node,
+                nodes.n,
+                quant(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(_PR_D)
+                    * (
+                        F.coalesce(F.col("contrib").cast("double"), F.lit(0.0))
+                        / F.lit(q)
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")
