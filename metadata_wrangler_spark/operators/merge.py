@@ -291,6 +291,29 @@ class VersionedParquetTable:
             f"{self.path}: lost {max_retries} optimistic races"
         )
 
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed between two committed versions: rows
+        added since ``from_version`` tagged ``insert``, rows gone
+        tagged ``delete`` (multiset semantics — ``exceptAll`` keeps
+        duplicate counts, so a row going 3→1 copies yields two
+        deletes). An UPDATE surfaces as delete+insert, exactly like
+        Delta's CDF without per-commit change files.
+
+        Downstream incremental consumers (e.g. the admission/dedup
+        state refreshers) read this instead of re-scanning the full
+        snapshot. Physical rewrites (compact()) produce an EMPTY
+        feed — logical content is what is diffed.
+        """
+        from pyspark.sql import functions as F
+
+        old = self.read(from_version)
+        new = self.read(to_version)
+        ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        dele = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return ins.unionByName(dele)
+
     def compact(self, target_files: int = 8, max_retries: int = 10) -> int:
         """Small-file compaction — OPTIMIZE/rewrite_data_files for
         this table: commit a new version whose logical content is

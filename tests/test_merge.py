@@ -271,3 +271,32 @@ def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
     assert sorted(tuple(r) for r in t.read().collect()) == before_rows
     # time travel to the pre-compaction version still works
     assert sorted(tuple(r) for r in t.read(before_version).collect()) == before_rows
+
+
+def test_changes_feed_tracks_logical_diffs_only(spark, tmp_path):
+    """changes(v1, v2) must show inserts/deletes with multiset
+    semantics, an update as delete+insert, and NOTHING for a pure
+    physical rewrite (compaction)."""
+    from pyspark.sql import functions as F
+
+    from metadata_wrangler_spark.operators.merge import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(tmp_path / "tbl"))
+    t.init(spark.range(0, 10).select(F.col("id"), F.lit("a").alias("s")))
+    # v1: delete ids >= 8, update id 0 -> 'b', insert id 100
+    def fn(df):
+        kept = df.where((F.col("id") < 8) & (F.col("id") != 0))
+        upd = df.where(F.col("id") == 0).select("id", F.lit("b").alias("s"))
+        new = spark.createDataFrame([(100, "a")], "id long, s string")
+        return kept.unionByName(upd).unionByName(new)
+    t.merge(fn)
+
+    ch = t.changes(0, 1).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append((r["id"], r["s"]))
+    assert sorted(by_type["insert"]) == [(0, "b"), (100, "a")]
+    assert sorted(by_type["delete"]) == [(0, "a"), (8, "a"), (9, "a")]
+
+    v = t.compact(target_files=2)
+    assert t.changes(1, v).count() == 0
