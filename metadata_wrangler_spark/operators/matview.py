@@ -1,0 +1,136 @@
+"""Incrementally-maintained materialized rollup — the engine's
+materialized-view maintenance primitive.
+
+The reference maintains derived state (cached OPDS entries, work
+presentation) by recomputing rows flagged stale through
+WorkCoverageRecords (`/root/reference/coverage_provider.py:132-134`,
+`migration/20180626-move-cover-s3-bucket.sql:6-7`). For ADDITIVE
+aggregates the cluster-scale version is cheaper than recompute:
+read only events past the stored high-watermark, partially aggregate
+the delta, and MERGE it into the stored rollup by group key —
+history is never touched, so maintenance cost tracks the delta, not
+the table.
+
+Additivity is the contract: COUNT and decimal-quantized SUM merge by
+addition (the same per-row floor quantization as plans.relational.
+dsum, applied BEFORE summation, makes partial-then-merge equal
+one-shot aggregation bit-for-bit). Non-additive aggregates
+(count-distinct, percentiles) need a mergeable sketch instead — the
+KMV sketch (plans/events.a_kmv_distinct_sketch) is the shipped
+example of that class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.operators.merge import ParquetStateTable
+
+
+def _micros(col: str):
+    """unix_micros over either TIMESTAMP or TIMESTAMP_NTZ ``ts``
+    (sessions pin UTC, so the ntz→ltz cast is value-stable)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+ROLLUP_SCHEMA = (
+    "day DATE, event_type STRING, n_events BIGINT, "
+    "q_value BIGINT, watermark_epoch BIGINT"  # epoch MICROS
+)
+
+
+def _partial(events: DataFrame) -> DataFrame:
+    """Partial (additive) aggregate of an event slice: counts and the
+    1e-4-quantized value sum as BIGINT — exact, mergeable units."""
+    return events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+        ).alias("q_value"),
+    )
+
+
+class MaterializedDailyRollup:
+    """Daily (day × event_type) rollup maintained incrementally.
+
+    State layout: one parquet table partitioned by ``day`` (only
+    touched days rewrite on refresh — dynamic partition overwrite)
+    plus the high-watermark epoch stored on every row (max event ts
+    covered so far). ``refresh`` reads events with
+    ``ts > watermark`` — a pushed-down scan predicate, so on a
+    date-partitioned 100 TB events table only fresh partitions are
+    read — and merges the delta additively.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.table = ParquetStateTable(spark, path, partition_by="day")
+
+    def init(self, events: DataFrame) -> None:
+        # Microsecond-precision watermark: a floor-to-seconds epoch
+        # silently drops same-second-higher-fraction events at the
+        # boundary (the latent-mismatch class ADVICE.md flagged on
+        # the session-window oracle) — unix_micros is exact for
+        # parquet MICROS/NANOS-derived timestamps.
+        wm = events.agg(
+            F.coalesce(F.max(_micros("ts")), F.lit(0)).alias("wm")
+        )
+        base = _partial(events).crossJoin(F.broadcast(wm)).select(
+            "day", "event_type", "n_events", "q_value",
+            F.col("wm").alias("watermark_epoch"),
+        )
+        self.table.init(base)
+
+    def watermark_epoch(self) -> int:
+        row = self.table.read().agg(
+            F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("wm")
+        ).collect()[0]
+        return int(row["wm"])
+
+    def refresh(self, events: DataFrame) -> int:
+        """Merge events newer than the stored watermark into the
+        rollup. Returns the number of fresh events consumed.
+
+        ``events`` may be the full table — the watermark guard keeps
+        the merge exactly-once — but at 100 TB the caller should pass
+        the pre-pruned incremental slice (catalog.events_since's
+        raw-column band filter, which reaches parquet row-group
+        stats; a predicate on the CONVERTED ts column cannot)."""
+        wm = self.watermark_epoch()
+        fresh = events.where(_micros("ts") > F.lit(wm))
+        n_fresh = fresh.count()
+        if not n_fresh:
+            return 0
+        new_wm_row = fresh.agg(
+            F.max(_micros("ts")).alias("wm")
+        ).collect()[0]
+        new_wm = max(wm, int(new_wm_row["wm"]))
+        delta = _partial(fresh)
+        current = self.table.read().select(
+            "day", "event_type", "n_events", "q_value"
+        )
+        merged = (
+            current.unionByName(delta)
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("q_value").alias("q_value"),
+            )
+            .select(
+                "day", "event_type", "n_events", "q_value",
+                F.lit(new_wm).alias("watermark_epoch"),
+            )
+        )
+        self.table.commit(merged)
+        return n_fresh
+
+    def read(self) -> DataFrame:
+        """The rollup in reporting shape (quantized sum back to
+        DOUBLE — identical bits to a one-shot dsum aggregation)."""
+        return self.table.read().select(
+            "day", "event_type", "n_events",
+            (F.col("q_value") / F.lit(10000.0)).alias("total_value"),
+        )
