@@ -6,10 +6,9 @@ presentation) by recomputing rows flagged stale through
 WorkCoverageRecords (`/root/reference/coverage_provider.py:132-134`,
 `migration/20180626-move-cover-s3-bucket.sql:6-7`). For ADDITIVE
 aggregates the cluster-scale version is cheaper than recompute:
-read only events past the stored high-watermark, partially aggregate
-the delta, and MERGE it into the stored rollup by group key —
-history is never touched, so maintenance cost tracks the delta, not
-the table.
+aggregate only the events past the stored high-watermark and MERGE
+the delta into the stored rollup by group key — history is never
+re-aggregated, so maintenance cost tracks the delta, not the table.
 
 Additivity is the contract: COUNT and decimal-quantized SUM merge by
 addition (the same per-row floor quantization as plans.relational.
@@ -25,18 +24,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metadata_wrangler_spark.operators.merge import ParquetStateTable
+from metadata_wrangler_spark.operators.merge import VersionedParquetTable
+
+ROLLUP_SCHEMA = (
+    "day DATE, event_type STRING, n_events BIGINT, "
+    "q_value BIGINT, watermark_epoch BIGINT"  # epoch MICROS
+)
 
 
 def _micros(col: str):
     """unix_micros over either TIMESTAMP or TIMESTAMP_NTZ ``ts``
     (sessions pin UTC, so the ntz→ltz cast is value-stable)."""
     return F.unix_micros(F.col(col).cast("timestamp"))
-
-ROLLUP_SCHEMA = (
-    "day DATE, event_type STRING, n_events BIGINT, "
-    "q_value BIGINT, watermark_epoch BIGINT"  # epoch MICROS
-)
 
 
 def _partial(events: DataFrame) -> DataFrame:
@@ -56,18 +55,30 @@ def _partial(events: DataFrame) -> DataFrame:
 class MaterializedDailyRollup:
     """Daily (day × event_type) rollup maintained incrementally.
 
-    State layout: one parquet table partitioned by ``day`` (only
-    touched days rewrite on refresh — dynamic partition overwrite)
-    plus the high-watermark epoch stored on every row (max event ts
-    covered so far). ``refresh`` reads events with
-    ``ts > watermark`` — a pushed-down scan predicate, so on a
-    date-partitioned 100 TB events table only fresh partitions are
-    read — and merges the delta additively.
+    State lives in a ``VersionedParquetTable``: every refresh is one
+    ATOMIC snapshot commit (manifest claim), so a crash mid-refresh
+    leaves the previous version — rollup rows and their watermark —
+    fully intact, and the retry re-consumes the same delta exactly
+    once. (A partition-overwrite layout would write only touched
+    days but commits partition-by-partition; a crash between
+    partitions would strand a half-applied delta behind an advanced
+    watermark and permanently under-count. On a cluster with a real
+    table format, Delta's ``MERGE INTO`` gives atomicity AND
+    touched-partition writes; this class is the format-free
+    equivalent that chooses atomicity.)
+
+    The watermark guard inside ``refresh`` is an EXACTNESS mechanism
+    (each event merges once), not a pruning mechanism: it compares a
+    derived microsecond epoch, which parquet scan statistics cannot
+    evaluate. At 100 TB pass the pre-pruned incremental slice —
+    ``catalog.events_since``'s raw-column band filter reaches
+    row-group stats, and on a date-partitioned layout only fresh
+    partitions are listed at all.
     """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.table = ParquetStateTable(spark, path, partition_by="day")
+        self.table = VersionedParquetTable(spark, path)
 
     def init(self, events: DataFrame) -> None:
         # Microsecond-precision watermark: a floor-to-seconds epoch
@@ -94,37 +105,44 @@ class MaterializedDailyRollup:
         """Merge events newer than the stored watermark into the
         rollup. Returns the number of fresh events consumed.
 
-        ``events`` may be the full table — the watermark guard keeps
-        the merge exactly-once — but at 100 TB the caller should pass
-        the pre-pruned incremental slice (catalog.events_since's
-        raw-column band filter, which reaches parquet row-group
-        stats; a predicate on the CONVERTED ts column cannot)."""
+        The fresh slice is materialized ONCE (localCheckpoint) before
+        anything is measured or merged: the count, the new watermark,
+        and the committed delta must come from the same snapshot of
+        the source — re-reading a live directory between those jobs
+        could fold late-arriving files into the delta without
+        covering them with the stored watermark, double-counting them
+        on the next refresh. The checkpoint is bounded by the delta,
+        never the table."""
         wm = self.watermark_epoch()
-        fresh = events.where(_micros("ts") > F.lit(wm))
-        n_fresh = fresh.count()
+        fresh = events.where(_micros("ts") > F.lit(wm)).localCheckpoint(
+            eager=True
+        )
+        stats = fresh.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.max(_micros("ts")), F.lit(wm)).alias("wm"),
+        ).collect()[0]
+        n_fresh = int(stats["n"])
         if not n_fresh:
             return 0
-        new_wm_row = fresh.agg(
-            F.max(_micros("ts")).alias("wm")
-        ).collect()[0]
-        new_wm = max(wm, int(new_wm_row["wm"]))
+        new_wm = max(wm, int(stats["wm"]))
         delta = _partial(fresh)
-        current = self.table.read().select(
-            "day", "event_type", "n_events", "q_value"
-        )
-        merged = (
-            current.unionByName(delta)
-            .groupBy("day", "event_type")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("q_value").alias("q_value"),
+
+        def merge_fn(current: DataFrame) -> DataFrame:
+            return (
+                current.select("day", "event_type", "n_events", "q_value")
+                .unionByName(delta)
+                .groupBy("day", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("q_value").alias("q_value"),
+                )
+                .select(
+                    "day", "event_type", "n_events", "q_value",
+                    F.lit(new_wm).alias("watermark_epoch"),
+                )
             )
-            .select(
-                "day", "event_type", "n_events", "q_value",
-                F.lit(new_wm).alias("watermark_epoch"),
-            )
-        )
-        self.table.commit(merged)
+
+        self.table.merge(merge_fn)
         return n_fresh
 
     def read(self) -> DataFrame:

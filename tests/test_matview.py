@@ -68,3 +68,17 @@ def test_refresh_boundary_second_not_lost(spark, tmp_path):
     row = mv.read().collect()[0]
     assert row["n_events"] == 2
     assert row["total_value"] == 3.0
+
+
+def test_init_on_empty_slice_then_refresh(spark, tmp_path):
+    """Bootstrapping before any events exist must work: empty init,
+    then the first refresh consumes everything."""
+    ev = load(spark, SF_DIR, "events")
+    empty = ev.where(F.lit(False))
+    mv = MaterializedDailyRollup(spark, str(tmp_path / "mv"))
+    mv.init(empty)
+    assert mv.watermark_epoch() == 0
+    assert mv.refresh(ev) == ev.count()
+    got = sorted(tuple(r) for r in mv.read().collect())
+    exp = sorted(tuple(r) for r in _full_rollup(ev).collect())
+    assert got == exp
