@@ -206,17 +206,19 @@ def main() -> int:
         if wall < best_wall:
             best_wall, timings = wall, spans
 
-    # Continuity series: the pre-round-4 one-query-at-a-time number
-    # (single timed pass over plans that are now codegen-warm). The
-    # per-query spans from THIS pass are the comparable per-query
-    # latencies — measured uncontended, like the oracle's — so they
-    # are what "queries" reports; the concurrent batch's overlapping
-    # spans go to "queries_concurrent".
-    sequential = {}
-    for name in present:
-        t0 = time.time()
-        queries[name](spark, SF_DIR).toPandas()
-        sequential[name] = round(time.time() - t0, 3)
+    # Continuity series: the pre-round-4 one-query-at-a-time number.
+    # The per-query spans from THIS pass are the comparable per-query
+    # latencies — measured uncontended AND best-of-RUNS, the same
+    # protocol as the oracle's spans (a single pass would charge
+    # Spark first-run cache/JIT noise the oracle's best-of discards)
+    # — so they are what "queries" reports; the concurrent batch's
+    # overlapping spans go to "queries_concurrent".
+    sequential = {
+        name: _best_of(
+            RUNS, lambda name=name: queries[name](spark, SF_DIR).toPandas()
+        )
+        for name in present
+    }
     sequential_total = sum(sequential.values())
 
     oracle = _time_oracles(present, oracles)

@@ -26,12 +26,6 @@ from pyspark.sql import functions as F
 
 from metadata_wrangler_spark.operators.merge import VersionedParquetTable
 
-ROLLUP_SCHEMA = (
-    "day DATE, event_type STRING, n_events BIGINT, "
-    "q_value BIGINT, watermark_epoch BIGINT"  # epoch MICROS
-)
-
-
 def _micros(col: str):
     """unix_micros over either TIMESTAMP or TIMESTAMP_NTZ ``ts``
     (sessions pin UTC, so the ntz→ltz cast is value-stable)."""
@@ -117,20 +111,37 @@ class MaterializedDailyRollup:
         fresh = events.where(_micros("ts") > F.lit(wm)).localCheckpoint(
             eager=True
         )
-        stats = fresh.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.max(_micros("ts")), F.lit(wm)).alias("wm"),
-        ).collect()[0]
-        n_fresh = int(stats["n"])
-        if not n_fresh:
+        if not fresh.take(1):
             return 0
-        new_wm = max(wm, int(stats["wm"]))
-        delta = _partial(fresh)
+
+        merged_count = 0
 
         def merge_fn(current: DataFrame) -> DataFrame:
+            # Everything derives from `current` INSIDE the retry
+            # loop: after losing an optimistic race, the competitor
+            # may have merged part (or all) of our slice and advanced
+            # the watermark — re-slicing against the CURRENT
+            # watermark keeps the merge exactly-once, and the new
+            # watermark is max(current, slice) so a retry can never
+            # regress it below events already covered. (The first cut
+            # captured delta and new_wm once, outside the loop — a
+            # retry would have double-counted every fresh event.)
+            nonlocal merged_count
+            cur_wm = int(
+                current.agg(
+                    F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("w")
+                ).collect()[0]["w"]
+            )
+            mine = fresh.where(_micros("ts") > F.lit(cur_wm))
+            stats = mine.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.max(_micros("ts")), F.lit(cur_wm)).alias("wm"),
+            ).collect()[0]
+            merged_count = int(stats["n"])
+            new_wm = max(cur_wm, int(stats["wm"]))
             return (
                 current.select("day", "event_type", "n_events", "q_value")
-                .unionByName(delta)
+                .unionByName(_partial(mine))
                 .groupBy("day", "event_type")
                 .agg(
                     F.sum("n_events").alias("n_events"),
@@ -143,7 +154,7 @@ class MaterializedDailyRollup:
             )
 
         self.table.merge(merge_fn)
-        return n_fresh
+        return merged_count
 
     def read(self) -> DataFrame:
         """The rollup in reporting shape (quantized sum back to

@@ -309,7 +309,10 @@ class VersionedParquetTable:
         from pyspark.sql import functions as F
 
         old = self.read(from_version)
-        new = self.read(to_version)
+        # exceptAll resolves columns POSITIONALLY: realign the newer
+        # snapshot to the older one's column order (a merge_fn is free
+        # to emit columns in any order) or the diff is garbage.
+        new = self.read(to_version).select(*old.columns)
         ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
         dele = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
         return ins.unionByName(dele)

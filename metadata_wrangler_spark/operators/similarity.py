@@ -57,6 +57,21 @@ def _bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
         for i, p in enumerate(planes)
     )
 
+def round6(col: Column) -> Column:
+    """Cosine rounding used EVERYWHERE in the similarity family:
+    sign-aware floor(|x|*1e6 + 0.5)/1e6 — the identical IEEE chain
+    as the numpy Arrow scorers and the oracle SQL spelling.
+
+    NOT a DECIMAL(18,6) cast: double→decimal tie rounding differs
+    between Spark (HALF_UP over the exact decimal expansion) and
+    DuckDB (round over the approximated product) — observed
+    diverging on 6/1024 values in sim_ivf_train_step's means. One
+    explicit chain on all three surfaces (expression, numpy, SQL)
+    removes the divergence class."""
+    sign = F.when(col < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return sign * F.floor(F.abs(col) * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Deterministic sequential-fold dot product in DOUBLE."""
     return F.aggregate(
@@ -105,7 +120,7 @@ def cosine_topk(
     )
     sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
     # Round for cross-engine stability before ranking.
-    sim_r = sim.cast("decimal(18,6)").cast("double")
+    sim_r = round6(sim)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
         .select("query_id", "corpus_id", sim_r.alias("cosine"))
@@ -197,7 +212,7 @@ def lsh_cosine_topk(
     cb = cb.withColumn("cn", norm(F.col("cvec")))
     qb = qb.withColumn("qn", norm(F.col("qvec")))
     sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
-    sim_r = sim.cast("decimal(18,6)").cast("double")
+    sim_r = round6(sim)
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .where(F.col("query_id") != F.col("corpus_id"))
@@ -293,7 +308,7 @@ def ivf_cosine_topk(
         .select("query_id", "qvec", "qn", "cell")
     )
     sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
-    sim_r = sim.cast("decimal(18,6)").cast("double")
+    sim_r = round6(sim)
     scored = (
         cb.join(F.broadcast(qb), "cell")
         .where(F.col("query_id") != F.col("corpus_id"))
@@ -307,6 +322,56 @@ def ivf_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def multitable_bucket_pass(
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+):
+    """Arrow kernel computing every table's sign-pattern bucket for
+    each vector in one pass — module-level so the bit-parity test
+    exercises the PRODUCTION kernel, not a copy. Each plane dot
+    accumulates over the vector DIMENSION (the same left-associated
+    IEEE chain as _dot_plane_sql's fold), so the sign pattern — and
+    therefore every bucket — is bit-identical to the expression
+    spelling and the DuckDB oracle. Returns (generator, schema) for
+    mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    plane_mats = [
+        [np.asarray(p, dtype=np.float64) for p in planes]
+        for planes in tables
+    ]
+    n_tables = len(tables)
+
+    def buckets(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n, dim = cm.shape
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out_ids = np.tile(ids, n_tables)
+            out_tables = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+            codes = np.empty(n_tables * n, dtype=np.int32)
+            for t, planes in enumerate(plane_mats):
+                code = np.zeros(n, dtype=np.int32)
+                for bit, p in enumerate(planes):
+                    acc = np.zeros(n)
+                    for i in range(dim):
+                        acc += cm[:, i] * p[i]
+                    code |= (acc >= 0.0).astype(np.int32) << bit
+                codes[t * n:(t + 1) * n] = code
+            yield pd.DataFrame(
+                {out_id: out_ids, "table_no": out_tables, "bucket": codes}
+            )
+
+    return buckets, f"{out_id} long, table_no int, bucket int"
 
 
 def lsh_cosine_topk_multitable(
@@ -342,53 +407,18 @@ def lsh_cosine_topk_multitable(
     import numpy as np
     import pandas as pd
 
-    plane_mats = [
-        [np.asarray(p, dtype=np.float64) for p in planes]
-        for planes in tables
-    ]
-    n_tables = len(tables)
-
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
-        # All L bucket codes are computed in ONE Arrow pass over one
-        # scan. The vectors cross into Python once and only id-sized
-        # (id, table_no, bucket) rows come back — nothing vector-sized
-        # returns to the JVM. Each plane dot accumulates over the
-        # vector DIMENSION (the same left-associated IEEE chain as
-        # _dot_plane_sql's fold), so the sign pattern — and therefore
-        # every bucket — is bit-identical to the expression spelling
-        # and the DuckDB oracle. (The expression spelling costs
-        # L×b interpreted folds per vector: 3.9 s for 8×3 planes over
-        # 20k vectors at sf1, vs vectorized microseconds.)
-        def buckets(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                cm = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                n, dim = cm.shape
-                ids = pdf[id_col].to_numpy(dtype=np.int64)
-                out_ids = np.tile(ids, n_tables)
-                out_tables = np.repeat(
-                    np.arange(n_tables, dtype=np.int32), n
-                )
-                codes = np.empty(n_tables * n, dtype=np.int32)
-                for t, planes in enumerate(plane_mats):
-                    code = np.zeros(n, dtype=np.int32)
-                    for bit, p in enumerate(planes):
-                        acc = np.zeros(n)
-                        for i in range(dim):
-                            acc += cm[:, i] * p[i]
-                        code |= (acc >= 0.0).astype(np.int32) << bit
-                    codes[t * n:(t + 1) * n] = code
-                yield pd.DataFrame(
-                    {out_id: out_ids, "table_no": out_tables,
-                     "bucket": codes}
-                )
-
-        return df.mapInPandas(
-            buckets, schema=f"{out_id} long, table_no int, bucket int"
+        # One Arrow pass over one scan (multitable_bucket_pass): the
+        # vectors cross into Python once and only id-sized
+        # (id, table_no, bucket) rows come back — nothing
+        # vector-sized returns to the JVM. (The expression spelling
+        # costs L×b interpreted folds per vector: 3.9 s for 8×3
+        # planes over 20k vectors at sf1, vs vectorized
+        # microseconds.)
+        gen, schema = multitable_bucket_pass(
+            tables, id_col=id_col, vec_col=vec_col, out_id=out_id
         )
+        return df.mapInPandas(gen, schema=schema)
 
     cb = bucketed(corpus, "corpus_id")
     if query_pred is not None:
@@ -419,6 +449,11 @@ def lsh_cosine_topk_multitable(
 
     # Bounded query matrix — the broadcast side by contract.
     qrows = qdf.select(id_col, vec_col).collect()
+    if not qrows:
+        # empty query set: a valid empty result, not a crash
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank int"
+        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qindex = {int(i): j for j, i in enumerate(q_ids)}
@@ -686,49 +721,3 @@ def ivf_train(
         coherences.append(coh_total / max(n_total, 1))
         cents = [_unit(c) for c in means]
     return cents, coherences
-
-
-def score_pairs_arrow(cand: DataFrame) -> DataFrame:
-    """Score candidate pairs carrying their vectors and
-    expression-computed norms (columns query_id, corpus_id, qvec,
-    cvec, qvec_n, cvec_n) in Arrow batches.
-
-    The dot product accumulates over the vector DIMENSION — the same
-    left-associated IEEE chain as ``dot()``'s fold and the oracle's
-    list_sum — and the cosine divides by the qvec_n*cvec_n product
-    exactly as the expression spelling, then rounds decimal(18,6)
-    half-up (sign-aware). Values are bit-identical to the
-    interpreted-HOF spelling at ~50× less per-pair overhead.
-    """
-    import numpy as np
-    import pandas as pd
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qm = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["qvec"]]
-            )
-            cm = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
-            )
-            acc = np.zeros(len(pdf))
-            for i in range(qm.shape[1]):
-                acc += qm[:, i] * cm[:, i]
-            cos = acc / (
-                pdf["qvec_n"].to_numpy(dtype=np.float64)
-                * pdf["cvec_n"].to_numpy(dtype=np.float64)
-            )
-            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "corpus_id": pdf["corpus_id"],
-                    "cosine": cos,
-                }
-            )
-
-    return cand.mapInPandas(
-        score, schema="query_id long, corpus_id long, cosine double"
-    )

@@ -45,10 +45,9 @@ def register(name: str, oracle: str | None = None):
 # in round 3 (as-of/range joins, native session_window, LSH
 # probe/multitable tiers, sequence packing, boilerplate, n-gram
 # profile, KMV sketch, and four string-function twins). Round 4
-# promotes all 13 into the leading window — plus the ten queries
-# added during round 4 itself (recursive-CTE twin, stream-stream
-# join, semantic prune, TF-IDF, k-means step, ROLLUP/PIVOT, RAG
-# chunking, cohort retention, funnel) — so zero never-verified
+# promotes all 13 into the leading window — plus every query added
+# during round 4 itself (the leading block below: recursive-CTE
+# twin through PageRank) — so zero never-verified
 # queries remain, and keeps one previously-green representative of
 # every SURVEY.md §2 family (so_/f_/a_/j_/w_/mm_/ev_/txt_/d_/g_/
 # pipe_/s_/p_/sim_/dd_) green each round. The rotated-out stalwarts

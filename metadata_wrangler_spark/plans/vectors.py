@@ -33,10 +33,9 @@ _NORM = ("sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]), "
         FROM embeddings WHERE {_QUERY_PRED}
     ), scored AS (
         SELECT q.query_id, c.vec_id AS corpus_id,
-               CAST(CAST(
-                   {_DOT.format(a='q.qvec', b='c.embedding')}
-                   / ({_NORM.format(a='q.qvec')} * {_NORM.format(a='c.embedding')})
-               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+               ((CASE WHEN {_DOT.format(a='q.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='q.qvec')} * {_NORM.format(a='c.embedding')}) < 0 THEN -1.0 ELSE 1.0 END) * CAST(floor(abs({_DOT.format(a='q.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='q.qvec')} * {_NORM.format(a='c.embedding')})) * 1000000 + 0.5) AS BIGINT) / 1000000.0) AS cosine
         FROM embeddings c
         JOIN q ON q.query_id <> c.vec_id
     )
@@ -108,10 +107,9 @@ def _lsh_oracle_sql() -> str:
         FROM b WHERE {_QUERY_PRED}
     ), scored AS (
         SELECT q.query_id, c.vec_id AS corpus_id,
-               CAST(CAST(
-                   {_DOT.format(a='q.qvec', b='c.embedding')}
-                   / ({_NORM.format(a='q.qvec')} * {_NORM.format(a='c.embedding')})
-               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+               ((CASE WHEN {_DOT.format(a='q.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='q.qvec')} * {_NORM.format(a='c.embedding')}) < 0 THEN -1.0 ELSE 1.0 END) * CAST(floor(abs({_DOT.format(a='q.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='q.qvec')} * {_NORM.format(a='c.embedding')})) * 1000000 + 0.5) AS BIGINT) / 1000000.0) AS cosine
         FROM b c
         JOIN q ON q.bucket = c.bucket AND q.query_id <> c.vec_id
     )
@@ -169,10 +167,9 @@ def _lsh_probe_oracle_sql() -> str:
         FROM q, UNNEST(range(0, {n + 1})) AS t(p)
     ), scored AS (
         SELECT pr.query_id, c.vec_id AS corpus_id,
-               CAST(CAST(
-                   {_DOT.format(a='pr.qvec', b='c.embedding')}
-                   / ({_NORM.format(a='pr.qvec')} * {_NORM.format(a='c.embedding')})
-               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+               ((CASE WHEN {_DOT.format(a='pr.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='pr.qvec')} * {_NORM.format(a='c.embedding')}) < 0 THEN -1.0 ELSE 1.0 END) * CAST(floor(abs({_DOT.format(a='pr.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='pr.qvec')} * {_NORM.format(a='c.embedding')})) * 1000000 + 0.5) AS BIGINT) / 1000000.0) AS cosine
         FROM b c
         JOIN probes pr ON pr.bucket = c.bucket
                       AND pr.query_id <> c.vec_id
@@ -242,10 +239,9 @@ def _multitable_oracle_sql() -> str:
               AND q.query_id <> c.vec_id
     ), scored AS (
         SELECT query_id, corpus_id,
-               CAST(CAST(
-                   {_DOT.format(a='qvec', b='cvec')}
-                   / ({_NORM.format(a='qvec')} * {_NORM.format(a='cvec')})
-               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+               ((CASE WHEN {_DOT.format(a='qvec', b='cvec')}
+                   / ({_NORM.format(a='qvec')} * {_NORM.format(a='cvec')}) < 0 THEN -1.0 ELSE 1.0 END) * CAST(floor(abs({_DOT.format(a='qvec', b='cvec')}
+                   / ({_NORM.format(a='qvec')} * {_NORM.format(a='cvec')})) * 1000000 + 0.5) AS BIGINT) / 1000000.0) AS cosine
         FROM cand
     )
     SELECT query_id, corpus_id, cosine, rank FROM (
@@ -316,10 +312,9 @@ def _ivf_oracle_sql() -> str:
         ) WHERE rn <= {_NPROBE}
     ), scored AS (
         SELECT qp.query_id, c.vec_id AS corpus_id,
-               CAST(CAST(
-                   {_DOT.format(a='qp.qvec', b='c.embedding')}
-                   / ({_NORM.format(a='qp.qvec')} * {_NORM.format(a='c.embedding')})
-               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+               ((CASE WHEN {_DOT.format(a='qp.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='qp.qvec')} * {_NORM.format(a='c.embedding')}) < 0 THEN -1.0 ELSE 1.0 END) * CAST(floor(abs({_DOT.format(a='qp.qvec', b='c.embedding')}
+                   / ({_NORM.format(a='qp.qvec')} * {_NORM.format(a='c.embedding')})) * 1000000 + 0.5) AS BIGINT) / 1000000.0) AS cosine
         FROM assigned c
         JOIN qp ON qp.cell = c.cell AND qp.query_id <> c.vec_id
     )
@@ -375,16 +370,14 @@ def _cosine_pairs_oracle_sql() -> str:
         SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST(CAST(
-               {_DOT.format(a='a.embedding', b='b.embedding')}
-               / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})
-           AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+           ((CASE WHEN {_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}) < 0 THEN -1.0 ELSE 1.0 END) * CAST(floor(abs({_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})) * 1000000 + 0.5) AS BIGINT) / 1000000.0) AS cosine
     FROM b a
     JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE CAST(CAST(
-               {_DOT.format(a='a.embedding', b='b.embedding')}
-               / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})
-           AS DECIMAL(18,6)) AS DOUBLE) >= {_DUP_THRESHOLD}
+    WHERE ((CASE WHEN {_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}) < 0 THEN -1.0 ELSE 1.0 END) * CAST(floor(abs({_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})) * 1000000 + 0.5) AS BIGINT) / 1000000.0) >= {_DUP_THRESHOLD}
     """
 
 
@@ -427,10 +420,9 @@ def _semantic_prune_oracle_sql() -> str:
         FROM cs
     ), pairs AS (
         SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(CAST(
-                   {_DOT.format(a='a.embedding', b='b.embedding')}
-                   / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})
-               AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+               ((CASE WHEN {_DOT.format(a='a.embedding', b='b.embedding')}
+                   / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}) < 0 THEN -1.0 ELSE 1.0 END) * CAST(floor(abs({_DOT.format(a='a.embedding', b='b.embedding')}
+                   / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})) * 1000000 + 0.5) AS BIGINT) / 1000000.0) AS cosine
         FROM assigned a
         JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
     )

@@ -165,7 +165,7 @@ def test_cosine_pairs_arrow_bit_identical_to_expression(spark):
     cos = similarity.dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.n") * F.col("b.n")
     )
-    cos_r = cos.cast("decimal(18,6)").cast("double")
+    cos_r = similarity.round6(cos)
     threshold = -0.5  # keep lots of pairs so ties/negatives exercise
     expr = (
         a.join(
@@ -208,44 +208,12 @@ def test_ivf_train_refines_codebook(spark):
     assert cents != [list(map(float, c)) for c in _CENTROIDS]
 
 
-def test_score_pairs_arrow_matches_expression_spelling(spark):
-    """score_pairs_arrow must be bit-identical to the interpreted
-    dot()/(qn*cn) + decimal(18,6) spelling it replaces — including
-    negative cosines (sign-aware half-up) and a non-64 dimension."""
-    from pyspark.sql import functions as F
-
-    from metadata_wrangler_spark.operators import similarity as sim
-
-    rows = [
-        (1, 10, [1.0, 2.0, -3.0], [0.5, -1.5, 2.5]),
-        (1, 11, [1.0, 2.0, -3.0], [1.0, 2.0, -3.0]),
-        (2, 10, [-0.1, 0.7, 0.2], [0.3, 0.3, -0.9]),
-        (2, 12, [-0.1, 0.7, 0.2], [-0.1, -0.7, -0.2]),
-    ]
-    df = spark.createDataFrame(
-        rows, "query_id long, corpus_id long, qvec array<double>, cvec array<double>"
-    ).select(
-        "query_id", "corpus_id", "qvec", "cvec",
-        sim.norm(F.col("qvec")).alias("qvec_n"),
-        sim.norm(F.col("cvec")).alias("cvec_n"),
-    )
-    expr = df.select(
-        "query_id", "corpus_id",
-        (sim.dot(F.col("qvec"), F.col("cvec"))
-         / (F.col("qvec_n") * F.col("cvec_n")))
-        .cast("decimal(18,6)").cast("double").alias("cosine"),
-    )
-    got = sim.score_pairs_arrow(df)
-    sgot = sorted(tuple(r) for r in got.collect())
-    sexp = sorted(tuple(r) for r in expr.collect())
-    assert sgot == sexp
-
-
 def test_multitable_arrow_buckets_match_expression_spelling(spark):
-    """The Arrow bucket projection inside lsh_cosine_topk_multitable
-    must produce the SAME (id, table_no, bucket) rows as the
-    _bucket_sql expression spelling the oracle is generated from —
-    the sign of every plane dot must match bit-for-bit."""
+    """The PRODUCTION Arrow bucket kernel (multitable_bucket_pass —
+    the one lsh_cosine_topk_multitable ships) must produce the SAME
+    (id, table_no, bucket) rows as the _bucket_sql expression
+    spelling the oracle is generated from — the sign of every plane
+    dot must match bit-for-bit."""
     from pyspark.sql import functions as F
 
     from metadata_wrangler_spark.operators import similarity as sim
@@ -262,41 +230,8 @@ def test_multitable_arrow_buckets_match_expression_spelling(spark):
         F.explode(F.expr(f"array({entries})")).alias("tb"),
     ).select("vec_id", "tb.table_no", "tb.bucket")
 
-    # The full-query oracle hash already covers the public API; this
-    # pins the bucket layer itself with the same Arrow pass:
-    import numpy as np
-    import pandas as pd
-
-    plane_mats = [
-        [np.asarray(p, dtype=np.float64) for p in planes]
-        for planes in _TABLES
-    ]
-
-    def buckets(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cm = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            n, dim = cm.shape
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            for t, planes in enumerate(plane_mats):
-                code = np.zeros(n, dtype=np.int32)
-                for bit, p in enumerate(planes):
-                    acc = np.zeros(n)
-                    for i in range(dim):
-                        acc += cm[:, i] * p[i]
-                    code |= (acc >= 0.0).astype(np.int32) << bit
-                yield pd.DataFrame(
-                    {"vec_id": ids,
-                     "table_no": np.full(n, t, dtype=np.int32),
-                     "bucket": code}
-                )
-
-    arrow = emb.mapInPandas(
-        buckets, schema="vec_id long, table_no int, bucket int"
-    )
+    gen, schema = sim.multitable_bucket_pass(_TABLES)
+    arrow = emb.mapInPandas(gen, schema=schema)
     sgot = sorted(tuple(r) for r in arrow.collect())
     sexp = sorted(tuple(r) for r in expr.collect())
     assert sgot == sexp
