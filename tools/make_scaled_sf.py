@@ -17,6 +17,13 @@ quadratic in the copy count and misrepresent the workload):
 * documents.text — word-rotated by a per-copy offset (preserves
   token/length distributions; shingle sets diverge, so cross-copy
   near-dup structure stays realistic);
+* customer.c_name — regenerated from the shifted key (identical
+  names across copies collapse the fuzzy-match blocking keys: 27.4M
+  candidate pairs instead of ~340k at sf1 — a duplicate-content
+  artifact, not scaling);
+* part.p_name — words suffixed per copy (token-set joins like the
+  title Jaccard otherwise pair every copy with every other copy:
+  ~100× pairs for 10× data on BOTH engines);
 * embeddings.embedding — cyclically rotated by the copy index
   (norms and WITHIN-copy pairwise dot products are exactly
   preserved; cross-copy products decorrelate);
@@ -70,7 +77,11 @@ def main() -> int:
         "nation": "SELECT * FROM t",
         "customer": f"""
             SELECT c_custkey + i * {k_cust} AS c_custkey,
-                   * EXCLUDE (c_custkey, i)
+                   CASE WHEN i = 0 THEN c_name
+                        ELSE 'Customer#' || lpad(CAST(c_custkey
+                             + i * {k_cust} AS VARCHAR), 9, '0')
+                   END AS c_name,
+                   * EXCLUDE (c_custkey, c_name, i)
             FROM t, copies""",
         "supplier": f"""
             SELECT s_suppkey + i * {k_supp} AS s_suppkey,
@@ -78,7 +89,12 @@ def main() -> int:
             FROM t, copies""",
         "part": f"""
             SELECT p_partkey + i * {k_part} AS p_partkey,
-                   * EXCLUDE (p_partkey, i)
+                   CASE WHEN i = 0 THEN p_name
+                        ELSE array_to_string(list_transform(
+                             string_split(p_name, ' '),
+                             w -> w || '~' || i), ' ')
+                   END AS p_name,
+                   * EXCLUDE (p_partkey, p_name, i)
             FROM t, copies""",
         "orders": f"""
             SELECT o_orderkey + i * {k_ord} AS o_orderkey,
