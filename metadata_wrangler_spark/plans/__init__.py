@@ -70,6 +70,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ev_moving_average",
     "a_string_agg",
     "g_pagerank",
+    "ev_matview_refresh",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -93,7 +94,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "mm_binary_features",
     "ev_tumbling_window",
     "ev_sessionized_gaps",
-    "txt_quality_score",
     "d_policy_merge_preview",
     "g_transitive_closure",
     "pipe_provider_end_to_end",

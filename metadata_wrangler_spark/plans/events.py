@@ -634,3 +634,49 @@ def ev_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w))
         .alias("avg_7d"),
     )
+
+
+@register(
+    "ev_matview_refresh",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) / 10000.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, driver-verified:
+    bootstrap the daily rollup on the pre-watermark slice, refresh it
+    with the full table (consuming only post-watermark events), run a
+    second refresh (must be a no-op), and return the view — which
+    must hash-match the ORACLE'S ONE-SHOT AGGREGATION, proving
+    incremental maintenance equals full recompute bit-for-bit.
+
+    Engine: operators.matview.MaterializedDailyRollup (atomic
+    versioned snapshots, µs watermark, delta-bounded checkpoint).
+    Reference: the stale-flag recompute machinery this replaces,
+    `coverage_provider.py:132-134`.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from metadata_wrangler_spark.operators.matview import (
+        MaterializedDailyRollup,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"mw_matview_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    mv = MaterializedDailyRollup(spark, path)
+    mv.init(ev.where(F.col("ts") <= F.lit(_WATERMARK).cast("timestamp")))
+    mv.refresh(ev)
+    assert mv.refresh(ev) == 0  # idempotent: nothing left to consume
+    return mv.read()
