@@ -205,3 +205,59 @@ def test_decimal_aggregates_partition_invariant(spark):
         )
 
     assert agg(base.repartition(1)) == agg(base.repartition(37))
+
+
+def test_pagerank_mass_conserved(spark):
+    """With uniform out-degree 2 and no dangling nodes, PageRank
+    iteration preserves total mass: sum(rank) stays 1 within the
+    1e-10 quantization (N rows × 0.5e-10 each)."""
+    from metadata_wrangler_spark.plans import QUERIES, load_all_plans
+
+    load_all_plans()
+    df = QUERIES["g_pagerank"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < len(rows) * 1e-9
+    assert all(r["rank"] > 0 for r in rows)
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    """Chunking invariants: chunk 0 starts at the first word, every
+    token index is inside at least one chunk, consecutive chunks
+    overlap by exactly chunk-stride words except the tail."""
+    from pyspark.sql import functions as F
+
+    from metadata_wrangler_spark.operators import dedup
+    from metadata_wrangler_spark.plans import QUERIES, load_all_plans
+    from metadata_wrangler_spark.plans.documents import (
+        _CHUNK_STRIDE,
+        _CHUNK_WORDS,
+    )
+
+    load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    chunks = QUERIES["txt_chunk_overlap"](spark, sf).collect()
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(F.split(dedup.normalize_text(F.col("text")), " "))
+            .alias("n"),
+        )
+        .collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_words)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_no"])
+        assert rows[0]["chunk_no"] == 0
+        covered = 0
+        for r in rows:
+            start = r["chunk_no"] * _CHUNK_STRIDE
+            assert start <= covered  # no gap
+            assert r["n_tokens"] <= _CHUNK_WORDS
+            covered = max(covered, start + r["n_tokens"])
+        assert covered == n_words[doc_id]
