@@ -74,6 +74,27 @@ HEADLINE = [
 ]
 
 
+# Round-4 additions, measured and reported separately
+# (extended_* keys) so the headline series stays comparable across
+# rounds: same protocol (sequential best-of-RUNS vs the DuckDB
+# oracle), not part of the concurrent batch or ratio_vs_oracle.
+EXTENDED = [
+    "g_transitive_closure_rcte",
+    "g_pagerank",
+    "dd_semantic_prune",
+    "sim_ivf_train_step",
+    "txt_tfidf_topk",
+    "txt_chunk_overlap",
+    "ev_stream_stream_join",
+    "ev_cohort_retention",
+    "ev_moving_average",
+    "a_rollup_report",
+    "a_string_agg",
+    "d_scd2_merge",
+    "ev_matview_refresh",
+]
+
+
 # Tier routing above sf0.1: dd_ngram_jaccard is the engine's exact
 # VERIFICATION tier — quadratic in shingle-bucket occupancy by
 # design (operators/dedup.py docstring), it exists to validate the
@@ -223,6 +244,15 @@ def main() -> int:
 
     oracle = _time_oracles(present, oracles)
 
+    ext_present = [n for n in EXTENDED if n in queries]
+    extended = {
+        name: _best_of(
+            RUNS, lambda name=name: queries[name](spark, SF_DIR).toPandas()
+        )
+        for name in ext_present
+    }
+    ext_oracle = _time_oracles(ext_present, oracles)
+
     total = round(best_wall, 3)
     oracle_total = round(sum(oracle.values()), 3)
     os.write(real_stdout, (json.dumps({
@@ -248,6 +278,10 @@ def main() -> int:
         ),
         "fixed_floor_per_query": floor,
         "n_queries": len(present),
+        "extended_queries": extended,
+        "extended_oracle_queries": ext_oracle,
+        "extended_total": round(sum(extended.values()), 3),
+        "extended_oracle_total": round(sum(ext_oracle.values()), 3),
     }) + "\n").encode())
     return 0
 
