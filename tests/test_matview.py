@@ -82,3 +82,34 @@ def test_init_on_empty_slice_then_refresh(spark, tmp_path):
     got = sorted(tuple(r) for r in mv.read().collect())
     exp = sorted(tuple(r) for r in _full_rollup(ev).collect())
     assert got == exp
+
+
+def test_streaming_view_maintenance_equals_full_recompute(spark, tmp_path):
+    """Files delivered as micro-batches through foreachBatch must
+    leave the view identical to a one-shot aggregation of all
+    events, and a checkpointed re-run must change nothing."""
+    import shutil
+
+    from metadata_wrangler_spark.streaming import view_maintenance
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-000.parquet")
+
+    ev = load(spark, SF_DIR, "events")
+    mv = MaterializedDailyRollup(spark, str(tmp_path / "mv"))
+    mv.init(ev.where(F.lit(False)))
+
+    got = view_maintenance.run_view_maintenance_stream(
+        spark, str(src), str(tmp_path / "mv"), str(tmp_path / "cp"),
+        query_name="t_vm", max_files_per_trigger=1,
+    )
+    exp = sorted(tuple(r) for r in _full_rollup(ev).collect())
+    assert sorted(tuple(r) for r in got.collect()) == exp
+
+    # re-run with nothing new: checkpoint skips the file, view unchanged
+    again = view_maintenance.run_view_maintenance_stream(
+        spark, str(src), str(tmp_path / "mv"), str(tmp_path / "cp"),
+        query_name="t_vm2",
+    )
+    assert sorted(tuple(r) for r in again.collect()) == exp
