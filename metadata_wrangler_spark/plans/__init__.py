@@ -71,6 +71,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "a_string_agg",
     "g_pagerank",
     "ev_matview_refresh",
+    "ev_range_window",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -101,7 +102,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "s_xml_classify",
     "p_compound_predicates",
     "s_jsonld_contributor",
-    "s_opds_feed",
     "s_cached_fetch",
     "s_soap_demand",
     "s_image_mirror_rewrite",

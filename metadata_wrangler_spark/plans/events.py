@@ -680,3 +680,47 @@ def ev_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv.refresh(ev)
     assert mv.refresh(ev) == 0  # idempotent: nothing left to consume
     return mv.read()
+
+
+@register(
+    "ev_range_window",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+           CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT))
+                OVER w AS BIGINT) / 10000.0 AS trailing_1h_value,
+           COUNT(*) OVER w AS trailing_1h_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ev_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per event, the sum/count of the same
+    user's events in the trailing hour BY EVENT TIME — a frame
+    defined in value distance (seconds), not row count, so bursts
+    and gaps are handled correctly where a ROWS frame would not be.
+
+    The frame orders by the integer epoch (identical on both
+    engines); events sharing an epoch second are PEERS and see the
+    same frame — RANGE semantics, deterministic without a tiebreak.
+    One shuffle on user_id.
+    """
+    ev = load(spark, sf_dir, "events")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("epoch"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", epoch.alias("epoch"), "value"
+    ).select(
+        "user_id", "event_id", "epoch",
+        (
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+            .over(w).cast("bigint") / F.lit(10000.0)
+        ).alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
