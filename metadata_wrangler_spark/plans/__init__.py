@@ -72,6 +72,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "g_pagerank",
     "ev_matview_refresh",
     "ev_range_window",
+    "txt_quality_deciles",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -102,7 +103,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "s_xml_classify",
     "p_compound_predicates",
     "s_jsonld_contributor",
-    "s_cached_fetch",
     "s_soap_demand",
     "s_image_mirror_rewrite",
     "j_skew_salted_join",

@@ -1230,3 +1230,55 @@ def txt_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("fingerprint"),
     )
+
+
+@register(
+    "txt_quality_deciles",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(len({_WORDS_SQL}) AS INT) AS n_tokens
+        FROM documents
+    )
+    SELECT decile,
+           COUNT(*) AS n_docs,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens
+    FROM (
+        SELECT doc_id, n_tokens,
+               NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS decile
+        FROM q
+    ) t
+    GROUP BY decile
+    """,
+)
+def txt_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile calibration over document length — the bucketing
+    a quality-threshold sweep reads (keep the top-k deciles). The
+    NTILE order carries a doc_id tiebreak: ties at a decile boundary
+    would otherwise be split by partition order, and the two engines
+    would disagree. The decile summary (count/min/max per bucket) is
+    the serving artifact. The global NTILE is a total order —
+    fine over the slim (doc_id, n_tokens) projection at report
+    scale, but at 100 TB compute decile CUT-POINTS with the
+    percentile plans (a_percentile_disc/cont) and bucket by range
+    comparison instead; exact global ranking is a serving-layer op
+    here exactly as in w_order_by_rank.
+
+    Reference analog: the percentile calibration utility
+    (`bin/util/calculate_percentile:11-36`), bucketed instead of
+    cut-pointed.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    q = d.select("doc_id", F.size(words).cast("int").alias("n_tokens"))
+    w = W.orderBy("n_tokens", "doc_id")
+    return (
+        q.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
