@@ -109,3 +109,93 @@ def test_local_and_distributed_tiers_agree(spark):
     local_cc = connected_components(e)
     dist_cc = connected_components(e, local_solve_max_edges=0)
     assert rows(local_cc) == rows(dist_cc)
+
+
+def test_closure_fuzz_matches_brute_force(spark):
+    """Hypothesis fuzz: on random small graphs, the distributed BFS
+    closure must equal a driver-side brute-force BFS — min level per
+    reached node, strength threshold, level bound — and
+    connected_components must equal union-find."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from metadata_wrangler_spark.operators.closure import (
+        connected_components,
+        equivalent_ids,
+    )
+
+    edge_st = st.lists(
+        st.tuples(
+            st.integers(0, 12), st.integers(0, 12),
+            st.sampled_from([0.5, 0.8, 1.0]),
+        ),
+        min_size=0, max_size=25,
+    )
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(edges=edge_st, seed_mod=st.integers(2, 5))
+    def check(edges, seed_mod):
+        seeds = sorted({a for a, _, _ in edges if a % seed_mod == 0})
+        edf = spark.createDataFrame(
+            edges or [(0, 0, 0.0)],
+            "src long, dst long, strength double",
+        )
+        sdf = spark.createDataFrame(
+            [(s,) for s in seeds] or [(-1,)], "node long"
+        )
+        got = {
+            (r["node"], r["level"])
+            for r in equivalent_ids(
+                edf, sdf, levels=4, threshold=0.7
+            ).collect()
+        }
+        # brute force BFS with min-level semantics
+        adj = {}
+        for a, b, w in edges:
+            if w > 0.7:
+                adj.setdefault(a, set()).add(b)
+        exp, frontier = {}, {s: 0 for s in (seeds or [-1])}
+        for s in frontier:
+            exp[s] = 0
+        for lvl in range(1, 5):
+            nxt = set()
+            for n in frontier:
+                nxt |= adj.get(n, set())
+            frontier = {n: lvl for n in nxt if n not in exp}
+            for n in frontier:
+                exp[n] = lvl
+            if not frontier:
+                break
+        assert got == set(exp.items())
+
+        # connected components vs union-find over strong edges
+        strong = [(a, b) for a, b, w in edges if w > 0.7]
+        nodes = {n for e in strong for n in e}
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in strong:
+            parent[find(a)] = find(b)
+        exp_cc = {}
+        for n in nodes:
+            exp_cc.setdefault(find(n), set()).add(n)
+        exp_pairs = {
+            (n, min(group)) for group in exp_cc.values() for n in group
+        }
+        if strong:
+            ccdf = spark.createDataFrame(strong, "src long, dst long")
+            got_cc = {
+                (r["node"], r["component"])
+                for r in connected_components(ccdf).collect()
+            }
+            assert got_cc == exp_pairs
+
+    check()
