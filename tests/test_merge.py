@@ -300,3 +300,50 @@ def test_changes_feed_tracks_logical_diffs_only(spark, tmp_path):
 
     v = t.compact(target_files=2)
     assert t.changes(1, v).count() == 0
+
+
+def test_policy_merge_fuzz_invariants(spark):
+    """Hypothesis fuzz of Metadata.apply's policy semantics: on
+    random (current, staged) tables — overlapping keys, nulls
+    everywhere — the post-state must satisfy, per key:
+    staged non-null wins; staged null or absent row keeps current;
+    brand-new keys insert staged as-is; no key duplicated or lost."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from metadata_wrangler_spark.operators import merge
+
+    val = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+    rows = st.lists(
+        st.tuples(st.integers(0, 6), val, val),
+        min_size=0, max_size=8,
+        unique_by=lambda r: r[0],
+    )
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(cur=rows, stg=rows)
+    def check(cur, stg):
+        schema = "key long, title string, note string"
+        current = spark.createDataFrame(cur or [(99, None, None)], schema)
+        staged = spark.createDataFrame(stg or [(98, None, None)], schema)
+        cur, stg = cur or [(99, None, None)], stg or [(98, None, None)]
+        out = {
+            r["key"]: (r["title"], r["note"])
+            for r in merge.policy_merge(
+                current, staged, ["key"], ["title", "note"]
+            ).collect()
+        }
+        cur_d = {k: (t, n) for k, t, n in cur}
+        stg_d = {k: (t, n) for k, t, n in stg}
+        assert set(out) == set(cur_d) | set(stg_d)
+        for k, (t, n) in out.items():
+            for i, got in enumerate((t, n)):
+                c = cur_d.get(k, (None, None))[i]
+                s = stg_d.get(k, (None, None))[i]
+                expected = s if s is not None else c
+                assert got == expected, (k, i, got, c, s)
+
+    check()
