@@ -86,6 +86,7 @@ class MaterializedDailyRollup:
         base = _partial(events).crossJoin(F.broadcast(wm)).select(
             "day", "event_type", "n_events", "q_value",
             F.col("wm").alias("watermark_epoch"),
+            F.lit(-1).cast("bigint").alias("applied_batch"),
         )
         self.table.init(base)
 
@@ -139,6 +140,11 @@ class MaterializedDailyRollup:
             ).collect()[0]
             merged_count = int(stats["n"])
             new_wm = max(cur_wm, int(stats["wm"]))
+            applied = int(
+                current.agg(
+                    F.coalesce(F.max("applied_batch"), F.lit(-1)).alias("b")
+                ).collect()[0]["b"]
+            )
             return (
                 current.select("day", "event_type", "n_events", "q_value")
                 .unionByName(_partial(mine))
@@ -150,6 +156,59 @@ class MaterializedDailyRollup:
                 .select(
                     "day", "event_type", "n_events", "q_value",
                     F.lit(new_wm).alias("watermark_epoch"),
+                    F.lit(applied).cast("bigint").alias("applied_batch"),
+                )
+            )
+
+        self.table.merge(merge_fn)
+        return merged_count
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> int:
+        """Streaming-side merge: idempotent on the micro-batch ID,
+        NOT filtered by event time — a late-arriving file whose
+        events predate the stored watermark still merges (the
+        event-time guard in ``refresh`` would silently drop it; the
+        first streaming driver did exactly that). foreachBatch
+        batch ids are monotonic, and foreachBatch is at-least-once
+        on failure recovery, so: batch_id <= last applied → replay,
+        skip; otherwise merge everything and record the id in the
+        same atomic snapshot commit. Returns rows merged."""
+        merged_count = 0
+        batch = batch_df.localCheckpoint(eager=True)
+
+        def merge_fn(current: DataFrame) -> DataFrame:
+            nonlocal merged_count
+            applied = int(
+                current.agg(
+                    F.coalesce(F.max("applied_batch"), F.lit(-1)).alias("b")
+                ).collect()[0]["b"]
+            )
+            if batch_id <= applied:
+                merged_count = 0
+                return current
+            stats = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.max(_micros("ts")), F.lit(0)).alias("wm"),
+            ).collect()[0]
+            merged_count = int(stats["n"])
+            cur_wm = int(
+                current.agg(
+                    F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("w")
+                ).collect()[0]["w"]
+            )
+            new_wm = max(cur_wm, int(stats["wm"]))
+            return (
+                current.select("day", "event_type", "n_events", "q_value")
+                .unionByName(_partial(batch))
+                .groupBy("day", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("q_value").alias("q_value"),
+                )
+                .select(
+                    "day", "event_type", "n_events", "q_value",
+                    F.lit(new_wm).alias("watermark_epoch"),
+                    F.lit(batch_id).cast("bigint").alias("applied_batch"),
                 )
             )
 

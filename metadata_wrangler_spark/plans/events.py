@@ -662,23 +662,27 @@ def ev_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     `coverage_provider.py:132-134`.
     """
     import os
-    import shutil
     import tempfile
+    import uuid
 
     from metadata_wrangler_spark.operators.matview import (
         MaterializedDailyRollup,
     )
 
     ev = load(spark, sf_dir, "events")
+    # Per-invocation path: a fixed name raced with any concurrent
+    # run of the same query (one rmtree'ing mid-refresh of another).
+    # The small state dir is left for the OS tempdir to reap — the
+    # returned DataFrame reads it lazily, so it must outlive this
+    # function.
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"mw_matview_{os.path.basename(sf_dir.rstrip('/'))}",
+        tempfile.gettempdir(), f"mw_matview_{uuid.uuid4().hex[:12]}"
     )
-    shutil.rmtree(path, ignore_errors=True)
     mv = MaterializedDailyRollup(spark, path)
     mv.init(ev.where(F.col("ts") <= F.lit(_WATERMARK).cast("timestamp")))
     mv.refresh(ev)
-    assert mv.refresh(ev) == 0  # idempotent: nothing left to consume
+    if mv.refresh(ev) != 0:  # not assert: -O must not skip the check
+        raise AssertionError("second refresh consumed events")
     return mv.read()
 
 

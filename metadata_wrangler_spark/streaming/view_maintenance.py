@@ -2,11 +2,13 @@
 foreachBatch driver for operators.matview.
 
 Each micro-batch hands its slice to ``MaterializedDailyRollup.
-refresh`` — the additive merge — so the view stays current as files
-land, with the checkpoint guaranteeing each file is consumed once
-and the view's own microsecond watermark making a replayed batch a
-no-op (defense in depth: either mechanism alone keeps the merge
-exactly-once).
+merge_batch`` — the additive merge, idempotent on the micro-batch
+id. The batch-id guard (not the event-time watermark) is what makes
+replays safe: foreachBatch is at-least-once on failure recovery, and
+an already-applied id is skipped. Crucially the streaming path does
+NOT filter on event time — a late-landing file whose events predate
+the stored watermark still merges; filtering by watermark here (the
+first cut) silently dropped out-of-event-time-order files forever.
 
 Reference: the cron-driven stale-flag recompute this replaces
 (`/root/reference/coverage_provider.py:132-134`); the streaming
@@ -41,7 +43,7 @@ def run_view_maintenance_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        mv.refresh(batch_df)
+        mv.merge_batch(batch_df, batch_id)
 
     q = (
         events.writeStream.foreachBatch(handle)

@@ -113,3 +113,47 @@ def test_streaming_view_maintenance_equals_full_recompute(spark, tmp_path):
         query_name="t_vm2",
     )
     assert sorted(tuple(r) for r in again.collect()) == exp
+
+
+def test_streaming_view_merges_late_event_time_files(spark, tmp_path):
+    """A file landing AFTER the watermark has advanced past its event
+    times must still merge (batch-id idempotence, not event-time
+    filtering, guards the streaming path — the first driver dropped
+    such files forever)."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime
+
+    from metadata_wrangler_spark.streaming import view_maintenance
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+    def ev(eid, ts):
+        return (eid, datetime.fromisoformat(ts), 1, "click", 1.0)
+
+    newer = spark.createDataFrame([ev(1, "2024-01-05 00:00:00")], schema)
+    late = spark.createDataFrame([ev(2, "2024-01-02 00:00:00")], schema)
+    files = [str(src / "part-000.parquet"), str(src / "part-001.parquet")]
+    for i, (batch, dest) in enumerate(zip((newer, late), files)):
+        scratch = str(tmp_path / f"s{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(scratch)
+        shutil.move(
+            glob.glob(os.path.join(scratch, "part-*.parquet"))[0], dest
+        )
+        os.utime(dest, (1700000000 + 100 * i,) * 2)
+
+    mv = MaterializedDailyRollup(spark, str(tmp_path / "mv"))
+    mv.init(load(spark, SF_DIR, "events").where(F.lit(False)))
+    got = view_maintenance.run_view_maintenance_stream(
+        spark, str(src), str(tmp_path / "mv"), str(tmp_path / "cp"),
+        query_name="t_late", max_files_per_trigger=1,
+    )
+    rows = {(str(r["day"]), r["n_events"]) for r in got.collect()}
+    # BOTH days present: the late file's event was not dropped
+    assert rows == {("2024-01-05", 1), ("2024-01-02", 1)}
