@@ -128,11 +128,11 @@ class MaterializedDailyRollup:
             # captured delta and new_wm once, outside the loop — a
             # retry would have double-counted every fresh event.)
             nonlocal merged_count
-            cur_wm = int(
-                current.agg(
-                    F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("w")
-                ).collect()[0]["w"]
-            )
+            cur = current.agg(
+                F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("w"),
+                F.coalesce(F.max("applied_batch"), F.lit(-1)).alias("b"),
+            ).collect()[0]
+            cur_wm, applied = int(cur["w"]), int(cur["b"])
             mine = fresh.where(_micros("ts") > F.lit(cur_wm))
             stats = mine.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -140,11 +140,6 @@ class MaterializedDailyRollup:
             ).collect()[0]
             merged_count = int(stats["n"])
             new_wm = max(cur_wm, int(stats["wm"]))
-            applied = int(
-                current.agg(
-                    F.coalesce(F.max("applied_batch"), F.lit(-1)).alias("b")
-                ).collect()[0]["b"]
-            )
             return (
                 current.select("day", "event_type", "n_events", "q_value")
                 .unionByName(_partial(mine))
