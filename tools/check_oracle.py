@@ -4,6 +4,9 @@ the same parquet tables, then compare row count, column names, and an
 order-insensitive value hash.
 
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+        python tools/check_oracle.py [sf_dir] --window
+            check ONLY the first 50 ordered queries — exactly the
+            slice the driver's per-round correctness gate verifies
 """
 
 from __future__ import annotations
@@ -89,11 +92,15 @@ def check_one(spark, con, fn, sql: str | None, sf_dir: str) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    window = "--window" in args
+    only = {a for a in args if a != "--window"}
 
     import __spark_entry__ as entrymod
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if window:
+        queries = dict(list(queries.items())[:50])
 
     spark = get_spark("check_oracle")
     con = oracle_connection(sf_dir)
