@@ -728,3 +728,71 @@ def ev_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trailing_1h_value"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
     )
+
+
+_RFM_NOW = "2024-02-01 00:00:00"
+
+
+@register(
+    "ev_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT user_id,
+               CAST(floor((epoch(TIMESTAMP '{_RFM_NOW}')
+                           - floor(epoch(max(ts)))) / 86400.0) AS BIGINT)
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) / 10000.0 AS monetary
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CASE WHEN recency_days <= 7 AND frequency >= 50 THEN 'core'
+                WHEN recency_days <= 7 THEN 'active'
+                WHEN frequency >= 50 THEN 'lapsing-heavy'
+                ELSE 'dormant' END AS segment,
+           COUNT(*) AS n_users,
+           MIN(recency_days) AS min_recency,
+           MAX(frequency) AS max_frequency,
+           CAST(SUM(CAST(floor((monetary) * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) / 10000.0 AS total_monetary
+    FROM rfm
+    GROUP BY 1
+    """,
+)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (days since last event at
+    a fixed as-of), frequency, monetary — then fixed-threshold
+    segments censused. Fixed thresholds, not quantiles: the segment
+    of one user never depends on other users, so the plan is one
+    hash aggregation per level and incremental-friendly (a user's
+    row updates from their own delta alone — matview-compatible).
+    """
+    ev = load(spark, sf_dir, "events")
+    now_epoch = F.unix_timestamp(F.lit(_RFM_NOW).cast("timestamp"))
+    rfm = ev.groupBy("user_id").agg(
+        F.floor(
+            (now_epoch - F.floor(F.unix_timestamp(F.max("ts"))))
+            / F.lit(86400.0)
+        ).cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("value")).alias("monetary"),
+    )
+    segment = (
+        F.when(
+            (F.col("recency_days") <= 7) & (F.col("frequency") >= 50),
+            "core",
+        )
+        .when(F.col("recency_days") <= 7, "active")
+        .when(F.col("frequency") >= 50, "lapsing-heavy")
+        .otherwise("dormant")
+    )
+    return (
+        rfm.groupBy(segment.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("recency_days").alias("min_recency"),
+            F.max("frequency").alias("max_frequency"),
+            dsum(F.col("monetary")).alias("total_monetary"),
+        )
+    )
