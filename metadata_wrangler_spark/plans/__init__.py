@@ -54,6 +54,10 @@ def register(name: str, oracle: str | None = None):
 # (r2- and r3-green string functions and source parsers) are still
 # covered by pytest's all-queries oracle sweep
 # (tests/test_all_oracles.py, every registered query at sf0.001).
+# Size of the driver's per-round correctness window (first N of
+# ordered_queries()); VERIFICATION_PRIORITY is curated to exactly N.
+VERIFICATION_WINDOW = 50
+
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- round-4 additions: recursive CTE twin, stream-stream join ---
     "g_transitive_closure_rcte",
@@ -109,6 +113,13 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk",
     "dd_embedding_cosine",
 )
+
+
+if len(VERIFICATION_PRIORITY) != VERIFICATION_WINDOW:  # not assert: -O
+    raise ValueError(
+        f"VERIFICATION_PRIORITY has {len(VERIFICATION_PRIORITY)} entries; "
+        f"the driver window is {VERIFICATION_WINDOW}"
+    )
 
 
 def ordered_queries() -> dict[str, QueryFn]:

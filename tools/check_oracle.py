@@ -91,16 +91,18 @@ def check_one(spark, con, fn, sql: str | None, sf_dir: str) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    args = sys.argv[2:]
+    args = [a for a in sys.argv[1:]]
     window = "--window" in args
-    only = {a for a in args if a != "--window"}
+    args = [a for a in args if a != "--window"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
+    from metadata_wrangler_spark.plans import VERIFICATION_WINDOW
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if window:
-        queries = dict(list(queries.items())[:50])
+        queries = dict(list(queries.items())[:VERIFICATION_WINDOW])
 
     spark = get_spark("check_oracle")
     con = oracle_connection(sf_dir)
