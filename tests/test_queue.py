@@ -85,3 +85,76 @@ def test_census_counts_by_status(spark):
     assert got[queue.TRANSIENT] == (2, 1)
     assert got[queue.SUCCESS] == (1, 1)
     assert got[queue.REGISTERED] == (1, 0)
+
+
+def test_queue_fuzz_invariants(spark):
+    """Hypothesis fuzz of the CoverageRecord state machine: after
+    register + apply_outcomes on random states/outcomes — (1) keys
+    are never duplicated or lost, (2) every item ends registered or
+    keeps/receives a valid status, (3) persistent failures are never
+    eligible, (4) rows untouched by outcomes pass through unchanged."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from metadata_wrangler_spark.operators import queue
+
+    statuses = st.sampled_from([
+        queue.REGISTERED, queue.SUCCESS, queue.TRANSIENT, queue.PERSISTENT,
+    ])
+    existing = st.lists(
+        st.tuples(st.integers(0, 8), statuses),
+        min_size=0, max_size=8, unique_by=lambda r: r[0],
+    )
+    items = st.lists(st.integers(0, 10), min_size=0, max_size=8,
+                     unique=True)
+    outcome_rows = st.lists(
+        st.tuples(st.integers(0, 10), statuses),
+        min_size=0, max_size=6, unique_by=lambda r: r[0],
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(cur=existing, its=items, outs=outcome_rows)
+    def check(cur, its, outs):
+        schema = ("identifier_id long, data_source string, "
+                  "operation string, status string, ts timestamp, "
+                  "exception string")
+        records = spark.createDataFrame(
+            [(k, "src", "op", s, None, None) for k, s in cur]
+            or [(99, "src", "op", queue.SUCCESS, None, None)], schema)
+        cur_d = dict(cur) if cur else {99: queue.SUCCESS}
+        idf = spark.createDataFrame(
+            [(i,) for i in its] or [(98,)], "identifier_id long")
+        its_l = its or [98]
+
+        reg = queue.register(records, idf, "src", "op", ts="2024-01-01")
+        got = {r["identifier_id"]: r["status"] for r in reg.collect()}
+        assert set(got) == set(cur_d) | set(its_l)  # no key lost/duped
+        assert len(reg.collect()) == len(got)
+        for k, sstat in got.items():
+            if k in cur_d:
+                assert sstat == cur_d[k]          # existing untouched
+            else:
+                assert sstat == queue.REGISTERED  # new items enqueued
+
+        final = queue.apply_outcomes(
+            reg,
+            spark.createDataFrame(
+                [(k, "src", "op", s) for k, s in outs]
+                or [(97, "src", "op", queue.SUCCESS)],
+                "identifier_id long, data_source string, "
+                "operation string, new_status string"),
+        )
+        outs_d = dict(outs) if outs else {97: queue.SUCCESS}
+        fgot = {r["identifier_id"]: r["status"] for r in final.collect()}
+        assert set(fgot) == set(got)              # outcomes never add keys
+        for k, sstat in fgot.items():
+            assert sstat == outs_d.get(k, got[k])  # outcome wins, else kept
+
+        elig = {r["identifier_id"]
+                for r in queue.eligible(final, "2024-01-02",
+                                        backoff_seconds=0).collect()}
+        for k in elig:
+            assert fgot[k] in (queue.REGISTERED, queue.TRANSIENT)
+
+    check()
