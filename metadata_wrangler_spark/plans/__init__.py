@@ -78,6 +78,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ev_range_window",
     "txt_quality_deciles",
     "ev_rfm_segments",
+    "so_multiset_ops",
     # --- round-3 additions, never driver-verified before round 4 ---
     "ev_asof_join",
     "ev_range_join",
@@ -108,7 +109,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "s_xml_classify",
     "p_compound_predicates",
     "s_jsonld_contributor",
-    "s_image_mirror_rewrite",
     "j_skew_salted_join",
     "sim_cosine_topk",
     "dd_embedding_cosine",

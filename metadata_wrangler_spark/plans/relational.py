@@ -1322,3 +1322,41 @@ def a_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@register(
+    "so_multiset_ops",
+    oracle="""
+    SELECT 'shipped_minus_returned' AS op, l_orderkey FROM (
+        SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+        EXCEPT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    ) a
+    UNION ALL
+    SELECT 'both_multiset' AS op, l_orderkey FROM (
+        SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+        INTERSECT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    ) b
+    """,
+)
+def so_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — EXCEPT ALL / INTERSECT ALL preserve
+    DUPLICATE COUNTS (a key appearing 3× minus 1× leaves 2 copies),
+    the semantics the distinct-set twins (so_except_intersect) erase.
+    This is also what the version-diff change feed
+    (VersionedParquetTable.changes) relies on.
+
+    Scale shape: Spark plans both as aggregate-on-counts + replicate
+    — one shuffle per operand, no join explosion.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    shipped = li.where(F.col("l_linestatus") == "F").select("l_orderkey")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    minus = shipped.exceptAll(returned).select(
+        F.lit("shipped_minus_returned").alias("op"), "l_orderkey"
+    )
+    both = shipped.intersectAll(returned).select(
+        F.lit("both_multiset").alias("op"), "l_orderkey"
+    )
+    return minus.unionByName(both)
