@@ -1282,3 +1282,98 @@ def txt_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+# --- Sorted-neighborhood blocking (SNM candidate generation) ---------------
+
+_SNM_WINDOW = 5
+_SNM_KEY_SQL = f"substr(replace({_NORM_SQL}, ' ', ''), 1, 16)"
+
+
+@register(
+    "dd_sorted_neighborhood",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, {_SNM_KEY_SQL} AS skey,
+               substr({_SNM_KEY_SQL}, 1, 3) AS blk,
+               list_distinct({_WORDS_SQL}) AS words
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, skey, blk, words,
+               row_number() OVER (PARTITION BY blk
+                                  ORDER BY skey, doc_id) AS rn
+        FROM keyed
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.words, b.words)) AS shared,
+               len(a.words) AS na, len(b.words) AS nb
+        FROM ranked a
+        JOIN ranked b
+          ON a.blk = b.blk
+         AND b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW}
+    )
+    SELECT id_a, id_b,
+           shared / (na + nb - shared) AS jaccard
+    FROM pairs
+    WHERE shared / (na + nb - shared) >= 0.4
+    """,
+)
+def dd_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood-method (SNM) near-dup candidate
+    generation: sort documents by a compact blocking key, compare
+    each doc only to its W nearest neighbors in key order, verify
+    with word-set Jaccard. The classic entity-resolution alternative
+    to LSH blocking (Hernandez & Stolfo's merge/purge), re-expressed
+    as a rank self-join.
+
+    Reference: the reference dedupes editions by normalized-title
+    sort-and-scan (`model.py` Edition.sort_title permanent-work-id
+    grouping); SNM is that pattern generalized to bounded-window
+    fuzzy comparison.
+
+    Scale design: the sort is NEVER global — row_number partitions
+    by a 3-char key prefix (the block), so ranking is a per-block
+    window over a shuffle on blk, and the pair join is an equi-join
+    on blk with a rank-distance band predicate: W * |block| pairs,
+    not |corpus|^2. Cross-block neighbors are traded away exactly as
+    in multi-pass SNM; run a second pass with a rotated key (suffix
+    key) when recall matters — same plan, different key expression.
+    """
+    docs = load(spark, sf_dir, "documents")
+    norm = dedup.normalize_text(F.col("text"))
+    skey = F.substring(F.regexp_replace(norm, " ", ""), 1, 16)
+    keyed = docs.select(
+        "doc_id",
+        skey.alias("skey"),
+        F.substring(skey, 1, 3).alias("blk"),
+        F.array_distinct(F.split(norm, " ")).alias("words"),
+    )
+    ranked = keyed.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("blk").orderBy("skey", "doc_id")
+        ),
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("blk"),
+        F.col("rn").alias("rn_a"),
+        F.col("words").alias("wa"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("blk"),
+        F.col("rn").alias("rn_b"),
+        F.col("words").alias("wb"),
+    )
+    shared = F.size(F.array_intersect("wa", "wb"))
+    jac = shared / (F.size("wa") + F.size("wb") - shared)
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= _SNM_WINDOW)
+        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.4)
+    )
