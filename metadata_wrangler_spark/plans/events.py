@@ -796,3 +796,83 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("monetary")).alias("total_monetary"),
         )
     )
+
+
+# --- Gap-fill / forward-fill resampling -----------------------------------
+
+@register(
+    "ev_gap_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               MAX(value) AS vmax
+        FROM events
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx
+        FROM hourly GROUP BY user_id
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(mn, mx)) AS hr
+        FROM bounds
+    )
+    SELECT s.user_id, s.hr,
+           last_value(h.vmax IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_vmax,
+           CASE WHEN h.vmax IS NULL THEN 0 ELSE 1 END AS observed
+    FROM spine s
+    LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hr = s.hr
+    """,
+)
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: one row per
+    (user, hour) from the user's first to last event, carrying the
+    last observed hourly max across gap hours — the hypertable
+    gap-fill / LOCF (last observation carried forward) operator a
+    metrics rollup needs before charting or joining on aligned time.
+
+    Reference: the reference aligns per-identifier coverage
+    timestamps to cron cadences before sweeping
+    (`monitor.py:65-106`); gap-fill is the same aligned-spine idea
+    as a relational operator.
+
+    Scale design: the spine is generated per-user with
+    ``sequence(min_hr, max_hr)`` + explode — rows stay on the
+    user's shuffle partition, no driver-side calendar, no cross
+    join. The fill is ``last(ignorenulls)`` over a per-user ROWS
+    window (partitioned, never global). Spine size is bounded by
+    span/granularity per key; at 100 TB pick the granularity so
+    span/grain stays O(10^4) per key or pre-split long-lived keys
+    by coarse epoch before the window.
+    """
+    ev = load(spark, sf_dir, "events")
+    hr = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    hourly = (
+        ev.select("user_id", hr.alias("hr"), "value")
+        .groupBy("user_id", "hr")
+        .agg(F.max("value").alias("vmax"))
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("hr")
+    )
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.last("vmax", ignorenulls=True).over(win).alias("filled_vmax"),
+            F.when(F.col("vmax").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("observed"),
+        )
+    )

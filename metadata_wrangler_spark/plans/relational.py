@@ -1360,3 +1360,223 @@ def so_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("both_multiset").alias("op"), "l_orderkey"
     )
     return minus.unionByName(both)
+
+
+# --- Grouped linear regression (exact integer accumulation) ----------------
+
+@register(
+    "a_regr_trend",
+    oracle="""
+    WITH q AS (
+        SELECT p.p_brand,
+               CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS qx,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS qy
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), s AS (
+        SELECT p_brand,
+               COUNT(*) AS n,
+               SUM(qx) AS sx, SUM(qy) AS sy,
+               SUM(qx * qy) AS sxy, SUM(qx * qx) AS sxx
+        FROM q GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           CAST(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                AS DECIMAL(18,6)) AS DOUBLE) AS slope,
+           CAST(CAST((CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) / 100.0
+                AS DECIMAL(18,6)) AS DOUBLE) AS intercept
+    FROM s
+    """,
+)
+def a_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand least-squares trend of extended price on quantity —
+    grouped linear regression (regr_slope / regr_intercept) computed
+    from exact integer moment sums so both engines produce
+    bit-identical slopes regardless of summation order.
+
+    Reference: the reference computes per-source quality weights and
+    success-rate trends over coverage sweeps (`scripts.py:442-454`);
+    a grouped OLS fit is the analytic generalization.
+
+    Scale design: one broadcast dim join (part is small) + one
+    map-side-partial aggregate carrying five integer moments per
+    group — the textbook single-pass parallel regression; no second
+    scan, no window. Inputs are quantized at 1e-2 and the moments
+    accumulate in DECIMAL(38,0) (HUGEINT in the oracle), so
+    n*Sxy - Sx*Sy stays exact at any row count before one final
+    float division per group.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    d38 = "decimal(38,0)"
+    q = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "p_brand",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("bigint").alias("qx"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("qy"),
+    )
+    s = q.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qx").cast(d38)).alias("sx"),
+        F.sum(F.col("qy").cast(d38)).alias("sy"),
+        F.sum((F.col("qx") * F.col("qy")).cast(d38)).alias("sxy"),
+        F.sum((F.col("qx") * F.col("qx")).cast(d38)).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double") / F.lit(100.0)
+    )
+    return s.select(
+        "p_brand",
+        "n",
+        slope.cast("decimal(18,6)").cast("double").alias("slope"),
+        intercept.cast("decimal(18,6)").cast("double").alias("intercept"),
+    )
+
+
+# --- Explicit bloom-filter semi-join pruning -------------------------------
+
+_BLOOM_M = 1024   # bits
+_BLOOM_K = 3      # hash functions
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    """DuckDB: hash slot i of `key` — md5-derived, mirrors the Spark
+    side bit for bit."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), "
+        f"'#', '{i}')), 1, 15)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_col(key: F.Column, i: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f"#{i}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+
+
+@register(
+    "j_bloom_prune",
+    oracle=f"""
+    WITH needles AS (
+        SELECT c_custkey FROM customer WHERE c_nationkey = 3
+    ), bloom AS (
+        SELECT DISTINCT pos FROM (
+            {' UNION ALL '.join(
+                f"SELECT {_bloom_pos_sql('c_custkey', i)} AS pos FROM needles"
+                for i in range(_BLOOM_K)
+            )}
+        )
+    ), probe AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    ), hits AS (
+        SELECT p.o_orderkey, p.o_custkey, p.o_orderpriority,
+               COUNT(DISTINCT p.i) AS k_hit
+        FROM (
+            {' UNION ALL '.join(
+                f"SELECT o_orderkey, o_custkey, o_orderpriority, {i} AS i, "
+                f"{_bloom_pos_sql('o_custkey', i)} AS pos FROM probe"
+                for i in range(_BLOOM_K)
+            )}
+        ) p
+        JOIN bloom b ON b.pos = p.pos
+        GROUP BY 1, 2, 3
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_bloom_pass,
+           SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM needles)
+                    THEN 1 ELSE 0 END) AS n_true
+    FROM hits
+    WHERE k_hit = {_BLOOM_K}
+    GROUP BY o_orderpriority
+    """,
+)
+def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom-filter semi-join pruning: hash a small needle
+    key set into a {_BLOOM_M}-bit / {_BLOOM_K}-hash bloom
+    materialized as a distinct-slot table, probe the fact side
+    against it, and report per-priority how many rows pass the
+    bloom vs how many are true matches (the false-positive margin).
+
+    Reference: the reference pre-filters coverage sweeps with an
+    in-memory set of already-covered identifiers before hitting the
+    database (`coverage.py` CoverageRecord lookups); a bloom table
+    is that set made shuffle-free at scale.
+
+    Scale design: the bloom table is at most {_BLOOM_M} rows
+    regardless of needle count — it BROADCASTS even when the needle
+    set itself would not, which is the whole point: the probe side
+    is filtered by k broadcast-hash-joins (no shuffle of the fact
+    table), then only bloom-positive rows (true matches + a
+    bounded false-positive tail) reach the exact semi-join. Spark
+    can inject this automatically (runtime bloom filters); the
+    explicit form is reusable across jobs and sizable per key set.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    needles = cust.where(F.col("c_nationkey") == 3).select("c_custkey")
+    bloom = (
+        needles.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_pos_col(F.col("c_custkey"), i)
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
+    exploded = probe.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.posexplode(
+            F.array(
+                *[
+                    _bloom_pos_col(F.col("o_custkey"), i)
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("i", "pos"),
+    )
+    hits = (
+        exploded.join(F.broadcast(bloom), "pos")
+        .groupBy("o_orderkey", "o_custkey", "o_orderpriority")
+        .agg(F.countDistinct("i").alias("k_hit"))
+        .where(F.col("k_hit") == _BLOOM_K)
+    )
+    true_flag = (
+        hits.join(
+            F.broadcast(needles.withColumnRenamed("c_custkey", "o_custkey")),
+            "o_custkey",
+            "left_semi",
+        )
+        .select("o_orderkey")
+        .withColumn("is_true", F.lit(1))
+    )
+    return (
+        hits.join(true_flag, "o_orderkey", "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom_pass"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_true"),
+        )
+    )
