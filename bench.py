@@ -92,6 +92,12 @@ EXTENDED = [
     "a_string_agg",
     "d_scd2_merge",
     "ev_matview_refresh",
+    "g_triangle_count",
+    "dd_sorted_neighborhood",
+    "ev_gap_fill",
+    "a_regr_trend",
+    "txt_inverted_index",
+    "j_bloom_prune",
 ]
 
 
