@@ -368,6 +368,9 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join, no driver materialization.
     """
     edges = build_edges(spark, sf_dir)
+    # und feeds deg AND both endpoint joins; ord_e feeds the two
+    # wedge sides AND the closing probe — cache each once instead of
+    # recomputing the upstream distinct/join pipeline per branch.
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -375,6 +378,7 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .cache()
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -393,6 +397,7 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("vd"),
         )
+        .cache()
     )
     e1 = ord_e.select(F.col("u"), F.col("v").alias("x"), F.col("vd").alias("xd"))
     e2 = ord_e.select(F.col("u"), F.col("v").alias("y"), F.col("vd").alias("yd"))

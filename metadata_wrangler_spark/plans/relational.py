@@ -1446,28 +1446,24 @@ def a_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_M = 1024   # bits
 _BLOOM_K = 3      # hash functions
+# affine universal-hash family over the Mersenne prime 2^31-1:
+# integer keys hash with two multiplies and two mods — JVM-codegen
+# arithmetic, ~100x cheaper than an md5-string hash per probe, and
+# bit-identical in any engine (no string formatting, no hex).
+_BLOOM_P = 2147483647
+_BLOOM_AB = ((823117, 572807), (1500450271, 97231), (492876847, 1299709))
 
 
 def _bloom_pos_sql(key: str, i: int) -> str:
-    """DuckDB: hash slot i of `key` — md5-derived, mirrors the Spark
-    side bit for bit."""
-    return (
-        f"CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), "
-        f"'#', '{i}')), 1, 15)) AS BIGINT) % {_BLOOM_M}"
-    )
+    """DuckDB: hash slot i of `key` — mirrors the Spark side bit
+    for bit."""
+    a, b = _BLOOM_AB[i]
+    return f"(({key} * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_M}"
 
 
 def _bloom_pos_col(key: F.Column, i: int) -> F.Column:
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(key.cast("string"), F.lit(f"#{i}"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _BLOOM_M
-    )
+    a, b = _BLOOM_AB[i]
+    return ((key * F.lit(a) + F.lit(b)) % _BLOOM_P) % _BLOOM_M
 
 
 @register(
@@ -1518,19 +1514,24 @@ def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     database (`coverage.py` CoverageRecord lookups); a bloom table
     is that set made shuffle-free at scale.
 
-    Scale design: the bloom table is at most {_BLOOM_M} rows
-    regardless of needle count — it BROADCASTS even when the needle
-    set itself would not, which is the whole point: the probe side
-    is filtered by k broadcast-hash-joins (no shuffle of the fact
-    table), then only bloom-positive rows (true matches + a
-    bounded false-positive tail) reach the exact semi-join. Spark
-    can inject this automatically (runtime bloom filters); the
-    explicit form is reusable across jobs and sizable per key set.
+    Scale design: the bloom collapses to ONE row holding the sorted
+    slot array (at most {_BLOOM_M} elements regardless of needle
+    count) — it broadcasts even when the needle set itself would
+    not, which is the whole point. The probe is then a narrow map
+    stage (k array_contains per row, no shuffle of the fact table),
+    and only bloom-positive rows (true matches + a bounded
+    false-positive tail) reach the exact broadcast join. Spark can
+    inject this automatically (runtime bloom filters); the explicit
+    form is reusable across jobs and sizable per key set.
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     needles = cust.where(F.col("c_nationkey") == 3).select("c_custkey")
-    bloom = (
+    # The bloom "bitset": one row holding the sorted distinct slot
+    # array (<= _BLOOM_M elements). Broadcast as a scalar row, so
+    # the probe is a narrow map stage — array_contains per hash,
+    # exactly how a task-local bloom bitset behaves on a cluster.
+    bloom_row = (
         needles.select(
             F.explode(
                 F.array(
@@ -1541,42 +1542,25 @@ def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pos")
         )
-        .distinct()
+        .agg(F.sort_array(F.collect_set("pos")).alias("slots"))
     )
     probe = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
-    exploded = probe.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderpriority",
-        F.posexplode(
-            F.array(
-                *[
-                    _bloom_pos_col(F.col("o_custkey"), i)
-                    for i in range(_BLOOM_K)
-                ]
+    passed = probe.crossJoin(F.broadcast(bloom_row))
+    for i in range(_BLOOM_K):
+        passed = passed.where(
+            F.array_contains(
+                F.col("slots"), _bloom_pos_col(F.col("o_custkey"), i)
             )
-        ).alias("i", "pos"),
-    )
-    hits = (
-        exploded.join(F.broadcast(bloom), "pos")
-        .groupBy("o_orderkey", "o_custkey", "o_orderpriority")
-        .agg(F.countDistinct("i").alias("k_hit"))
-        .where(F.col("k_hit") == _BLOOM_K)
-    )
-    true_flag = (
-        hits.join(
-            F.broadcast(needles.withColumnRenamed("c_custkey", "o_custkey")),
-            "o_custkey",
-            "left_semi",
         )
-        .select("o_orderkey")
-        .withColumn("is_true", F.lit(1))
+    flagged = passed.join(
+        F.broadcast(
+            needles.withColumnRenamed("c_custkey", "o_custkey")
+            .withColumn("is_true", F.lit(1))
+        ),
+        "o_custkey",
+        "left",
     )
-    return (
-        hits.join(true_flag, "o_orderkey", "left")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_bloom_pass"),
-            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_true"),
-        )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_true"),
     )
