@@ -98,6 +98,7 @@ EXTENDED = [
     "a_regr_trend",
     "txt_inverted_index",
     "j_bloom_prune",
+    "s_zorder_layout",
 ]
 
 

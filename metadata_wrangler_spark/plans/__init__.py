@@ -67,6 +67,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "a_regr_trend",
     "txt_inverted_index",
     "j_bloom_prune",
+    "s_zorder_layout",
     # --- round-4 additions: recursive CTE twin, stream-stream join ---
     "g_transitive_closure_rcte",
     "ev_stream_stream_join",
@@ -104,7 +105,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- previously-green family representatives ---
     "f_levenshtein_ratio",
     "j_first_match",
-    "w_viaf_candidate_score",
     "mm_binary_features",
     "ev_tumbling_window",
     "g_transitive_closure",
