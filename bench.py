@@ -99,6 +99,9 @@ EXTENDED = [
     "txt_inverted_index",
     "j_bloom_prune",
     "s_zorder_layout",
+    "a_cube_report",
+    "a_anomaly_zscore",
+    "ev_unpivot_long",
 ]
 
 

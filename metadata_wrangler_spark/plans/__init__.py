@@ -68,6 +68,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "txt_inverted_index",
     "j_bloom_prune",
     "s_zorder_layout",
+    "a_cube_report",
+    "a_anomaly_zscore",
+    "ev_unpivot_long",
     # --- round-4 additions: recursive CTE twin, stream-stream join ---
     "g_transitive_closure_rcte",
     "ev_stream_stream_join",
@@ -103,10 +106,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "w_shortest_candidate",
     "s_xml_classify_response",
     # --- previously-green family representatives ---
-    "f_levenshtein_ratio",
-    "j_first_match",
     "mm_binary_features",
-    "ev_tumbling_window",
     "g_transitive_closure",
     "pipe_provider_end_to_end",
     "s_xml_classify",

@@ -876,3 +876,61 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("observed"),
         )
     )
+
+
+# --- UNPIVOT / melt (inverse of the crosstab) -----------------------------
+
+@register(
+    "ev_unpivot_long",
+    oracle=f"""
+    WITH wide AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               {", ".join(
+                   f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+                   f"AS n_{t}" for t in _EVENT_TYPES
+               )}
+        FROM events GROUP BY 1
+    )
+    {" UNION ALL ".join(
+        f"SELECT day, '{t}' AS event_type, n_{t} AS n_events FROM wide"
+        for t in _EVENT_TYPES
+    )}
+    """,
+)
+def ev_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the wide daily crosstab back to long form — the inverse
+    of `ev_pivot_daily_matrix`, via Spark's native ``unpivot``
+    (SQL UNPIVOT / pandas melt). Zero-count cells survive the round
+    trip (the long form carries explicit zeros, which a plain
+    groupBy(day, type) would drop) — exactly what a charting or
+    export layer needs from a dense matrix.
+
+    Scale design: unpivot is a map-side Expand (one input row ->
+    one row per value column), no shuffle beyond the upstream
+    day-aggregate; the wide aggregate itself is one conditional
+    partial+final hash agg over the declared type list.
+    """
+    ev = load(spark, sf_dir, "events")
+    wide = (
+        ev.select(F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                  "event_type")
+        .groupBy("day")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("event_type") == t, 1).otherwise(0)
+                ).alias(f"n_{t}")
+                for t in _EVENT_TYPES
+            ]
+        )
+    )
+    return wide.unpivot(
+        ids=["day"],
+        values=[f"n_{t}" for t in _EVENT_TYPES],
+        variableColumnName="event_type_col",
+        valueColumnName="n_events",
+    ).select(
+        "day",
+        F.expr("substring(event_type_col, 3)").alias("event_type"),
+        "n_events",
+    )

@@ -1564,3 +1564,130 @@ def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bloom_pass"),
         F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_true"),
     )
+
+
+# --- CUBE multi-granularity report ----------------------------------------
+
+@register(
+    "a_cube_report",
+    oracle="""
+    SELECT coalesce(l_returnflag, '~') AS rflag,
+           coalesce(l_linestatus, '~') AS lstatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor((l_extendedprice) * 10000 + 0.5)
+                    AS BIGINT)) AS BIGINT) / 10000.0 AS sum_price
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def a_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every granularity —
+    per-pair, per-flag subtotal, per-status subtotal, grand total —
+    in ONE aggregation pass, each row tagged with its grouping-set
+    id. The ROLLUP twin (`a_rollup_report`) covers the hierarchy
+    case; CUBE covers the full lattice a reporting layer slices.
+
+    Subtotal NULLs are folded to '~' so they are distinguishable
+    from (non-existent here) real NULL group keys; gid carries the
+    exact grouping set either way.
+
+    Scale design: Spark expands grouping sets BEFORE the shuffle
+    (Expand operator: 4 rows per input row here) then runs one
+    partial+final hash aggregate — same shuffle shape as a plain
+    groupBy, factor-of-sets map-side amplification, no extra pass.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("~")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("~")).alias("lstatus"),
+            "gid",
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+# --- Z-score anomaly detection --------------------------------------------
+
+@register(
+    "a_anomaly_zscore",
+    oracle="""
+    WITH q AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS qv
+        FROM events
+    ), m AS (
+        SELECT event_type,
+               COUNT(*) AS n, SUM(qv) AS sx,
+               SUM(qv * qv) AS sxx
+        FROM q GROUP BY event_type
+    )
+    SELECT q.event_id, q.event_type,
+           CAST(CAST(
+               (CAST(q.qv AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
+               / sqrt((CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                       - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+                      / (CAST(m.n AS DOUBLE) * (m.n - 1)))
+           AS DECIMAL(18,6)) AS DOUBLE) AS zscore
+    FROM q JOIN m ON m.event_type = q.event_type
+    WHERE abs(
+               (CAST(q.qv AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
+               / sqrt((CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                       - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+                      / (CAST(m.n AS DOUBLE) * (m.n - 1)))
+          ) > 3.0
+    """,
+)
+def a_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: events whose value sits more than
+    3 sample standard deviations from the type mean — the
+    quality-control sweep a metrics pipeline runs before trusting a
+    day's data.
+
+    Mean and variance come from exact integer moment sums (values
+    quantized at 1e-4, accumulated as BIGINT/HUGEINT), so the
+    statistics are partition-order-independent; the only float ops
+    (one divide chain + one sqrt, both correctly-rounded IEEE) are
+    spelled identically in both engines.
+
+    Scale design: one map-side-partial aggregate for the moments,
+    one broadcast join back (per-type stats are a handful of rows),
+    filter in codegen — two scans of events, no window, no shuffle
+    of the fact table.
+    """
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("bigint").alias("qv"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qv").cast(d38)).alias("sx"),
+        F.sum((F.col("qv") * F.col("qv")).cast(d38)).alias("sxx"),
+    )
+    joined = q.join(F.broadcast(m), "event_type")
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    z = (F.col("qv").cast("double") - mean) / F.sqrt(var)
+    return (
+        joined.where(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            z.cast("decimal(18,6)").cast("double").alias("zscore"),
+        )
+    )
