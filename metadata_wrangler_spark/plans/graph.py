@@ -412,3 +412,84 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("u").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+# ---------------------------------------------------------------------------
+# single-source shortest path (bounded Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+# Integer edge weights derived from the shared edge set: exact
+# arithmetic in both engines, no float path sums. The per-node
+# minimum is taken over the packed code dist*1000 + hops (hops <= 6,
+# dist <= 6*97 < 2^31), which is "min dist, then min hops" without
+# relying on cross-engine struct-min semantics.
+
+@register(
+    "g_shortest_path",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({EDGES_SQL}),
+    wedges AS (
+        SELECT src, dst, 1 + (src * 3 + dst) % 97 AS w FROM edges
+    ),
+    walk(node, code, hops) AS (
+        SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS code, 0 AS hops
+        UNION ALL
+        SELECT e.dst, wk.code + 1000 * e.w + 1, wk.hops + 1
+        FROM walk wk JOIN wedges e ON e.src = wk.node
+        WHERE wk.hops < 6
+    )
+    SELECT node,
+           MIN(code) // 1000 AS dist,
+           MIN(code) % 1000 AS hops
+    FROM walk
+    GROUP BY node
+    """,
+)
+def g_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest path, bounded at 6 hops — Bellman-Ford
+    relaxation over the shared weighted edge set from node 1.
+    After k rounds the state is exactly min-cost over all <=k-edge
+    paths, which is what the oracle's bounded recursive CTE
+    enumerates; integer weights make the equality bit-exact.
+
+    Reference behavior: the reference walks identifier-equivalency
+    chains to a bounded depth with a strength product
+    (`identifiers.py` equivalency traversal); this is the same walk
+    with additive costs and an explicit argmin per reached node.
+
+    Scale design: each round is one equi-join frontier-extension
+    plus a map-side-combinable min aggregate — the iterative-join
+    shape `operators/closure.py` already proves out (per-round
+    plans stay shallow because the groupBy collapses lineage; 6
+    fixed rounds, no driver-side convergence probe needed). State
+    is one row per reached node, partitioned by node; the packed
+    code keeps it a single BIGINT column. On a cluster this is
+    textbook Pregel-as-DataFrame; weights and frontier both shuffle
+    on the join key only.
+    """
+    edges = build_edges(spark, sf_dir)
+    wedges = edges.select(
+        "src", "dst", (1 + (F.col("src") * 3 + F.col("dst")) % 97).alias("w")
+    )
+    state = spark.range(1).select(
+        F.lit(1).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("code"),
+    )
+    for _ in range(6):
+        extended = (
+            state.join(wedges, state.node == wedges.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("code") + 1000 * F.col("w") + 1).alias("code"),
+            )
+        )
+        state = (
+            state.unionByName(extended)
+            .groupBy("node")
+            .agg(F.min("code").alias("code"))
+        )
+    return state.select(
+        "node",
+        F.expr("code div 1000").alias("dist"),
+        (F.col("code") % 1000).alias("hops"),
+    )

@@ -1691,3 +1691,45 @@ def a_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.cast("decimal(18,6)").cast("double").alias("zscore"),
         )
     )
+
+
+@register(
+    "w_percent_rank_cume",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume_dist
+    FROM customer
+    WHERE c_acctbal > 5000
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows: PERCENT_RANK + CUME_DIST per
+    market segment — the calibration curve behind the reference's
+    percentile-based quality cutoffs (`measurement.py` percentile
+    normalization of external ratings), exposed as window functions
+    rather than a pre-computed lookup.
+
+    Both functions are rational in integer rank/count quantities
+    ((rank-1)/(n-1), rows<=x / n), so the doubles are single exact
+    IEEE divisions — bit-identical cross-engine with no
+    quantization needed. The deterministic (c_acctbal, c_custkey)
+    order makes tie handling hash-stable.
+
+    Scale design: one hash-partitioned window keyed on
+    c_mktsegment; the filter pushes to the scan. No global sort —
+    segments sort independently. Skewed segments would ride AQE's
+    skew-split; at 100 TB the same query phrases as the percentile
+    cut-point twin (`a_percentile_disc`) if a segment outgrows a
+    partition.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
