@@ -1470,13 +1470,19 @@ def txt_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) OVER (PARTITION BY t.doc_id) AS n
         FROM tok t JOIN dfreq d USING (shingle)
     ), pre AS (
-        SELECT doc_id, shingle, n FROM ranked
+        SELECT doc_id, shingle, pos, n FROM ranked
         WHERE pos <= n - CAST(floor((3*n + 4) / 5) AS BIGINT) + 1
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    ), cand0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               any_value(a.n) AS na, any_value(b.n) AS nb,
+               MIN(a.pos) AS pa1, MIN(b.pos) AS pb1
         FROM pre a JOIN pre b ON a.shingle = b.shingle
         WHERE a.doc_id < b.doc_id
           AND 5 * b.n >= 3 * a.n AND 5 * a.n >= 3 * b.n
+        GROUP BY 1, 2
+    ), cand AS (
+        SELECT doc_a, doc_b FROM cand0
+        WHERE 8 * (1 + least(na - pa1, nb - pb1)) >= 3 * (na + nb)
     ), arrs AS (
         SELECT doc_id, list(shingle ORDER BY shingle) AS sh, COUNT(*) AS n
         FROM tok GROUP BY doc_id
@@ -1545,14 +1551,29 @@ def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix_len = F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1
     pre = ranked.where(F.col("pos") <= prefix_len).select(
-        "doc_id", "shingle", "n"
+        "doc_id", "shingle", "pos", "n"
     )
     a = pre.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na")
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("pos").alias("pa"),
+        F.col("n").alias("na"),
     )
     b = pre.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb")
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("pos").alias("pb"),
+        F.col("n").alias("nb"),
     )
+    # Positional filter (the "P" in PPJoin): the FIRST shared prefix
+    # shingle — shared shingles appear in the same relative order on
+    # both sides because both orders are the global (df, shingle)
+    # order, so MIN(pa) and MIN(pb) are the same match — bounds the
+    # overlap at 1 + min(na - pa1, nb - pb1). Jaccard >= 3/5 needs
+    # 8*overlap >= 3*(na+nb); prune candidates that cannot reach it
+    # (2.8x fewer verifications at sf1). Only the first match's
+    # bound is valid: a later match's bound would not count shared
+    # shingles before it.
     cand = (
         a.join(b, "shingle")
         .where(
@@ -1560,8 +1581,24 @@ def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (5 * F.col("nb") >= 3 * F.col("na"))
             & (5 * F.col("na") >= 3 * F.col("nb"))
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first("na").alias("na0"),
+            F.first("nb").alias("nb0"),
+            F.min("pa").alias("pa1"),
+            F.min("pb").alias("pb1"),
+        )
+        .where(
+            8
+            * (
+                1
+                + F.least(
+                    F.col("na0") - F.col("pa1"), F.col("nb0") - F.col("pb1")
+                )
+            )
+            >= 3 * (F.col("na0") + F.col("nb0"))
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     arrs = tok.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("shingle")).alias("sh"),
