@@ -106,6 +106,9 @@ EXTENDED = [
     "txt_bm25_search",
     "g_shortest_path",
     "w_percent_rank_cume",
+    "g_kcore",
+    "ev_regex_path_match",
+    "a_histogram",
 ]
 
 

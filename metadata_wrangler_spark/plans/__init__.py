@@ -60,11 +60,16 @@ VERIFICATION_WINDOW = 50
 
 VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- round-4 final additions: PPJoin prefix filtering, BM25
-    # retrieval, bounded Bellman-Ford, distribution windows ---
+    # retrieval, bounded Bellman-Ford, distribution windows,
+    # k-core, CEP path regex, histogram, skew-salted join ---
     "dd_prefix_filter_join",
     "txt_bm25_search",
     "g_shortest_path",
     "w_percent_rank_cume",
+    "g_kcore",
+    "ev_regex_path_match",
+    "a_histogram",
+    "j_skew_salted_join",
     # --- round-4 late additions: graph analytics, SNM blocking,
     # gap-fill, grouped OLS, inverted index, bloom pruning ---
     "g_triangle_count",
@@ -111,15 +116,17 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "f_token_sort_ratio",
     "w_shortest_candidate",
     "s_xml_classify_response",
-    # --- previously-green family representatives ---
-    # (rotated out for the final-additions block, still covered by
-    # pytest's all-oracle sweep: g_transitive_closure,
-    # dd_embedding_cosine, s_xml_classify, j_skew_salted_join —
-    # each family keeps a representative in the window above)
-    "mm_binary_features",
-    "pipe_provider_end_to_end",
-    "p_compound_predicates",
-    "sim_cosine_topk",
+    # NOTE (round-4 end state): every window slot goes to a
+    # never-driver-verified query so that ZERO such queries remain
+    # after this round (the round-3 verdict's ask #2) — including
+    # j_skew_salted_join, which CORRECTNESS_r0{1,2,3} shows was
+    # never actually inside a driver window despite being listed as
+    # a stalwart. The re-verification family reps rotated out
+    # (mm_binary_features, pipe_provider_end_to_end,
+    # p_compound_predicates, sim_cosine_topk, g_transitive_closure,
+    # dd_embedding_cosine, s_xml_classify) are still hash-checked
+    # every pytest run by tests/test_all_oracles.py; round 5 should
+    # rotate one green rep per family back in.
 )
 
 

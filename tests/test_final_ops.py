@@ -152,3 +152,89 @@ def test_percent_rank_cume_dist_definitions(spark):
             expect_pr = 0.0 if n == 1 else i / (n - 1)
             assert float(r.pct_rank) == expect_pr
             assert float(r.cume_dist) == (i + 1) / n
+
+
+def test_kcore_converges_and_matches_unbounded_peel(spark):
+    """The 4-round bounded peel must (a) equal an unbounded peel to
+    fixpoint at this SF (convergence) and (b) report degrees within
+    the final core."""
+    from metadata_wrangler_spark.catalog import load
+
+    n = load(spark, SF, "customer").count()
+    edges = set()
+    for i in range(n):
+        for j in range(1 + i % 4):
+            d = (i * (7 + 2 * j) + 3 + 5 * j) % n
+            if d != i:
+                edges.add((min(i, d), max(i, d)))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    while True:
+        keep = {v for v in nodes if sum(1 for u in adj[v] if u in nodes) >= 3}
+        if keep == nodes:
+            break
+        nodes = keep
+    expect = {
+        v: sum(1 for u in adj[v] if u in nodes) for v in nodes
+    }
+    got = {
+        int(r.node): int(r.core_deg)
+        for r in plans.QUERIES["g_kcore"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_regex_path_match_counts_conversions(spark):
+    """Recompute paths + conversion counts in pure Python from the
+    raw events (time-then-id order, non-overlapping greedy cv*p)."""
+    from metadata_wrangler_spark.catalog import load
+
+    ev = load(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    paths: dict[int, list] = {}
+    for r in ev:
+        paths.setdefault(int(r.user_id), []).append(
+            (r.ts, int(r.event_id), r.event_type[0])
+        )
+    expect = {}
+    for uid, evs in paths.items():
+        path = "".join(c for _, _, c in sorted(evs))
+        n_conv = len(re.findall(r"cv*p", path))
+        if n_conv >= 2:
+            expect[uid] = (path, len(evs), n_conv)
+    got = {
+        int(r.user_id): (r.path, int(r.n_events), int(r.n_conversions))
+        for r in plans.QUERIES["ev_regex_path_match"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_histogram_buckets_partition_the_rows(spark):
+    """Bucket counts must sum to the table count, edges must tile
+    [min, max], and every row must fall inside its bucket's range
+    (right-open except the last)."""
+    from metadata_wrangler_spark.catalog import load
+
+    li = load(spark, SF, "lineitem")
+    total = li.count()
+    res = sorted(
+        plans.QUERIES["a_histogram"](spark, SF).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n for r in res) == total
+    prices = [float(r.l_extendedprice) for r in li.collect()]
+    mn, mx = min(prices), max(prices)
+    assert res[0].lo == mn and abs(res[-1].hi - mx) < 1e-9
+    for prev, cur in zip(res, res[1:]):
+        assert prev.hi == cur.lo
+    width = (mx - mn) / 10.0
+    import collections
+
+    expect = collections.Counter(
+        min(9, int((p - mn) // width)) for p in prices
+    )
+    assert {r.bucket: r.n for r in res} == dict(expect)
