@@ -109,6 +109,10 @@ EXTENDED = [
     "g_kcore",
     "ev_regex_path_match",
     "a_histogram",
+    "txt_pmi_bigrams",
+    "txt_weighted_sample",
+    "a_hll_sketch",
+    "sim_quantized_topk",
 ]
 
 

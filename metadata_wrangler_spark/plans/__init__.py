@@ -118,7 +118,11 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "s_xml_classify_response",
     # NOTE (round-4 end state): every window slot goes to a
     # never-driver-verified query so that ZERO such queries remain
-    # after this round (the round-3 verdict's ask #2) — including
+    # after this round (the round-3 verdict's ask #2). Four queries
+    # added AFTER the window locked (txt_pmi_bigrams,
+    # txt_weighted_sample, a_hll_sketch, sim_quantized_topk) ride
+    # behind it on the pytest all-oracle sweep until round 5 rotates
+    # them in. Also including
     # j_skew_salted_join, which CORRECTNESS_r0{1,2,3} shows was
     # never actually inside a driver window despite being listed as
     # a stalwart. The re-verification family reps rotated out

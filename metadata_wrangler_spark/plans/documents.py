@@ -1779,3 +1779,177 @@ def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# phrase mining: PMI-ranked bigram collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5     # bigram support floor — kills hapax noise
+_PMI_TOP = 50
+
+
+@register(
+    "txt_pmi_bigrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), uni AS (
+        SELECT word, COUNT(*) AS c FROM (
+            SELECT unnest(w) AS word FROM toks
+        ) GROUP BY word
+    ), tot AS (
+        SELECT SUM(c) AS n_total FROM uni
+    ), pairs AS (
+        SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c_xy FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> [w[i], w[i + 1]])) AS p
+            FROM toks WHERE len(w) >= 2
+        ) GROUP BY 1, 2
+    ), scored AS (
+        SELECT p.w1, p.w2, p.c_xy,
+               (p.c_xy * t.n_total * 10000) // (u1.c * u2.c)
+                   AS pmi_ratio_x10k
+        FROM pairs p
+        JOIN uni u1 ON u1.word = p.w1
+        JOIN uni u2 ON u2.word = p.w2
+        CROSS JOIN tot t
+        WHERE p.c_xy >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c_xy, pmi_ratio_x10k, rank FROM (
+        SELECT *, row_number() OVER (
+                   ORDER BY pmi_ratio_x10k DESC, w1 ASC, w2 ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_PMI_TOP}
+    """,
+)
+def txt_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: rank corpus bigrams by pointwise
+    mutual information — the phrase-discovery signal (new-terms
+    detection, tokenizer vocab candidates) every corpus-construction
+    pipeline computes before training. PMI ∝ P(xy)/(P(x)P(y)); the
+    monotone integer surrogate c_xy·N·10⁴ div (c_x·c_y) keeps the
+    ranking identical while staying exact cross-engine (no libm log).
+
+    Scale shape: one explode for unigram counts, one explode for
+    bigram counts (token-linear, non-overlapping in output size),
+    two hash-aggregates; the unigram table after aggregation is
+    vocabulary-sized → both probability joins BROADCAST, and the
+    scalar N rides a broadcast-of-one-row cross join. TakeOrdered
+    gives the final top-{_PMI_TOP}; nothing global ever sorts.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(dedup.normalize_text(F.col("text")), " ")
+    toks = docs.select("doc_id", w.alias("w"))
+
+    uni = (
+        toks.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_total"))
+
+    pair = F.zip_with(
+        F.slice(F.col("w"), 1, F.size("w") - 1),
+        F.slice(F.col("w"), 2, F.size("w") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        toks.where(F.size("w") >= 2)
+        .select(F.explode(pair).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c_xy",
+            F.expr("c_xy * n_total * 10000 DIV (c1 * c2)")
+            .alias("pmi_ratio_x10k"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("pmi_ratio_x10k"), F.asc("w1"), F.asc("w2")
+    ).limit(_PMI_TOP)
+    return top.select(
+        "w1", "w2", "c_xy", "pmi_ratio_x10k",
+        F.row_number()
+        .over(W.orderBy(F.desc("pmi_ratio_x10k"), F.asc("w1"), F.asc("w2")))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampling: token-weighted deterministic Poisson sample
+# ---------------------------------------------------------------------------
+
+_WS_TARGET = 20          # expected sample size (documents)
+_WS_PPM = 1_000_000      # gate resolution
+
+
+@register(
+    "txt_weighted_sample",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang, len({_WORDS_SQL}) AS w_tokens,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {_WS_PPM} AS gate
+        FROM documents
+    ), tot AS (
+        SELECT SUM(w_tokens) AS total_w FROM sized
+    )
+    SELECT doc_id, lang, w_tokens,
+           least({_WS_PPM},
+                 ({_WS_PPM} * {_WS_TARGET} * w_tokens) // total_w)
+               AS prob_ppm
+    FROM sized CROSS JOIN tot
+    WHERE gate * total_w < {_WS_PPM} * {_WS_TARGET} * w_tokens
+    """,
+)
+def txt_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional Poisson sampling: each document enters the
+    sample with probability ≈ target·tokens/Σtokens — the standard
+    way to draw a fixed TOKEN budget (not doc budget) when building a
+    training mixture, so long documents are not under-represented.
+    The gate is a pure integer comparison on a doc-id hash
+    (hash%10⁶ · Σw < 10⁶ · target · w): no RNG state, reproducible
+    across engines/partitionings, and a document's keep/drop never
+    flips as the corpus grows its OTHER strata (Σw enters both
+    engines identically).
+
+    Complements txt_mixture_sample (per-language fixed rates): this
+    is the weight-proportional second stage. Scale: one aggregate for
+    Σw broadcast back as a one-row cross join; the gate is then an
+    embarrassingly parallel filter — no shuffle of the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w_tokens = F.size(F.split(dedup.normalize_text(F.col("text")), " "))
+    sized = docs.select(
+        "doc_id", "lang", w_tokens.alias("w_tokens"),
+        (dedup.md5_long(F.col("doc_id").cast("string")) % _WS_PPM)
+        .alias("gate"),
+    )
+    tot = sized.agg(F.sum("w_tokens").alias("total_w"))
+    return (
+        sized.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("gate") * F.col("total_w")
+            < F.lit(_WS_PPM * _WS_TARGET) * F.col("w_tokens")
+        )
+        .select(
+            "doc_id", "lang", "w_tokens",
+            F.least(
+                F.lit(_WS_PPM).cast("long"),
+                F.expr(f"{_WS_PPM} * {_WS_TARGET} * w_tokens DIV total_w"),
+            ).alias("prob_ppm"),
+        )
+    )

@@ -1009,3 +1009,115 @@ def ev_regex_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         n_conv.cast("long").alias("n_conversions"),
     ).where(n_conv >= 2)
+
+
+# ---------------------------------------------------------------------------
+# sketch: HyperLogLog registers (integer-exact, mergeable)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64            # registers (b=6 bucket bits of the 60-bit hash)
+_HLL_FIELD = 54        # remaining hash bits feeding the rank
+# alpha_64 = 0.7213/(1 + 1.079/64) ≈ 0.709 — spelled as the rational
+# 709/1000 so both engines build the identical double constant.
+
+
+@register(
+    "a_hll_sketch",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ), rho AS (
+        SELECT event_type, h % {_HLL_M} AS bucket,
+               CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_FIELD + 1}
+                    ELSE {_HLL_FIELD + 1} - length(bin(h // {_HLL_M}))
+               END AS r
+        FROM hashed
+    ), regs AS (
+        SELECT event_type, bucket, MAX(r) AS reg
+        FROM rho GROUP BY event_type, bucket
+    ), agg AS (
+        SELECT event_type,
+               COUNT(*) AS n_present,
+               SUM(CAST(1 AS BIGINT) << ({_HLL_FIELD + 1} - reg)) AS s_present
+        FROM regs GROUP BY event_type
+    )
+    SELECT a.event_type,
+           CAST({_HLL_M} - a.n_present AS BIGINT) AS zero_registers,
+           CAST(CAST((709.0 / 1000.0) * {_HLL_M * _HLL_M}.0
+                     * {1 << (_HLL_FIELD + 1)}.0
+                     / CAST(a.s_present
+                            + ({_HLL_M} - a.n_present)
+                              * (CAST(1 AS BIGINT) << {_HLL_FIELD + 1})
+                       AS DOUBLE)
+                AS DECIMAL(28,6)) AS DOUBLE) AS hll_estimate,
+           x.n_exact
+    FROM agg a
+    JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY event_type) x USING (event_type)
+    """,
+)
+def a_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count per event type via HyperLogLog registers —
+    the KMV sketch's (a_kmv_distinct_sketch) constant-memory sibling:
+    bucket = low 6 hash bits, rank = leading-zero position of the
+    remaining 54, register = MAX(rank) per bucket, estimate =
+    α·m²/Σ2^(−reg). Every step is integer/string arithmetic (length of
+    unpadded bin() instead of libm log2; register sum scaled by 2^55 is
+    an exact BIGINT), so the "approximate" sketch is bit-reproducible
+    and the DuckDB oracle gates it exactly; the exact COUNT DISTINCT
+    rides alongside as the error bar. No small-range linear-counting
+    correction (it needs ln): zero_registers is emitted so a reader
+    can see when the raw estimator is in its biased low range.
+
+    Scale story: registers merge by MAX — partial sketches from any
+    partitioning/day combine without rescans (same two-phase
+    map-side-combine shape Spark gives a MAX groupBy for free), and
+    state is m=64 longs per group vs O(distinct) for exact. This is
+    the sketch to ship across 1000 executors; KMV is the
+    deterministic-quantile twin.
+    """
+    from metadata_wrangler_spark.operators.dedup import md5_long
+    ev = load(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        md5_long(F.col("user_id").cast("string")).alias("h"),
+    ).dropDuplicates()
+    rest = F.expr(f"h DIV {_HLL_M}")
+    rho = hashed.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.when(rest == 0, F.lit(_HLL_FIELD + 1)).otherwise(
+            F.lit(_HLL_FIELD + 1) - F.length(F.bin(rest))
+        ).alias("r"),
+    )
+    regs = rho.groupBy("event_type", "bucket").agg(F.max("r").alias("reg"))
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_FIELD + 1} - reg)")
+        ).alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(_HLL_M) - F.col("n_present"))
+        * F.lit(1 << (_HLL_FIELD + 1)).cast("long")
+    )
+    est = (
+        F.lit(709.0 / 1000.0)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(float(1 << (_HLL_FIELD + 1)))
+        / s_total.cast("double")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return agg.join(exact, "event_type").select(
+        "event_type",
+        (F.lit(_HLL_M) - F.col("n_present")).cast("long")
+        .alias("zero_registers"),
+        est.cast("decimal(28,6)").cast("double").alias("hll_estimate"),
+        "n_exact",
+    )
