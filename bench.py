@@ -113,6 +113,8 @@ EXTENDED = [
     "txt_weighted_sample",
     "a_hll_sketch",
     "sim_quantized_topk",
+    "ev_hopping_window",
+    "a_kmv_set_ops",
 ]
 
 

@@ -1121,3 +1121,227 @@ def a_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.cast("decimal(28,6)").cast("double").alias("hll_estimate"),
         "n_exact",
     )
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) window aggregation
+# ---------------------------------------------------------------------------
+
+_HOP_WIDTH_S = 7200     # 2 h windows ...
+_HOP_SLIDE_S = 3600     # ... sliding every hour (each event in 2)
+
+
+@register(
+    "ev_hopping_window",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type, value
+        FROM events
+    ), hop AS (
+        SELECT unnest([(ep // {_HOP_SLIDE_S}) * {_HOP_SLIDE_S},
+                       (ep // {_HOP_SLIDE_S}) * {_HOP_SLIDE_S}
+                           - {_HOP_SLIDE_S}]) AS window_start_epoch,
+               event_type, value
+        FROM e
+    )
+    SELECT window_start_epoch, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) / 10000.0 AS total_value
+    FROM hop
+    GROUP BY 1, 2
+    """,
+)
+def ev_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup: 2 h windows sliding every 1 h, so every
+    event lands in exactly width/slide = 2 windows — the smoothing
+    window shape (rolling hourly dashboards, rate limiting) that
+    tumbling windows (ev_tumbling_window) cannot express. Uses
+    Spark's native `window(ts, width, slide)`, which is epoch-aligned
+    — the oracle reproduces the assignment with integer epoch
+    arithmetic (each event's two window starts enumerated by unnest).
+
+    The IDENTICAL expression runs under readStream: with a watermark,
+    hopping windows close slide-by-slide and state is bounded by
+    (width/slide) × groups — the batch/stream equivalence the §2.9
+    family pins for tumbling windows holds here unchanged.
+
+    Scale: explode factor is exactly width/slide (2), fixed at plan
+    time — token-linear state, one hash-aggregate shuffle; partial
+    aggregation halves the exploded rows before they move.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{_HOP_WIDTH_S} seconds",
+                     f"{_HOP_SLIDE_S} seconds").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.floor(F.unix_timestamp(F.col("win.start"))).cast("bigint")
+            .alias("window_start_epoch"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch set operations (Theta-sketch style union / intersection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_kmv_set_ops",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ), sk AS (
+        SELECT event_type, list_sort(list(h))[:{_KMV_K}] AS mins
+        FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS r
+            FROM hashed
+        ) WHERE r <= {_KMV_K}
+        GROUP BY event_type
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               list_sort(list_distinct(a.mins || b.mins))[:{_KMV_K}] AS u,
+               a.mins AS ma, b.mins AS mb
+        FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ), est AS (
+        SELECT type_a, type_b,
+               len(u) AS n_u,
+               u[len(u)] AS kth,
+               len(list_filter(u, x -> list_contains(ma, x)
+                                   AND list_contains(mb, x))) AS n_both
+        FROM pairs
+    ), ut AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), ex_inter AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               COUNT(*) AS exact_inter
+        FROM ut x JOIN ut y ON x.user_id = y.user_id
+                           AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    ), ex_n AS (
+        SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+    )
+    SELECT e.type_a, e.type_b,
+           CAST(e.n_both AS BIGINT) AS sketch_overlap,
+           CAST(CAST(CASE WHEN e.n_u < {_KMV_K}
+                          THEN CAST(e.n_u AS DOUBLE)
+                          ELSE ({_KMV_K} - 1) * power(2, 60)
+                               / CAST(e.kth AS DOUBLE)
+                     END AS DECIMAL(18,6)) AS DOUBLE) AS est_union,
+           CAST(CAST((CAST(e.n_both AS DOUBLE) / {_KMV_K}.0)
+                     * (CASE WHEN e.n_u < {_KMV_K}
+                             THEN CAST(e.n_u AS DOUBLE)
+                             ELSE ({_KMV_K} - 1) * power(2, 60)
+                                  / CAST(e.kth AS DOUBLE)
+                        END)
+                AS DECIMAL(18,6)) AS DOUBLE) AS est_inter,
+           na.n + nb.n - COALESCE(i.exact_inter, 0) AS exact_union,
+           COALESCE(i.exact_inter, 0) AS exact_inter
+    FROM est e
+    LEFT JOIN ex_inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+    JOIN ex_n na ON na.event_type = e.type_a
+    JOIN ex_n nb ON nb.event_type = e.type_b
+    """,
+)
+def a_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET OPERATIONS — the reason production pipelines ship
+    KMV/Theta sketches instead of exact distinct sets: for every pair
+    of event types, |A∪B| is estimated from the min-K of the two
+    sketches' union (the min-K of a union IS the min-K of the
+    merged min-Ks — no rescan), and |A∩B| via the Jaccard of
+    sketch-survivor overlap × the union estimate. Exact counts ride
+    alongside as the error bar. Every step is deterministic given the
+    hash (sorted min-K arrays, integer overlap count, /64 is exact),
+    so the DuckDB oracle reproduces the estimates bit-for-bit.
+
+    Scale story: the sketches are 64 longs per type — the pair join
+    is sketch×sketch (tiny, broadcast), never user×user; the exact
+    twin's user-level self-join is the thing this operator EXISTS to
+    avoid at 100 TB (it is computed here only as the error bar).
+    Reference: the sketch algebra of Apache DataSketches
+    (Druid/Hive/BigQuery); same associativity argument as
+    a_kmv_distinct_sketch.
+    """
+    from metadata_wrangler_spark.operators.dedup import md5_long
+    ev = load(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        md5_long(F.col("user_id").cast("string")).alias("h"),
+    ).dropDuplicates()
+    w = W.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("mins"))
+    )
+    a = sk.select(F.col("event_type").alias("type_a"),
+                  F.col("mins").alias("ma"))
+    b = sk.select(F.col("event_type").alias("type_b"),
+                  F.col("mins").alias("mb"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    u = F.slice(F.array_sort(F.array_union("ma", "mb")), 1, _KMV_K)
+    est = pairs.select(
+        "type_a", "type_b",
+        F.size(u).alias("n_u"),
+        F.element_at(u, F.size(u)).alias("kth"),
+        F.size(
+            F.filter(
+                u,
+                lambda x: F.array_contains("ma", x)
+                & F.array_contains("mb", x),
+            )
+        ).alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_u") < _KMV_K, F.col("n_u").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(2.0 ** 60)
+        / F.col("kth").cast("double")
+    )
+    ut = ev.select("event_type", "user_id").dropDuplicates()
+    ex_n = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    xa = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    xb = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    ex_inter = (
+        xa.join(xb, ["user_id"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    na = ex_n.select(F.col("event_type").alias("type_a"),
+                     F.col("n").alias("n_a"))
+    nb = ex_n.select(F.col("event_type").alias("type_b"),
+                     F.col("n").alias("n_b"))
+    return (
+        est.join(ex_inter, ["type_a", "type_b"], "left")
+        .join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("n_both").cast("long").alias("sketch_overlap"),
+            est_union.cast("decimal(18,6)").cast("double")
+            .alias("est_union"),
+            ((F.col("n_both").cast("double") / F.lit(float(_KMV_K)))
+             * est_union).cast("decimal(18,6)").cast("double")
+            .alias("est_inter"),
+            (F.col("n_a") + F.col("n_b")
+             - F.coalesce("exact_inter", F.lit(0))).cast("long")
+            .alias("exact_union"),
+            F.coalesce("exact_inter", F.lit(0)).cast("long")
+            .alias("exact_inter"),
+        )
+    )

@@ -151,3 +151,49 @@ def run_windowed_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def hopping_rollup(events: DataFrame) -> DataFrame:
+    """Hopping 2h/1h window counts+sums per event type — identical
+    code runs under spark.read (oracle-checked as ev_hopping_window)
+    and spark.readStream; with a watermark each window closes one
+    slide after its end and state holds width/slide = 2 open windows
+    per group."""
+    return (
+        events.groupBy(
+            F.window("ts", "7200 seconds", "3600 seconds").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))
+                   .cast("bigint")) / F.lit(10000.0)).alias("total_value"),
+        )
+        .select(
+            F.floor(F.unix_timestamp(F.col("win.start"))).cast("bigint")
+            .alias("window_start_epoch"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def run_hopping_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "hopping_rollup",
+) -> DataFrame:
+    """AvailableNow pass of the hopping rollup (complete-mode memory
+    sink — bounded-input testing twin of run_windowed_stream)."""
+    events = read_events_stream(spark, source_dir)
+    q = (
+        hopping_rollup(events)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -200,3 +200,63 @@ def test_quantized_topk_qdot_exact_and_recall(spark):
         hits += len(got & set(exact))
         total += 5
     assert hits / total >= 0.6  # int8 @64d is usually >0.8
+
+
+def test_hopping_window_every_event_in_two_windows(spark):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
+    n_events = t.num_rows
+    out = plans.QUERIES["ev_hopping_window"](spark, SF).collect()
+    assert sum(int(r.n_events) for r in out) == 2 * n_events
+    # every window start is slide-aligned and width/slide = 2 means
+    # consecutive starts differ by the slide where data is dense
+    assert all(int(r.window_start_epoch) % 3600 == 0 for r in out)
+
+
+def test_hopping_stream_equals_batch(spark, tmp_path):
+    import shutil
+
+    from metadata_wrangler_spark.catalog import load
+    from metadata_wrangler_spark.streaming import incremental
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-000.parquet")
+    got = incremental.run_hopping_stream(
+        spark, str(src), str(tmp_path / "cp_hop"), query_name="t_hop"
+    )
+    batch = incremental.hopping_rollup(load(spark, SF, "events"))
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, batch.collect()))
+
+
+def test_kmv_set_ops_match_pure_python(spark):
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "user_id"])
+    users: dict[str, set[int]] = {}
+    for et, uid in zip(t.column("event_type").to_pylist(),
+                       t.column("user_id").to_pylist()):
+        users.setdefault(et, set()).add(uid)
+    sketches = {
+        et: sorted(_md5_long(str(u)) for u in us)[:64]
+        for et, us in users.items()
+    }
+    out = plans.QUERIES["a_kmv_set_ops"](spark, SF).collect()
+    assert len(out) == len(users) * (len(users) - 1) // 2
+    for r in out:
+        a, b = r.type_a, r.type_b
+        assert a < b
+        u = sorted(set(sketches[a]) | set(sketches[b]))[:64]
+        n_both = sum(1 for x in u
+                     if x in set(sketches[a]) and x in set(sketches[b]))
+        assert int(r.sketch_overlap) == n_both
+        exact_inter = len(users[a] & users[b])
+        exact_union = len(users[a] | users[b])
+        assert int(r.exact_inter) == exact_inter
+        assert int(r.exact_union) == exact_union
+        if len(u) == 64:  # saturated sketch: estimator is live
+            est_u = 63 * (2.0 ** 60) / float(u[-1])
+            assert abs(float(r.est_union) - est_u) / est_u < 1e-6
+            # K=64 -> ~12.5% std error; generous 3-sigma band
+            assert abs(float(r.est_union) - exact_union) \
+                / exact_union < 0.5
+        assert float(r.est_inter) <= float(r.est_union) + 1e-9
