@@ -115,6 +115,9 @@ EXTENDED = [
     "sim_quantized_topk",
     "ev_hopping_window",
     "a_kmv_set_ops",
+    "g_label_propagation",
+    "a_countmin_heavy_hitters",
+    "mm_audio_windows",
 ]
 
 

@@ -135,3 +135,65 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(
         work, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("window_no", T.IntegerType()),
+    T.StructField("sum_abs", T.LongType()),
+    T.StructField("peak", T.LongType()),
+    T.StructField("energy", T.LongType()),
+    T.StructField("window_md5", T.StringType()),
+])
+
+
+def _fake_pcm(payload: bytes, n_samples: int) -> list[int]:
+    """Deterministic stand-in for decoded PCM: one centered sample
+    per md5(payload) byte (range [-128, 127])."""
+    seed = hashlib.md5(payload).digest()
+    return [seed[i % 16] - 128 for i in range(n_samples)]
+
+
+def audio_window_features(
+    df: DataFrame,
+    window: int = 8,
+    hop: int = 4,
+    n_samples: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decode: Callable[[bytes], list[int]] | None = None,
+) -> DataFrame:
+    """Audio plumbing: one payload in, one row per OVERLAPPING
+    analysis window out (window/hop framing — the STFT-shaped
+    explosion every audio featurizer does). The PCM decode is a
+    deterministic fake behind the same seam as the image/video
+    codecs (swap in soundfile/ffmpeg via ``decode``); the framing
+    policy, integer features (sum|x|, peak, energy) and fingerprint
+    are the production path and are hash-checked.
+    """
+    decode = decode or (lambda p: _fake_pcm(p, n_samples))
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_WINDOW_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples = decode(bytes(payload))
+                for w_no, start in enumerate(
+                    range(0, len(samples) - window + 1, hop)
+                ):
+                    win = samples[start:start + window]
+                    rows["doc_id"].append(int(doc_id))
+                    rows["window_no"].append(w_no)
+                    rows["sum_abs"].append(sum(abs(x) for x in win))
+                    rows["peak"].append(max(abs(x) for x in win))
+                    rows["energy"].append(sum(x * x for x in win))
+                    rows["window_md5"].append(
+                        hashlib.md5(
+                            ",".join(str(x) for x in win).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        work, schema=AUDIO_WINDOW_SCHEMA
+    )

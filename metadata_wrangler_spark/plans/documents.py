@@ -1953,3 +1953,53 @@ def txt_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prob_ppm"),
         )
     )
+
+
+# md5(payload) bytes as centered PCM samples, DuckDB spelling:
+# byte j of the digest is hex pair (2j+1, 2j+2) of the hex string
+_MM_PCM_SQL = """
+    list_transform(generate_series(0, 15), i ->
+        CAST('0x' || substr(md5('FAKEAU' || text),
+                            ((i % 16) * 2) + 1, 2) AS INT) - 128)
+"""
+
+
+@register(
+    "mm_audio_windows",
+    oracle=f"""
+    WITH pcm AS (
+        SELECT doc_id, {_MM_PCM_SQL} AS s
+        FROM documents WHERE doc_id % 7 = 3
+    ), win AS (
+        SELECT doc_id, CAST(w AS INT) AS window_no,
+               s[(w * 4) + 1 : (w * 4) + 8] AS x
+        FROM pcm, unnest([0, 1, 2]) AS t(w)
+    )
+    SELECT doc_id, window_no,
+           CAST(list_sum(list_transform(x, v -> abs(v))) AS BIGINT)
+               AS sum_abs,
+           CAST(list_max(list_transform(x, v -> abs(v))) AS BIGINT)
+               AS peak,
+           CAST(list_sum(list_transform(x, v -> v * v)) AS BIGINT)
+               AS energy,
+           md5(array_to_string(x, ',')) AS window_md5
+    FROM win
+    """,
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode → overlapping window framing → per-window
+    features (sum|x|, peak, energy, fingerprint): 16 fake-PCM
+    samples framed as 8-sample windows at hop 4 → 3 windows per
+    payload. The codec is the documented deterministic stand-in
+    (operators/multimodal.py seam — same contract as image/video);
+    framing, integer feature math, batch shape and schema are the
+    production path, oracle-checked.
+    """
+    from metadata_wrangler_spark.operators import multimodal
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 3)
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("FAKEAU"), F.col("text")), "UTF-8")
+        .alias("payload"),
+    )
+    return multimodal.audio_window_features(payloads)

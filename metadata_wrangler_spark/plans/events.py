@@ -1345,3 +1345,102 @@ def a_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_inter"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (frequency sketch — the third of
+# the mergeable-sketch trio: KMV/HLL = distinct, CMS = frequency)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4        # hash rows
+_CMS_W = 256      # buckets per row
+_CMS_TOP = 20     # heavy hitters reported
+
+_CMS_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST({r} AS VARCHAR) || '_' "
+    "|| CAST({u} AS VARCHAR)), 1, 15)) AS BIGINT) % " + str(_CMS_W)
+)
+
+
+@register(
+    "a_countmin_heavy_hitters",
+    oracle=f"""
+    WITH counters AS (
+        SELECT t.r, {_CMS_BUCKET_SQL.format(r='t.r', u='user_id')} AS bucket,
+               COUNT(*) AS c
+        FROM events, unnest([0, 1, 2, 3]) AS t(r)
+        GROUP BY 1, 2
+    ), topu AS (
+        SELECT user_id, exact_n, rank FROM (
+            SELECT user_id, COUNT(*) AS exact_n,
+                   row_number() OVER (ORDER BY COUNT(*) DESC,
+                                      user_id ASC) AS rank
+            FROM events GROUP BY user_id
+        ) WHERE rank <= {_CMS_TOP}
+    ), probes AS (
+        SELECT u.user_id, u.exact_n, u.rank, t.r,
+               {_CMS_BUCKET_SQL.format(r='t.r', u='u.user_id')} AS bucket
+        FROM topu u, unnest([0, 1, 2, 3]) AS t(r)
+    )
+    SELECT p.user_id, p.exact_n, MIN(c.c) AS cms_est, p.rank
+    FROM probes p
+    JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY 1, 2, 4
+    """,
+)
+def a_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency estimation via a Count-Min sketch: d={_CMS_D} hash
+    rows × w={_CMS_W} buckets of event counts; an item's estimate is
+    the MIN of its d counters (one-sided: never under the truth).
+    The top-{_CMS_TOP} exact heavy hitters ride alongside so the
+    overestimate bias is visible per row. Counters are plain integer
+    sums of a deterministic hash bucketing — the sketch is
+    bit-reproducible and the oracle reproduces it exactly, like the
+    KMV and HLL siblings.
+
+    Scale story: CMS counters merge by + (same two-phase map-side
+    combine Spark gives a COUNT groupBy), total state d·w = 1024
+    cells regardless of cardinality — THE sketch for per-key
+    frequency at 100 TB where exact per-user counts would be a
+    full-cardinality shuffle. The probe join broadcasts the 1024-row
+    counter table; nothing user-cardinality-sized moves twice.
+    """
+    ev = load(spark, sf_dir, "events")
+    from metadata_wrangler_spark.operators.dedup import md5_long
+
+    def bucket(r_col, u_col):
+        return md5_long(
+            F.concat(r_col.cast("string"), F.lit("_"), u_col.cast("string"))
+        ) % _CMS_W
+
+    rows = ev.select(
+        "user_id", F.explode(F.array([F.lit(i) for i in range(_CMS_D)]))
+        .alias("r")
+    )
+    counters = (
+        rows.select("r", bucket(F.col("r"), F.col("user_id")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topu = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(_CMS_TOP)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("exact_n"), F.asc("user_id")))
+            .cast("long"),
+        )
+    )
+    probes = topu.select(
+        "user_id", "exact_n", "rank",
+        F.explode(F.array([F.lit(i) for i in range(_CMS_D)])).alias("r"),
+    ).withColumn("bucket", bucket(F.col("r"), F.col("user_id")))
+    return (
+        probes.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("user_id", "exact_n", "rank")
+        .agg(F.min("c").alias("cms_est"))
+        .select("user_id", "exact_n", "cms_est", "rank")
+    )

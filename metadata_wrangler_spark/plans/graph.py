@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from metadata_wrangler_spark.catalog import load
 from metadata_wrangler_spark.operators.closure import (
@@ -622,3 +623,82 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_deg"))
     )
+
+
+# --- Label propagation (community detection) -------------------------------
+
+_LP_ITERS = 4
+
+
+def _lp_oracle_sql() -> str:
+    def step(prev: str, out: str) -> str:
+        return f"""
+    {out} AS (
+        SELECT node, label FROM (
+            SELECT e.src AS node, p.label,
+                   row_number() OVER (PARTITION BY e.src
+                                      ORDER BY COUNT(*) DESC,
+                                               p.label ASC) AS rn
+            FROM uedges e JOIN {prev} p ON p.node = e.dst
+            GROUP BY e.src, p.label
+        ) WHERE rn = 1
+    )"""
+
+    steps = ",".join(
+        step(f"l{i}", f"l{i + 1}") for i in range(_LP_ITERS)
+    )
+    return f"""
+    WITH edges AS ({EDGES_SQL}),
+    uedges AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    l0 AS (
+        SELECT c_custkey AS node, c_custkey AS label FROM customer
+    ),{steps}
+    SELECT node, label FROM l{_LP_ITERS}
+    """
+
+
+@register("g_label_propagation", oracle=_lp_oracle_sql())
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation: every
+    node starts as its own community and repeatedly adopts the label
+    most frequent among its (undirected) neighbors, ties broken by
+    smallest label — {_LP_ITERS} fixed synchronous rounds so both
+    engines see the identical update schedule (asynchronous LPA is
+    order-dependent and unverifiable). Complements connected
+    components (g_connected_components finds ANY linkage; LPA finds
+    densely-linked cores inside a component).
+
+    Scale shape per round: one equi-join edge→labels, one
+    (node,label) hash-aggregate, one per-node top-1 window — all
+    shuffles on the node key, so the edge partitioning is reusable
+    across rounds; at real iteration counts checkpoint per round as
+    operators/closure.py does. Multi-edges deliberately count twice
+    (both engines): edge multiplicity IS the tie-strength weight.
+    """
+    edges = build_edges(spark, sf_dir).select("src", "dst")
+    ue = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    c = load(spark, sf_dir, "customer")
+    labels = c.select(
+        F.col("c_custkey").alias("node"), F.col("c_custkey").alias("label")
+    )
+    for _ in range(_LP_ITERS):
+        neigh = (
+            ue.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = W.partitionBy("src").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels
