@@ -17,6 +17,7 @@ SF = "/root/testdata/sf0.001"
 # plans whose ONLY Python is the declared Arrow-batched mapInPandas
 ARROW_STAGES = {
     "mm_binary_features", "mm_image_features", "mm_frame_sample",
+    "mm_audio_windows",
     "s_cached_fetch", "s_soap_demand", "pipe_provider_end_to_end",
     # Arrow-vectorized exact-cosine scorers (numpy accumulation over
     # the vector dimension, bit-identical to the expression fold —
