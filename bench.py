@@ -118,6 +118,7 @@ EXTENDED = [
     "g_label_propagation",
     "a_countmin_heavy_hitters",
     "mm_audio_windows",
+    "a_simpson_diversity",
 ]
 
 

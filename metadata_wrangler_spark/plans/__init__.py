@@ -123,7 +123,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # txt_weighted_sample, a_hll_sketch, sim_quantized_topk) ride
     # behind it on the pytest all-oracle sweep until round 5 rotates
     # them in (ditto ev_hopping_window, a_kmv_set_ops,
-    # g_label_propagation, a_countmin_heavy_hitters, mm_audio_windows). Also including
+    # g_label_propagation, a_countmin_heavy_hitters, mm_audio_windows,
+    # a_simpson_diversity). Also including
     # j_skew_salted_join, which CORRECTNESS_r0{1,2,3} shows was
     # never actually inside a driver window despite being listed as
     # a stalwart. The re-verification family reps rotated out

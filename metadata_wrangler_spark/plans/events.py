@@ -1444,3 +1444,46 @@ def a_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_est"))
         .select("user_id", "exact_n", "cms_est", "rank")
     )
+
+
+@register(
+    "a_simpson_diversity",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           COUNT(*) AS n_users,
+           CAST((SUM(c * (c - 1)) * 1000000)
+                // (SUM(c) * (SUM(c) - 1)) AS BIGINT)
+               AS simpson_ppm
+    FROM per_user
+    GROUP BY event_type
+    """,
+)
+def a_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration index per event type — the probability
+    that two random events come from the SAME user, Σc(c−1)/N(N−1),
+    reported in ppm: the diversity/skew health metric a training-mix
+    builder watches (a source whose index spikes is dominated by few
+    heavy keys — exactly the skew that later breaks joins). Integer
+    arithmetic end-to-end (no entropy log): deterministic and
+    oracle-exact.
+
+    Scale: two hash-aggregates (user rollup, then type rollup) —
+    both map-side-combining; nothing key-cardinality-sized leaves
+    the first shuffle. The same Σc(c−1) accumulator is mergeable, so
+    per-day partials combine without rescans.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("SUM(c * (c - 1)) * 1000000 DIV (SUM(c) * (SUM(c) - 1))")
+        .cast("long").alias("simpson_ppm"),
+    )

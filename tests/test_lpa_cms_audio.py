@@ -95,3 +95,23 @@ def test_audio_windows_match_python_framing(spark):
     # window/hop framing: exactly (16-8)/4 + 1 = 3 windows per doc
     per_doc = Counter(d for d, _ in got)
     assert set(per_doc.values()) == {3}
+
+
+def test_simpson_diversity_matches_python(spark):
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "user_id"])
+    per: dict[str, Counter] = {}
+    for et, u in zip(t.column("event_type").to_pylist(),
+                     t.column("user_id").to_pylist()):
+        per.setdefault(et, Counter())[u] += 1
+    out = {r.event_type: (int(r.n_events), int(r.n_users),
+                          int(r.simpson_ppm))
+           for r in plans.QUERIES["a_simpson_diversity"](spark, SF)
+           .collect()}
+    assert set(out) == set(per)
+    for et, cnt in per.items():
+        n = sum(cnt.values())
+        num = sum(c * (c - 1) for c in cnt.values())
+        assert out[et] == (n, len(cnt), (num * 1_000_000) // (n * (n - 1)))
+        # bounds: a probability in [0, 1e6]
+        assert 0 <= out[et][2] <= 1_000_000
