@@ -119,6 +119,7 @@ EXTENDED = [
     "a_countmin_heavy_hitters",
     "mm_audio_windows",
     "a_simpson_diversity",
+    "ev_concurrency_sweep",
 ]
 
 

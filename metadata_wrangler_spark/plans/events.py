@@ -1487,3 +1487,95 @@ def a_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(c * (c - 1)) * 1000000 DIV (SUM(c) * (SUM(c) - 1))")
         .cast("long").alias("simpson_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap concurrency (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+_CONC_HOLD_S = 1800     # each event holds a "session slot" for 30 min
+
+
+@register(
+    "ev_concurrency_sweep",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_id, t, delta FROM (
+            SELECT event_id,
+                   unnest([struct_pack(t := CAST(floor(epoch(ts)) AS BIGINT),
+                                       delta := 1),
+                           struct_pack(t := CAST(floor(epoch(ts)) AS BIGINT)
+                                            + {_CONC_HOLD_S},
+                                       delta := -1)]) AS x
+            FROM events
+        ) u CROSS JOIN LATERAL (SELECT u.x.t AS t, u.x.delta AS delta) f
+    ), r AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t ASC, delta DESC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM b
+    )
+    SELECT (t // 3600) * 3600 AS hour_epoch,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+           COUNT(*) AS n_boundaries
+    FROM r GROUP BY 1
+    """,
+)
+def ev_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap concurrency (sweep line): every event holds a
+    slot for {_CONC_HOLD_S} s; +1/−1 boundary deltas are prefix-summed
+    over global time order and the per-hour MAX is the concurrency
+    profile — capacity planning / peak-load analysis over intervals.
+    Ties order (+1 before −1 at equal t) so touching intervals count
+    as concurrent, identically in both engines.
+
+    Scale shape — the point of this operator: a global running sum is
+    the textbook SinglePartition trap, so it is computed as a
+    DISTRIBUTED PREFIX SUM instead: (1) running sums WITHIN each hour
+    bucket (window partitioned by hour — parallel), (2) per-hour
+    bucket totals (tiny aggregate), (3) each bucket's starting offset
+    via a broadcast triangular self-join over the bucket totals
+    (hours × hours, thousands at most — never row-cardinality), and
+    (4) offset + within-bucket sum. No stage serializes the full
+    boundary stream; the oracle's flat window is the semantic spec.
+    Per-row concurrency values inside equal-(t,delta) tie groups are
+    permutation-dependent, so the query emits only per-hour MAX and
+    counts — which are tie-invariant.
+    """
+    ev = load(spark, sf_dir, "events")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    b = ev.select(
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(epoch.alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (epoch + _CONC_HOLD_S).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("x"),
+    ).select("event_id", "x.t", "x.delta")
+    b = b.withColumn("hour", F.expr("t DIV 3600") * 3600)
+
+    within = W.partitionBy("hour").orderBy(
+        F.asc("t"), F.desc("delta"), F.asc("event_id")
+    ).rowsBetween(W.unboundedPreceding, 0)
+    local = b.withColumn("run_local", F.sum("delta").over(within))
+
+    totals = b.groupBy("hour").agg(F.sum("delta").alias("h_total"))
+    t1 = totals.select(F.col("hour").alias("h_a"))
+    t2 = totals.select(F.col("hour").alias("h_b"), "h_total")
+    offsets = (
+        t1.join(F.broadcast(t2), F.col("h_b") < F.col("h_a"), "left")
+        .groupBy("h_a")
+        .agg(F.coalesce(F.sum("h_total"), F.lit(0)).alias("offset"))
+        .select(F.col("h_a").alias("hour"), "offset")
+    )
+    swept = local.join(F.broadcast(offsets), "hour").withColumn(
+        "conc", F.col("run_local") + F.col("offset")
+    )
+    return swept.groupBy(F.col("hour").alias("hour_epoch")).agg(
+        F.max("conc").cast("long").alias("max_concurrency"),
+        F.count(F.lit(1)).alias("n_boundaries"),
+    )

@@ -115,3 +115,43 @@ def test_simpson_diversity_matches_python(spark):
         assert out[et] == (n, len(cnt), (num * 1_000_000) // (n * (n - 1)))
         # bounds: a probability in [0, 1e6]
         assert 0 <= out[et][2] <= 1_000_000
+
+
+def test_concurrency_sweep_matches_python_sweep_line(spark):
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts"])
+    import datetime as dt
+    bounds = []
+    for eid, ts in zip(t.column("event_id").to_pylist(),
+                       t.column("ts").to_pylist()):
+        ep = int(ts.timestamp()) if isinstance(ts, dt.datetime) \
+            else int(ts) // 1_000_000_000
+        bounds.append((ep, 1, eid))
+        bounds.append((ep + 1800, -1, eid))
+    bounds.sort(key=lambda x: (x[0], -x[1], x[2]))
+    conc = 0
+    per_hour: dict[int, list[int]] = {}
+    for ep, d, _ in bounds:
+        conc += d
+        per_hour.setdefault((ep // 3600) * 3600, []).append(conc)
+    expect = {h: (max(v), len(v)) for h, v in per_hour.items()}
+    got = {
+        int(r.hour_epoch): (int(r.max_concurrency), int(r.n_boundaries))
+        for r in plans.QUERIES["ev_concurrency_sweep"](spark, SF).collect()
+    }
+    assert got == expect
+    # conservation: the sweep must return to zero at the end
+    assert conc == 0
+
+
+def test_concurrency_sweep_plan_has_no_global_window(spark):
+    """The scale claim, asserted mechanically: the physical plan's
+    only Window partitions by the hour bucket — no SinglePartition
+    exchange feeds a Window (the distributed-prefix-sum point)."""
+    df = plans.QUERIES["ev_concurrency_sweep"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert windows, "expected the within-bucket running-sum window"
+    for line in windows:
+        assert "windowspecdefinition(hour#" in line, line
+    assert "Exchange SinglePartition" not in plan
