@@ -924,3 +924,112 @@ def s_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yb").alias("y_min"),
         F.max("yb").alias("y_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S10b — full updates-feed PAGE render (feed envelope + totalResults
+# + keyset pagination link around the precomposed entries)
+# ---------------------------------------------------------------------------
+
+_FEED_PAGE_SIZE = 10
+_FEED_CURSOR = 20           # keyset: page starts after this custkey
+
+
+@register(
+    "s_opds_updates_page",
+    oracle=f"""
+    WITH coll AS (
+        SELECT c_custkey,
+               '<entry><id>urn:cust:' || CAST(c_custkey AS VARCHAR)
+               || '</id><title>' || c_name
+               || '</title><updated>2024-02-01T00:00:00Z</updated></entry>'
+                   AS entry_xml
+        FROM customer WHERE c_custkey % 40 = 0
+    ), page AS (
+        SELECT c_custkey, entry_xml FROM coll
+        WHERE c_custkey > {_FEED_CURSOR}
+        ORDER BY c_custkey ASC LIMIT {_FEED_PAGE_SIZE}
+    ), tot AS (
+        SELECT COUNT(*) AS total_results FROM coll
+    )
+    SELECT t.total_results,
+           MAX(p.c_custkey) AS next_cursor,
+           '<feed xmlns="http://www.w3.org/2005/Atom" '
+           || 'xmlns:opensearch="http://a9.com/-/spec/opensearch/1.1/">'
+           || '<title>Collection Updates</title>'
+           || '<opensearch:totalResults>'
+           || CAST(t.total_results AS VARCHAR)
+           || '</opensearch:totalResults>'
+           || string_agg(p.entry_xml, '' ORDER BY p.c_custkey)
+           || '<link rel="next" href="/updates?after='
+           || CAST(MAX(p.c_custkey) AS VARCHAR) || '"/></feed>'
+               AS feed_xml
+    FROM page p CROSS JOIN tot t
+    GROUP BY t.total_results
+    """,
+)
+def s_opds_updates_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 at FEED fidelity: one updates-feed page as the reference
+    serves it — Atom envelope, <opensearch:totalResults> catalog
+    size, the page's precomposed entries in keyset order, and the
+    rel=next pagination link carrying the keyset cursor.
+
+    Reference: `controller.py:464-489` (feed assembly from
+    precomposed entries), `controller.py:491-552`
+    (add_catalog_size_to_feed → opensearch:totalResults,
+    add_pagination_links_to_feed → rel=next).
+
+    Scale shape: the catalog size is one COUNT aggregate broadcast
+    back (never a second scan per entry); the page is keyset-
+    predicate + TakeOrdered({_FEED_PAGE_SIZE}) so pushdown serves it
+    regardless of collection size; only the ≤{_FEED_PAGE_SIZE}
+    surviving entries reach the final ordered concat — the one
+    intentionally single-row serving step, same as the reference's
+    in-memory feed buffer.
+    """
+    from metadata_wrangler_spark.sources import sinks
+    coll = load(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 40 == 0
+    )
+    rows = coll.select(
+        "c_custkey",
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string"))
+        .alias("urn"),
+        F.col("c_name").alias("title"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("updated"),
+    )
+    entries = sinks.render_opds_entries(rows, "urn", "title", "updated")
+    page = (
+        entries.where(F.col("c_custkey") > _FEED_CURSOR)
+        .orderBy(F.asc("c_custkey"))
+        .limit(_FEED_PAGE_SIZE)
+    )
+    tot = coll.agg(F.count(F.lit(1)).alias("total_results"))
+    agg = page.crossJoin(F.broadcast(tot)).groupBy("total_results").agg(
+        F.max("c_custkey").alias("next_cursor"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("c_custkey", "entry_xml"))
+                ),
+                lambda s: s["entry_xml"],
+            ),
+            "",
+        ).alias("entries_xml"),
+    )
+    return agg.select(
+        "total_results",
+        "next_cursor",
+        F.concat(
+            F.lit('<feed xmlns="http://www.w3.org/2005/Atom" '
+                  'xmlns:opensearch="http://a9.com/-/spec/opensearch/1.1/">'
+                  "<title>Collection Updates</title>"
+                  "<opensearch:totalResults>"),
+            F.col("total_results").cast("string"),
+            F.lit("</opensearch:totalResults>"),
+            F.col("entries_xml"),
+            F.lit('<link rel="next" href="/updates?after='),
+            F.col("next_cursor").cast("string"),
+            F.lit('"/></feed>'),
+        ).alias("feed_xml"),
+    )

@@ -122,3 +122,26 @@ def test_parse_rejects_captures_malformed_xml(spark):
     rejects = xmlsrc.parse_rejects(rows, xmlsrc.CLASSIFY_SCHEMA)
     assert [r["id"] for r in parsed.collect()] == [4]
     assert sorted(r["id"] for r in rejects.collect()) == [1, 2]
+
+
+def test_opds_updates_page_envelope_and_keyset(spark):
+    """The feed-page render must carry the catalog size, the page's
+    entries in keyset order, and a next-link cursor equal to the last
+    rendered key (controller.py:464-552 semantics)."""
+    import re
+
+    from metadata_wrangler_spark import plans
+    plans.load_all_plans()
+
+    [row] = plans.QUERIES["s_opds_updates_page"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    xml = row.feed_xml
+    assert xml.startswith('<feed xmlns="http://www.w3.org/2005/Atom"')
+    assert (f"<opensearch:totalResults>{row.total_results}"
+            "</opensearch:totalResults>") in xml
+    ids = [int(m) for m in re.findall(r"urn:cust:(\d+)", xml)]
+    assert ids == sorted(ids) and all(i > 20 and i % 40 == 0 for i in ids)
+    assert int(row.next_cursor) == ids[-1]
+    assert xml.endswith(f'<link rel="next" href="/updates?after='
+                        f'{row.next_cursor}"/></feed>')
