@@ -120,6 +120,7 @@ EXTENDED = [
     "mm_audio_windows",
     "a_simpson_diversity",
     "ev_concurrency_sweep",
+    "s_opds_updates_page",
 ]
 
 
