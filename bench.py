@@ -121,6 +121,10 @@ EXTENDED = [
     "a_simpson_diversity",
     "ev_concurrency_sweep",
     "s_opds_updates_page",
+    "dd_span_dedup",
+    "txt_lm_surprisal",
+    "dd_cluster_keep",
+    "sim_pq_topk",
 ]
 
 

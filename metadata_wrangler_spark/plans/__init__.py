@@ -124,7 +124,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # behind it on the pytest all-oracle sweep until round 5 rotates
     # them in (ditto ev_hopping_window, a_kmv_set_ops,
     # g_label_propagation, a_countmin_heavy_hitters, mm_audio_windows,
-    # a_simpson_diversity, ev_concurrency_sweep, s_opds_updates_page). Also including
+    # a_simpson_diversity, ev_concurrency_sweep, s_opds_updates_page,
+    # dd_span_dedup, txt_lm_surprisal, dd_cluster_keep, sim_pq_topk). Also including
     # j_skew_salted_join, which CORRECTNESS_r0{1,2,3} shows was
     # never actually inside a driver window despite being listed as
     # a stalwart. The re-verification family reps rotated out

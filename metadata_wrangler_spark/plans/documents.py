@@ -2003,3 +2003,261 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return multimodal.audio_window_features(payloads)
+
+
+# ---------------------------------------------------------------------------
+# dedup: maximal duplicated spans (exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_L = 8  # duplicated-window length, in words
+
+
+@register(
+    "dd_span_dedup",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), wins AS (
+        SELECT doc_id, i AS start,
+               md5(concat_ws('_', w[i], w[i+1], w[i+2], w[i+3],
+                                  w[i+4], w[i+5], w[i+6], w[i+7])) AS fp
+        FROM words, unnest(generate_series(1, len(w) - 7)) AS t(i)
+    ), dup AS (
+        SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) >= 2
+    ), hits AS (
+        SELECT doc_id, start FROM wins JOIN dup USING (fp)
+    ), brk AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (
+                        PARTITION BY doc_id ORDER BY start)
+                    <= {_SPAN_L} THEN 0 ELSE 1 END AS new_span
+        FROM hits
+    ), grp AS (
+        SELECT doc_id, start,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY start)
+                   AS span_no
+        FROM brk
+    )
+    SELECT doc_id, CAST(span_no AS BIGINT) AS span_no,
+           MIN(start) AS span_start,
+           MAX(start) + {_SPAN_L - 1} AS span_end,
+           MAX(start) + {_SPAN_L} - MIN(start) AS span_words,
+           COUNT(*) AS n_windows
+    FROM grp GROUP BY doc_id, span_no
+    """,
+)
+def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (the distributed re-expression of
+    Lee et al. 2021's suffix-array dedup, "Deduplicating Training
+    Data Makes Language Models Better"): every overlapping 8-word
+    window is fingerprinted; windows whose fingerprint occurs >= 2
+    times anywhere in the corpus (cross-document OR internal
+    repetition) are duplicated; per document, overlapping-or-abutting
+    duplicated windows merge (gaps-and-islands) into MAXIMAL spans
+    with their word extents — the rows a train-prep job would cut
+    out of the text, rather than dropping whole documents.
+
+    Scale shape: the stride-1 explode is ~L x input tokens — the
+    price of exact-substring semantics (the suffix array pays the
+    same) — then one hash-aggregate for window frequency, one
+    fp-partitioned equi-join back, and a PER-DOCUMENT window for the
+    island merge (partitioned by doc_id: no global sort, no
+    SinglePartition). At 100 TB the frequency side drops to a Bloom
+    filter (BFF-style) probed map-side; the island merge is
+    unchanged.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    L = _SPAN_L
+    starts = F.when(
+        F.size(words) >= L, F.sequence(F.lit(1), F.size(words) - (L - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("start"),
+                    F.md5(F.concat_ws("_", F.slice(words, s, L))).alias("fp"),
+                ),
+            )
+        ).alias("win"),
+    ).select("doc_id", "win.start", "win.fp")
+    dup = wins.groupBy("fp").count().where(F.col("count") >= 2).select("fp")
+    hits = wins.join(dup, "fp").select("doc_id", "start")
+    by_pos = W.partitionBy("doc_id").orderBy("start")
+    brk = hits.withColumn(
+        "new_span",
+        F.when(F.col("start") - F.lag("start").over(by_pos) <= L, 0)
+        .otherwise(1),
+    )
+    grp = brk.withColumn(
+        "span_no", F.sum("new_span").over(by_pos).cast("bigint")
+    )
+    return grp.groupBy("doc_id", "span_no").agg(
+        F.min("start").alias("span_start"),
+        (F.max("start") + (L - 1)).alias("span_end"),
+        (F.max("start") + L - F.min("start")).alias("span_words"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: bigram-LM surprisal (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_lm_surprisal",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), big AS (
+        SELECT doc_id, w[i] AS pfx, concat(w[i], '_', w[i+1]) AS bg
+        FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ), bgc AS (
+        SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg
+    ), pfc AS (
+        SELECT pfx, COUNT(*) AS c1 FROM big GROUP BY pfx
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(length(bin(p.c1)) - length(bin(g.c2))) AS BIGINT)
+               AS sum_surprisal,
+           (1000000 * CAST(SUM(length(bin(p.c1)) - length(bin(g.c2)))
+                           AS BIGINT)) // COUNT(*)
+               AS mean_surprisal_ppm
+    FROM big b JOIN bgc g USING (bg) JOIN pfc p USING (pfx)
+    GROUP BY b.doc_id
+    """,
+)
+def txt_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring (the CCNet / Wenzek et al. 2020
+    pattern: score each document by a language model trained on the
+    corpus, flag the high-perplexity tail): a bigram LM is fit on the
+    corpus itself (bigram + prefix counts), and each document's mean
+    per-token surprisal ~ log2 P(w2|w1)^-1 is computed as the
+    INTEGER log2 bucket `bitlen(c_prefix) - bitlen(c_bigram)` — a
+    libm-free surprisal within +-1 bit of exact, so the score is
+    bit-reproducible across engines and partitionings (the repo's
+    standing rule for cross-engine aggregates; `bin()` exists in both
+    dialects).
+
+    Scale shape: one stride-1 bigram explode, two hash-aggregates for
+    the count tables (bounded by vocabulary size, orders of magnitude
+    below the corpus), and two equi-joins back. At 100 TB the Zipf
+    head of both count tables broadcasts and only the long tail
+    shuffles — the joins are on high-entropy string keys either way.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    starts = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    F.element_at(words, s).alias("pfx"),
+                    F.concat_ws(
+                        "_", F.element_at(words, s), F.element_at(words, s + 1)
+                    ).alias("bg"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.pfx", "t.bg")
+    bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    pfc = big.groupBy("pfx").agg(F.count(F.lit(1)).alias("c1"))
+    bitlen = lambda c: F.length(F.bin(c))  # noqa: E731
+    scored = (
+        big.join(bgc, "bg")
+        .join(pfc, "pfx")
+        .select("doc_id", (bitlen(F.col("c1")) - bitlen(F.col("c2"))).alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("s").cast("bigint").alias("sum_surprisal"),
+        F.expr("1000000 * CAST(SUM(s) AS BIGINT) DIV COUNT(*)")
+        .alias("mean_surprisal_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: cluster-representative selection (the keep/drop policy step)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd_cluster_keep",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pairs_ctes()},
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM lsh_pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM lsh_pairs
+    ),
+    walk(node, lbl) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node
+    ),
+    everyone AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, n_chars AS quality,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY cluster_id
+                    ORDER BY n_chars DESC, doc_id ASC) = 1
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM everyone
+    """,
+)
+def dd_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POLICY step of near-dup dedup: given MinHash-LSH
+    duplicate clusters (dd_minhash_clusters), keep exactly one
+    representative per cluster — the highest-quality member
+    (longest document, ties to the smallest doc_id) — and mark the
+    rest dropped. Documents in no cluster are their own
+    representatives. This is the row-level keep/drop verdict a
+    training-mix builder consumes (vs dd_minhash_clusters, which
+    stops at the cluster assignment).
+
+    Scale shape: the LSH pair join and checkpointed label
+    propagation are the measured scale paths (see
+    dd_minhash_clusters); the selection itself is one left join of
+    the corpus against the (much smaller) cluster map plus a window
+    partitioned by cluster_id — no global sort, and cluster sizes
+    are bounded by true duplicate multiplicity.
+    """
+    from metadata_wrangler_spark.operators import closure
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    cc = closure.connected_components(pairs, src="id_a", dst="id_b")
+    comp = cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    everyone = docs.select("doc_id", "n_chars").join(
+        comp, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    by_quality = W.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return everyone.select(
+        "doc_id", "cluster_id", F.col("n_chars").alias("quality"),
+        F.when(F.row_number().over(by_quality) == 1, 1).otherwise(0)
+        .cast("int").alias("kept"),
+    )

@@ -698,3 +698,164 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (norm(F.col("qvec")) * norm(F.col("v")))).alias("cosine"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN tier: product quantization (PQ) + asymmetric-distance scoring
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8       # subspaces
+_PQ_D = 8       # dims per subspace (8 x 8 = the 64-dim embedding)
+_PQ_KC = 16     # centroids per subspace codebook
+# squared-L2 between two double sublists, DuckDB spelling (sequential
+# left-to-right fold, same order as Spark's aggregate HOF)
+_PQ_SQDIST = ("list_sum(list_transform(list_zip({a}, {b}), "
+              "x -> (x[1] - x[2]) * (x[1] - x[2])))")
+
+
+@register(
+    "sim_pq_topk",
+    oracle=f"""
+    WITH sub AS (
+        SELECT vec_id, m,
+               CAST(embedding AS DOUBLE[])[(m * {_PQ_D}) + 1 :
+                                           (m * {_PQ_D}) + {_PQ_D}] AS sv
+        FROM embeddings,
+             unnest(generate_series(0, {_PQ_M - 1})) AS t(m)
+    ), cents AS (
+        SELECT m, vec_id AS cid, sv AS cv FROM sub
+        WHERE vec_id < {_PQ_KC}
+    ), dists AS (
+        SELECT s.vec_id, s.m, c.cid,
+               {_PQ_SQDIST.format(a="s.sv", b="c.cv")} AS dist
+        FROM sub s JOIN cents c USING (m)
+    ), codes AS (
+        SELECT vec_id, m, cid AS code FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist ASC, cid ASC) AS rk
+            FROM dists) WHERE rk = 1
+    ), lut AS (
+        SELECT vec_id AS query_id, m, cid,
+               CAST(floor(dist * 1000000 + 0.5) AS BIGINT) AS lutq
+        FROM dists WHERE {_QUERY_PRED}
+    ), adc AS (
+        SELECT l.query_id, c.vec_id AS corpus_id,
+               CAST(SUM(l.lutq) AS BIGINT) AS adist
+        FROM codes c
+        JOIN lut l ON l.m = c.m AND l.cid = c.code
+                   AND l.query_id <> c.vec_id
+        GROUP BY 1, 2
+    ), topk AS (
+        SELECT query_id, corpus_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, corpus_id ASC) AS rank
+        FROM adc
+    ), vv AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT t.query_id, t.corpus_id, t.adist,
+           {_COS_ROUND.format(c=_COS_RAW)} AS cosine,
+           t.rank
+    FROM topk t
+    JOIN (SELECT vec_id, v AS qvec FROM vv) q ON q.vec_id = t.query_id
+    JOIN (SELECT vec_id, v FROM vv) c ON c.vec_id = t.corpus_id
+    WHERE t.rank <= {_K}
+    """,
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization retrieval (Jegou et al. 2011, the
+    memory-compression tier between int8 scalar quantization and the
+    bucketed LSH/IVF tiers): the 64-dim embedding is split into 8
+    subspaces of 8 dims; each subspace gets a 16-entry codebook
+    (deterministically sample-initialized from the 16 lowest-id
+    corpus vectors — the same seeding convention as the IVF tier);
+    every corpus vector is encoded as 8 one-byte codes (64 bytes ->
+    8 bytes, 8x compression); queries score the WHOLE corpus through
+    per-subspace lookup tables (asymmetric distance, ADC): approx
+    squared-L2 = sum over subspaces of lut[m][code]. The LUT entries
+    are quantized to integer micro-units so the ADC sum is
+    order-independent and bit-identical cross-engine; winners get the
+    exact-cosine rerank column like every other ANN tier here.
+
+    Scale story: codebooks are 8 x 16 x 8 doubles — always broadcast.
+    Encoding is one explode (M rows per vector) + a broadcast join +
+    a per-(vector, subspace) argmin: embarrassingly parallel, done
+    once, persisted as the 8-byte code column at 100 TB. Scoring
+    scans CODES not vectors (8 bytes/vector — an 8x memory-bandwidth
+    drop vs the int8 tier's 64), joins the broadcast query LUTs on
+    (m, code), and partial-aggregates the 8-term sum map-side before
+    the |Q|-keyed shuffle. Recall at this codebook size is bounded by
+    the sample-initialized codebooks; ivf_train's Lloyd iterations
+    (operators/similarity.py::ivf_train) apply verbatim per subspace
+    to close the gap — same train step, subvector inputs.
+    """
+    M, D, KC = _PQ_M, _PQ_D, _PQ_KC
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda v: v.cast("double"))
+    sub = emb.select(
+        "vec_id", dbl.alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),
+    ).select(
+        "vec_id", "m", F.expr(f"slice(v, m * {D} + 1, {D})").alias("sv")
+    )
+    cents = sub.where(F.col("vec_id") < KC).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    sqdist = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    dists = sub.join(F.broadcast(cents), "m").select(
+        "vec_id", "m", "cid", sqdist.alias("dist")
+    )
+    # per-(vector, subspace) argmin over 16 centroids: min of the
+    # (dist, cid) struct is the lexicographic argmin with the cid
+    # tiebreak — one partial-aggregable agg, no window
+    codes = dists.groupBy("vec_id", "m").agg(
+        F.min(F.struct("dist", "cid")).alias("best")
+    ).select("vec_id", "m", F.col("best.cid").alias("code"))
+    lut = dists.where(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), F.col("m").alias("qm"), "cid",
+        F.floor(F.col("dist") * 1000000 + 0.5).cast("long").alias("lutq"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("cid"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
+        .agg(F.sum("lutq").cast("bigint").alias("adist"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("corpus_id")
+    )
+    topk = (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _K)
+    )
+    from metadata_wrangler_spark.operators.similarity import dot, norm, round6
+    vv = emb.select("vec_id", dbl.alias("v"))
+    rer = vv.withColumnRenamed("vec_id", "corpus_id").join(
+        F.broadcast(
+            topk.join(
+                F.broadcast(
+                    vv.select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("v").alias("qvec"),
+                    )
+                ),
+                "query_id",
+            )
+        ),
+        "corpus_id",
+    )
+    return rer.select(
+        "query_id", "corpus_id", "adist",
+        round6(dot(F.col("qvec"), F.col("v"))
+               / (norm(F.col("qvec")) * norm(F.col("v")))).alias("cosine"),
+        "rank",
+    )
