@@ -125,6 +125,10 @@ EXTENDED = [
     "txt_lm_surprisal",
     "dd_cluster_keep",
     "sim_pq_topk",
+    "g_neighbor_jaccard",
+    "g_bipartite_project",
+    "ev_decay_halflife",
+    "txt_contamination_frac",
 ]
 
 

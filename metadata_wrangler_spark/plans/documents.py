@@ -2261,3 +2261,75 @@ def dd_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.row_number().over(by_quality) == 1, 1).otherwise(0)
         .cast("int").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination tier 2: per-document contamination FRACTION
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_contamination_frac",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    tr AS (
+        SELECT doc_id, unnest({_shingles_sql(_DECON_N)}) AS sh
+        FROM ws WHERE NOT ({_DECON_EVAL_PRED})
+    ),
+    evs AS (
+        SELECT DISTINCT unnest({_shingles_sql(_DECON_N)}) AS sh
+        FROM ws WHERE {_DECON_EVAL_PRED}
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM tr GROUP BY doc_id),
+    hit AS (
+        SELECT t.doc_id, COUNT(*) AS n_hits
+        FROM tr t JOIN evs USING (sh) GROUP BY t.doc_id
+    )
+    SELECT h.doc_id, tot.n_windows, h.n_hits,
+           (1000000 * h.n_hits) // tot.n_windows AS contamination_ppm
+    FROM hit h JOIN tot USING (doc_id)
+    """,
+)
+def txt_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination FRACTION: the share of a training
+    document's {_DECON_N}-gram windows (counted with multiplicity)
+    that appear anywhere in the held-out eval slice — the graded
+    score real decontamination policies threshold on (GPT-3's
+    appendix-C style "dirtiness"), vs dd_decontaminate's per-PAIR
+    collision count. Only contaminated docs (>=1 hit) are emitted;
+    the fraction is exact ppm integer arithmetic.
+
+    Scale shape: identical to dd_decontaminate — the eval shingle
+    set is distinct-reduced and BROADCAST (benchmark suites are MBs
+    against a 100 TB corpus), so the sweep is one training-corpus
+    scan, one per-doc window count, one broadcast semi-probe, and
+    two per-doc hash-aggregates; the training side never shuffles
+    at full width.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.where(F.expr(_DECON_EVAL_PRED))
+    tr_docs = docs.where(~F.expr(_DECON_EVAL_PRED))
+    tr = dedup.with_words(tr_docs, "doc_id", "text").select(
+        "id", F.explode(dedup.shingles(_DECON_N)).alias("sh")
+    )
+    evs = (
+        dedup.distinct_shingles(ev, "doc_id", "text", _DECON_N)
+        .select("sh")
+        .distinct()
+    )
+    tot = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    hit = (
+        tr.join(F.broadcast(evs), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hit.join(tot, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_windows",
+            "n_hits",
+            F.expr("(1000000 * n_hits) DIV n_windows")
+            .alias("contamination_ppm"),
+        )
+    )

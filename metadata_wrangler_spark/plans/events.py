@@ -1579,3 +1579,76 @@ def ev_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").cast("long").alias("max_concurrency"),
         F.count(F.lit(1)).alias("n_boundaries"),
     )
+
+
+# ---------------------------------------------------------------------------
+# half-life-decayed engagement score (time-decay aggregation)
+# ---------------------------------------------------------------------------
+
+_DECAY_NOW = _RFM_NOW        # same fixed as-of as the RFM census
+_DECAY_HALF_LIFE_S = 604800  # one week
+
+
+@register(
+    "ev_decay_halflife",
+    oracle=f"""
+    WITH q AS (
+        SELECT user_id, event_type,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                 >> CAST(floor((epoch(TIMESTAMP '{_DECAY_NOW}')
+                                - floor(epoch(ts)))
+                               / {_DECAY_HALF_LIFE_S})
+                         AS BIGINT) AS dv
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(dv) AS BIGINT) / 10000.0 AS decayed_score,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN dv ELSE 0 END)
+                AS BIGINT) / 10000.0 AS decayed_purchase,
+           COUNT(*) AS n_events
+    FROM q GROUP BY user_id
+    """,
+)
+def ev_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement scoring with a one-week half-life:
+    each event's value is weighted by 2^-(age/half_life) and summed
+    per user — the recency-weighted activity score a ranking or
+    churn model consumes instead of a flat lifetime sum.
+
+    The decay is computed as an INTEGER BINARY SHIFT of the 1e-4
+    fixed-point value by the event's age in whole half-lives
+    (weight quantized to powers of two), so the aggregate is
+    bit-identical across engines and partition orders — the repo's
+    standing determinism rule; a float exp() would make the sum
+    order-dependent. The as-of is a fixed literal (same as the RFM
+    census), which keeps the score incremental-friendly: one
+    user's delta updates their row alone.
+
+    Scale shape: pure per-row expression (codegen) then ONE
+    map-side-partial hash aggregate keyed by user — the cheapest
+    possible distributed shape; no window, no join, no shuffle
+    beyond the final per-user combine.
+    """
+    ev = load(spark, sf_dir, "events")
+    # per-row: quantize to 1e-4 fixed point, arithmetic-shift right by
+    # the age in whole half-lives (shiftright needs a column shift
+    # amount, so it is spelled via expr; DIV on bigints truncates,
+    # matching the oracle's floor())
+    q = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(
+            f"CAST(floor(value * 10000 + 0.5) AS BIGINT) >> "
+            f"CAST((unix_timestamp(timestamp'{_DECAY_NOW}')"
+            f" - floor(unix_timestamp(ts))) DIV {_DECAY_HALF_LIFE_S}"
+            f" AS BIGINT)"
+        ).alias("dv"),
+    )
+    return q.groupBy("user_id").agg(
+        (F.sum("dv").cast("bigint") / 10000.0).alias("decayed_score"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("dv"))
+                  .otherwise(F.lit(0))).cast("bigint") / 10000.0
+        ).alias("decayed_purchase"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -702,3 +702,164 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("node"), "label")
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# link prediction: neighbor-set Jaccard similarity
+# ---------------------------------------------------------------------------
+
+_JACCARD_MIN_PPM = 300_000  # keep pairs with neighbor-Jaccard >= 0.30
+
+
+@register(
+    "g_neighbor_jaccard",
+    oracle=f"""
+    WITH edges AS ({EDGES_SQL}),
+    sym AS (
+        SELECT src AS v, dst AS n FROM edges WHERE src <> dst
+        UNION
+        SELECT dst AS v, src AS n FROM edges WHERE src <> dst
+    ),
+    deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+    co AS (
+        SELECT s1.v AS node_a, s2.v AS node_b, COUNT(*) AS common
+        FROM sym s1 JOIN sym s2 ON s1.n = s2.n AND s1.v < s2.v
+        GROUP BY s1.v, s2.v
+    )
+    SELECT node_a, node_b, common,
+           da.d AS deg_a, db.d AS deg_b,
+           (1000000 * common) // (da.d + db.d - common) AS jaccard_ppm
+    FROM co
+    JOIN deg da ON da.v = node_a
+    JOIN deg db ON db.v = node_b
+    WHERE (1000000 * common) // (da.d + db.d - common)
+          >= {_JACCARD_MIN_PPM}
+    """,
+)
+def g_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard (the classic
+    common-neighbors similarity the reference's equivalency engine
+    implies when two identifiers share most of their equivalents,
+    `monitor.py:74-89`): for every node pair with at least one
+    common neighbor, |N(a) ∩ N(b)| / |N(a) ∪ N(b)| in exact ppm
+    integer arithmetic, kept when >= 0.30. Self-loops are dropped
+    and edges are symmetrized + deduplicated first.
+
+    Scale shape: the candidate pairs come from a co-neighbor
+    equi-join (two sym-table scans joined on the shared neighbor),
+    so work is sum-over-nodes of deg^2 — the standard triangle/
+    co-occurrence bound — never all-pairs. At 100 TB the guard is
+    capping hub degrees (drop or sample neighbors of celebrity
+    nodes above a threshold) exactly as in the degree-ordered
+    triangle count (g_triangle_count); degrees here are bounded by
+    the edge generator (<= 4).
+    """
+    edges = build_edges(spark, sf_dir).where(F.col("src") != F.col("dst"))
+    sym = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .unionByName(
+            edges.select(F.col("dst").alias("v"), F.col("src").alias("n"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    s1 = sym.select(F.col("v").alias("node_a"), "n")
+    s2 = sym.select(F.col("v").alias("node_b"), "n")
+    co = (
+        s1.join(s2, "n")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        co.join(deg.select(F.col("v").alias("node_a"),
+                           F.col("d").alias("deg_a")), "node_a")
+        .join(deg.select(F.col("v").alias("node_b"),
+                         F.col("d").alias("deg_b")), "node_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("(1000000 * common) DIV (deg_a + deg_b - common)"),
+        )
+        .where(F.col("jaccard_ppm") >= _JACCARD_MIN_PPM)
+    )
+    return out.select(
+        "node_a", "node_b", "common", "deg_a", "deg_b", "jaccard_ppm"
+    )
+
+
+# ---------------------------------------------------------------------------
+# bipartite projection: co-fulfillment supplier graph with lift
+# ---------------------------------------------------------------------------
+
+_LIFT_MIN_PPM = 1_100_000  # keep pairs with lift >= 1.1x independence
+
+
+@register(
+    "g_bipartite_project",
+    oracle=f"""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM os),
+    sc AS (SELECT l_suppkey, COUNT(*) AS c FROM os GROUP BY l_suppkey),
+    pairs AS (
+        SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+               COUNT(*) AS weight
+        FROM os a JOIN os b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY a.l_suppkey, b.l_suppkey
+    )
+    SELECT supp_a, supp_b, weight,
+           (1000000 * weight * n.n_orders) // (ca.c * cb.c) AS lift_ppm
+    FROM pairs
+    JOIN sc ca ON ca.l_suppkey = supp_a
+    JOIN sc cb ON cb.l_suppkey = supp_b
+    CROSS JOIN n
+    WHERE (1000000 * weight * n.n_orders) // (ca.c * cb.c)
+          >= {_LIFT_MIN_PPM}
+    """,
+)
+def g_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite-to-unipartite projection (market-basket style): the
+    order→supplier bipartite graph projected onto suppliers, edge
+    weight = number of orders both suppliers fulfilled, kept when
+    the LIFT — observed co-occurrence over the independence
+    expectation, weight·N / (c_a·c_b) — is >= 1.1 in exact ppm
+    integer arithmetic. Lift makes the threshold scale-invariant:
+    the same query works at sf0.001 and 100 TB without retuning an
+    absolute count cutoff.
+
+    Scale shape: distinct-project the bipartite edges, self-join on
+    the order key (work bounded by per-order supplier count squared
+    — <= 13 lines per order in this schema, and real baskets are
+    similarly bounded), one hash-aggregate per pair, then two
+    per-node joins and a broadcast 1-row scalar for N. No all-pairs
+    stage anywhere; skew guard at scale is the usual hot-basket cap.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    n = os_.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    sc = os_.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    a = os_.select("l_orderkey", F.col("l_suppkey").alias("supp_a"))
+    b = os_.select("l_orderkey", F.col("l_suppkey").alias("supp_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sc.select(F.col("l_suppkey").alias("supp_a"),
+                                  F.col("c").alias("ca"))), "supp_a")
+        .join(
+            F.broadcast(sc.select(F.col("l_suppkey").alias("supp_b"),
+                                  F.col("c").alias("cb"))), "supp_b")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "lift_ppm",
+            F.expr("(1000000 * weight * n_orders) DIV (ca * cb)"),
+        )
+        .where(F.col("lift_ppm") >= _LIFT_MIN_PPM)
+    )
+    return out.select("supp_a", "supp_b", "weight", "lift_ppm")
