@@ -129,6 +129,10 @@ EXTENDED = [
     "g_bipartite_project",
     "ev_decay_halflife",
     "txt_contamination_frac",
+    "sim_rp_topk",
+    "ev_sliding_distinct",
+    "a_abc_pareto",
+    "txt_split_assign",
 ]
 
 

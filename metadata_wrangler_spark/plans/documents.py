@@ -2333,3 +2333,71 @@ def txt_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contamination_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+_SPLIT_VAL_PCT = 5    # 5% validation
+_SPLIT_TEST_PCT = 10  # next 10% test, remainder train
+
+
+@register(
+    "txt_split_assign",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN 100 * rn <= {_SPLIT_VAL_PCT} * n THEN 'val'
+                WHEN 100 * rn <= {_SPLIT_VAL_PCT + _SPLIT_TEST_PCT} * n
+                    THEN 'test'
+                ELSE 'train' END AS split
+    FROM r
+    """,
+)
+def txt_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment: within
+    each language stratum, documents are ordered by the md5 of
+    their id (a seedless, engine-portable shuffle) and the first 5%
+    become validation, the next 10% test, the rest train. Exact
+    per-stratum proportions — unlike independent Bernoulli gates,
+    which only hit the target fraction in expectation and can
+    starve small strata — and stable under reruns and engine moves,
+    the property a reproducible data recipe needs.
+
+    Scale shape: one window per stratum (partitioned by lang — no
+    global sort; strata sort in parallel). At 100 TB a stratum may
+    exceed one partition's sort budget; then the same two-phase
+    trick as a_abc_pareto applies (bucket by md5 prefix within the
+    stratum, broadcast bucket-count offsets) — the assignment rule
+    itself is unchanged since it only needs rank and stratum size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    win = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    r = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        F.when(100 * F.col("rn") <= _SPLIT_VAL_PCT * F.col("n"), "val")
+        .when(
+            100 * F.col("rn")
+            <= (_SPLIT_VAL_PCT + _SPLIT_TEST_PCT) * F.col("n"),
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )

@@ -1652,3 +1652,74 @@ def ev_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decayed_purchase"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window COUNT(DISTINCT): trailing-7-day active users
+# ---------------------------------------------------------------------------
+
+_SLIDE_DAYS = 7
+
+
+@register(
+    "ev_sliding_distinct",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+                   AS day,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    contrib AS (
+        SELECT du.day + k AS wend, du.user_id
+        FROM du, unnest(generate_series(0, {_SLIDE_DAYS - 1})) AS t(k)
+    )
+    SELECT d.day AS window_end_day,
+           COUNT(DISTINCT c.user_id) AS active_users
+    FROM days d JOIN contrib c ON c.wend = d.day
+    GROUP BY d.day
+    """,
+)
+def ev_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) every engagement dashboard needs and naive SQL
+    cannot express without a per-day self-join over the raw facts.
+
+    The distributed shape is the contribute-forward trick: reduce
+    the facts to DISTINCT (day, user) pairs first (the big
+    cardinality drop), then each pair contributes to the 7 window
+    end-days it is visible from via a 7-way explode, and one
+    hash-aggregate per end-day counts distinct users. Work is
+    7 × |distinct day-user pairs| — independent of raw event volume
+    — vs the naive range-join's |days| × |events|. Only end-days
+    present in the data are emitted (join against the day set), so
+    the leading edge has the same partial-window semantics in both
+    engines.
+
+    Scale shape: two hash-aggregates and a generate — no window
+    function, no range join, no SinglePartition; the explode factor
+    equals the window length, the standard time-series rollup
+    trade.
+    """
+    ev = load(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.floor(F.floor(F.unix_timestamp("ts")) / 86400)
+            .cast("bigint").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (_SLIDE_DAYS - 1))
+        ).alias("wend"),
+        "user_id",
+    )
+    return (
+        days.join(contrib, days.day == contrib.wend)
+        .groupBy(days.day.alias("window_end_day"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

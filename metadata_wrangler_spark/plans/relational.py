@@ -1793,3 +1793,124 @@ def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A10+: ABC / Pareto revenue classification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_abc_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000
+                              + 0.5) AS BIGINT)) AS qrev
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT SUM(qrev) AS total FROM rev),
+    ranked AS (
+        SELECT suppkey, qrev,
+               ROW_NUMBER() OVER (ORDER BY qrev DESC, suppkey ASC)
+                   AS rev_rank,
+               SUM(qrev) OVER (ORDER BY qrev DESC, suppkey ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM rev
+    )
+    SELECT suppkey, CAST(qrev AS BIGINT) / 10000.0 AS revenue,
+           rev_rank,
+           CAST((1000000::HUGEINT * cum) // tot.total AS BIGINT)
+               AS cum_share_ppm,
+           CASE WHEN (1000000::HUGEINT * cum) // tot.total <= 800000
+                    THEN 'A'
+                WHEN (1000000::HUGEINT * cum) // tot.total <= 950000
+                    THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked CROSS JOIN tot
+    """,
+)
+def a_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of suppliers by revenue: rank by
+    discounted revenue, cumulative revenue share in exact ppm, class
+    A up to 80% of total, B to 95%, C beyond — the 80/20 inventory/
+    vendor analysis every procurement dashboard runs. Revenue is the
+    1e-4-quantized exact integer sum (order-independent), and the
+    cumulative share stays integer to the end (HUGEINT/DECIMAL(38)
+    product before the divide), so the class boundaries cannot drift
+    between engines.
+
+    Scale shape: the fact table collapses to one row per supplier
+    FIRST (map-side-partial hash aggregate — the only stage that
+    touches raw lineitem). The cumulative sum over suppliers is the
+    textbook SinglePartition trap, so the Spark side computes it as
+    a DISTRIBUTED PREFIX SUM (same technique as
+    ev_concurrency_sweep): running sums within revenue-magnitude
+    buckets (window partitioned by the revenue's bit length —
+    bit_length is monotone in qrev, so bucket order is consistent
+    with the global ORDER BY qrev DESC), per-bucket totals, each
+    bucket's offset via a broadcast triangular join over the bucket
+    totals (at most 64 buckets), then offset + local sum. The
+    oracle's flat global window is the semantic spec.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.floor(disc * 10000 + F.lit(0.5)).cast("bigint"))
+        .alias("qrev")
+    )
+    tot = rev.agg(F.sum("qrev").alias("total"))
+    # distributed prefix sum over (qrev DESC, suppkey ASC); bucket by
+    # the revenue's bit length (bin() emits no leading zeros)
+    b = rev.withColumn("blen", F.length(F.bin("qrev")))
+    within = W.partitionBy("blen").orderBy(
+        F.desc("qrev"), F.asc("suppkey")
+    ).rowsBetween(W.unboundedPreceding, 0)
+    local = (
+        b.withColumn("cum_local", F.sum("qrev").over(within))
+        .withColumn(
+            "rn_local",
+            F.row_number().over(
+                W.partitionBy("blen").orderBy(F.desc("qrev"),
+                                              F.asc("suppkey"))
+            ),
+        )
+    )
+    totals = b.groupBy("blen").agg(
+        F.sum("qrev").alias("b_sum"), F.count(F.lit(1)).alias("b_n")
+    )
+    t1 = totals.select(F.col("blen").alias("b_a"))
+    t2 = totals.select(F.col("blen").alias("b_b"), "b_sum", "b_n")
+    offsets = (
+        t1.join(F.broadcast(t2), F.col("b_b") > F.col("b_a"), "left")
+        .groupBy("b_a")
+        .agg(
+            F.coalesce(F.sum("b_sum"), F.lit(0)).alias("off_sum"),
+            F.coalesce(F.sum("b_n"), F.lit(0)).alias("off_n"),
+        )
+        .select(F.col("b_a").alias("blen"), "off_sum", "off_n")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "blen")
+        .select(
+            "suppkey",
+            "qrev",
+            (F.col("off_n") + F.col("rn_local")).alias("rev_rank"),
+            (F.col("off_sum") + F.col("cum_local")).alias("cum"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    ppm = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(cum AS DECIMAL(38,0)))"
+        " DIV CAST(total AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return ranked.select(
+        "suppkey",
+        (F.col("qrev").cast("bigint") / 10000.0).alias("revenue"),
+        "rev_rank",
+        ppm.alias("cum_share_ppm"),
+        F.when(ppm <= 800000, "A")
+        .when(ppm <= 950000, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

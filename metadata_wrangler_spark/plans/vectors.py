@@ -859,3 +859,145 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (norm(F.col("qvec")) * norm(F.col("v")))).alias("cosine"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN tier 6: random-projection (Johnson-Lindenstrauss) scan + rerank
+# ---------------------------------------------------------------------------
+
+# 64-dim -> 32-dim dense projection; same LCG constant generator as
+# the LSH planes (different seed), embedded verbatim in the oracle SQL.
+# Halving (not quartering) the dimension is forced by the data: these
+# embeddings are near-isotropic (high intrinsic dimension), so a JL
+# map to 8 or 16 dims scrambles the top-5 ordering (recall 0.08-0.4
+# measured); 32 dims + a 100-candidate rerank reaches 0.72 — the
+# honest ceiling for dimensionality reduction on this corpus, pinned
+# in tests/test_rp_sliding_abc_split.py. Real text/image embeddings
+# have far lower intrinsic dimension and compress much harder.
+_RP_PLANES = _fixed_planes(n_planes=32, dim=64, seed=20240814)
+_RP_C = 100  # candidates per query surviving the projected-space scan
+
+
+def _rp_oracle_sql() -> str:
+    plane_lits = [
+        "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        for row in _RP_PLANES
+    ]
+    proj = "list_value(" + ", ".join(
+        _DOT.format(a="embedding", b=p) for p in plane_lits
+    ) + ")"
+    pcos = (f"{_DOT.format(a='q.qproj', b='c.proj')}"
+            f" / ({_NORM.format(a='q.qproj')} * {_NORM.format(a='c.proj')})")
+    cos = (f"{_DOT.format(a='q.qvec', b='c.embedding')}"
+           f" / ({_NORM.format(a='q.qvec')} * {_NORM.format(a='c.embedding')})")
+
+    def r6(x: str) -> str:
+        return (f"((CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END)"
+                f" * CAST(floor(abs({x}) * 1000000 + 0.5) AS BIGINT)"
+                f" / 1000000.0)")
+
+    return f"""
+    WITH p AS (
+        SELECT vec_id, embedding, {proj} AS proj FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, proj AS qproj
+        FROM p WHERE {_QUERY_PRED}
+    ), cand AS (
+        SELECT query_id, corpus_id, qvec, cvec FROM (
+            SELECT q.query_id, c.vec_id AS corpus_id,
+                   q.qvec, c.embedding AS cvec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {r6(pcos)} DESC, c.vec_id ASC) AS prank
+            FROM p c JOIN q ON q.query_id <> c.vec_id
+        ) t WHERE prank <= {_RP_C}
+    ), scored AS (
+        SELECT query_id, corpus_id,
+               {r6(f"{_DOT.format(a='qvec', b='cvec')}"
+                   f" / ({_NORM.format(a='qvec')} * {_NORM.format(a='cvec')})")}
+                   AS cosine
+        FROM cand
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM (
+        SELECT query_id, corpus_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= {_K}
+    """
+
+
+@register("sim_rp_topk", oracle=_rp_oracle_sql())
+def sim_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection retrieval (Johnson-Lindenstrauss): the
+    corpus is projected ONCE through a fixed dense 64→8 matrix, the
+    candidate scan ranks projected-space cosine (a 2× cheaper
+    inner product than the full vector; see the constants note on
+    why this corpus resists harder compression), and the top {_RP_C}
+    candidates per query are re-ranked by exact cosine for the
+    final top-{_K}. Complements the other compressed-domain tiers:
+    scalar quantization (sim_quantized_topk) shrinks the VALUE
+    width, PQ (sim_pq_topk) shrinks via codebooks, JL shrinks the
+    DIMENSION — the right tier when vectors are wide but dense.
+
+    The projection constants come from the same LCG generator as
+    the LSH planes (fixed seed, reproducible anywhere); the oracle
+    embeds them as DOUBLE[] literals, and every score is the
+    deterministic sequential-fold double chain + sign-aware 1e-6
+    rounding used across the whole similarity family.
+
+    Scale shape: the projection is a one-off map (materialize it
+    columnar next to the vectors), the candidate stage broadcasts the projected
+    query set against the projected corpus, and the exact rerank
+    touches only |Q|·{_RP_C} full vectors. At 100 TB the projected
+    scan composes with the IVF cell partitioning (project within
+    probed cells) exactly as PQ does.
+    """
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators.similarity import dot, norm, round6
+
+    emb = load(spark, sf_dir, "embeddings")
+    proj = F.array(*[
+        dot(F.col("embedding"), F.array(*[F.lit(x) for x in row]))
+        for row in _RP_PLANES
+    ])
+    p = emb.select("vec_id", "embedding", proj.alias("proj"))
+    q = p.where(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("proj").alias("qproj"),
+    )
+    pcos = round6(
+        dot(F.col("qproj"), F.col("proj"))
+        / (norm(F.col("qproj")) * norm(F.col("proj")))
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.desc("pcos"), F.asc("corpus_id")
+    )
+    cand = (
+        p.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            "qvec",
+            F.col("embedding").alias("cvec"),
+            pcos.alias("pcos"),
+        )
+        .withColumn("prank", F.row_number().over(wp))
+        .where(F.col("prank") <= _RP_C)
+    )
+    cos = round6(
+        dot(F.col("qvec"), F.col("cvec"))
+        / (norm(F.col("qvec")) * norm(F.col("cvec")))
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        cand.select("query_id", "corpus_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= _K)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

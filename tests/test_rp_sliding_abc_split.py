@@ -1,0 +1,148 @@
+"""Property tests for the round-4 closing batch #2: random-projection
+retrieval, sliding-window distinct users, ABC/Pareto classification,
+and stratified split assignment.
+
+Each is hash-checked against its DuckDB oracle by
+tests/test_all_oracles.py; these tests pin semantics the oracle pair
+could violate together: RP recall vs exact cosine (numpy), the
+sliding distinct against a brute-force trailing-window recompute, the
+Pareto cumulative shares against a sorted pure-Python pass (which
+also exercises the distributed-prefix-sum path against the flat
+spec), and the split's exact per-stratum proportions + determinism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from metadata_wrangler_spark import plans
+from metadata_wrangler_spark.plans.vectors import _RP_C, _RP_PLANES
+
+plans.load_all_plans()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cols(table, *cols):
+    t = pq.read_table(f"{SF}/{table}.parquet", columns=list(cols))
+    return list(zip(*(t.column(c).to_pylist() for c in cols)))
+
+
+def test_rp_topk_recall_and_exactness(spark):
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    V = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qmask = ids % 101 == 0
+    S = Vn[qmask] @ Vn.T
+    got = plans.QUERIES["sim_rp_topk"](spark, SF).collect()
+    by_q = defaultdict(list)
+    for r in got:
+        by_q[r.query_id].append(r)
+    assert set(by_q) == set(ids[qmask].tolist())
+    hits = 0
+    for qi, qid in enumerate(ids[qmask]):
+        rows = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        # returned cosines are the EXACT similarities (rerank is exact)
+        for r in rows:
+            true = S[qi][ids == r.corpus_id][0]
+            assert abs(r.cosine - round(true * 1e6) / 1e6) < 1e-9
+        s = S[qi].copy()
+        s[ids == qid] = -9
+        exact = set(ids[np.lexsort((ids, -np.round(s * 1e6)))][:5])
+        hits += len(exact & {r.corpus_id for r in rows})
+    # measured 0.80 at this SF with the shipped 32-dim/100-candidate
+    # constants; floor leaves slack for corpus regeneration
+    assert hits / (qmask.sum() * 5) >= 0.6
+    assert len(_RP_PLANES) == 32 and _RP_C == 100
+
+
+def test_sliding_distinct_matches_brute_force(spark):
+    day_users = defaultdict(set)
+    for ts, uid in _cols("events", "ts", "user_id"):
+        day_users[int(math.floor(ts.timestamp()) // 86400)].add(uid)
+    days = sorted(day_users)
+    expect = {
+        d: len(set().union(*(day_users.get(d - k, set())
+                             for k in range(7))))
+        for d in days
+    }
+    got = {
+        r.window_end_day: r.active_users
+        for r in plans.QUERIES["ev_sliding_distinct"](spark, SF).collect()
+    }
+    assert got == expect
+    # windows are supersets of single days
+    assert all(got[d] >= len(day_users[d]) for d in days)
+
+
+def test_abc_pareto_matches_pure_python(spark):
+    rev = defaultdict(int)
+    for sk, ep, disc in _cols("lineitem", "l_suppkey",
+                              "l_extendedprice", "l_discount"):
+        rev[sk] += int(math.floor(ep * (1 - disc) * 10_000 + 0.5))
+    total = sum(rev.values())
+    order = sorted(rev, key=lambda k: (-rev[k], k))
+    expect, cum = {}, 0
+    for rank, sk in enumerate(order, start=1):
+        cum += rev[sk]
+        ppm = (1_000_000 * cum) // total
+        cls = "A" if ppm <= 800_000 else ("B" if ppm <= 950_000 else "C")
+        expect[sk] = (rev[sk] / 10_000.0, rank, ppm, cls)
+    got = {
+        r.suppkey: (r.revenue, r.rev_rank, r.cum_share_ppm, r.abc_class)
+        for r in plans.QUERIES["a_abc_pareto"](spark, SF).collect()
+    }
+    assert got == expect
+    # classes are monotone along the rank order and all present
+    classes = [got[sk][3] for sk in order]
+    assert classes == sorted(classes)  # A* B* C*
+
+
+def test_split_assign_proportions_and_determinism(spark):
+    got = {
+        r.doc_id: (r.lang, r.split)
+        for r in plans.QUERIES["txt_split_assign"](spark, SF).collect()
+    }
+    # pure-python recompute
+    strata = defaultdict(list)
+    for doc_id, (lang, _) in got.items():
+        strata[lang].append(doc_id)
+    docs = _cols("documents", "doc_id", "lang")
+    assert len(got) == len(docs)
+    expect = {}
+    by_lang = defaultdict(list)
+    for doc_id, lang in docs:
+        by_lang[lang].append(doc_id)
+    for lang, ids in by_lang.items():
+        n = len(ids)
+        ordered = sorted(
+            ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+        for rn, d in enumerate(ordered, start=1):
+            if 100 * rn <= 5 * n:
+                expect[d] = (lang, "val")
+            elif 100 * rn <= 15 * n:
+                expect[d] = (lang, "test")
+            else:
+                expect[d] = (lang, "train")
+    assert got == expect
+    # exact proportions per stratum: floor(5%/10%) with the <= rule
+    for lang, ids in by_lang.items():
+        n = len(ids)
+        n_val = sum(1 for d in ids if got[d][1] == "val")
+        n_test = sum(1 for d in ids if got[d][1] == "test")
+        assert n_val == (5 * n) // 100
+        assert n_test == (15 * n) // 100 - (5 * n) // 100
+    # rerun is identical (no RNG state anywhere)
+    again = {
+        r.doc_id: (r.lang, r.split)
+        for r in plans.QUERIES["txt_split_assign"](spark, SF).collect()
+    }
+    assert again == got
