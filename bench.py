@@ -133,6 +133,11 @@ EXTENDED = [
     "ev_sliding_distinct",
     "a_abc_pareto",
     "txt_split_assign",
+    "a_benford_digits",
+    "a_mad_robust",
+    "ev_markov_transitions",
+    "dd_source_overlap",
+    "txt_boilerplate_strip",
 ]
 
 

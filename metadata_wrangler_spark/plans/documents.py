@@ -2401,3 +2401,234 @@ def txt_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix (corpus curation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd_source_overlap",
+    oracle=f"""
+    WITH ws AS (SELECT source, {_WORDS_SQL} AS w FROM documents),
+    fp AS (
+        SELECT DISTINCT source, unnest({_SHINGLES_SQL}) AS f FROM ws
+    ),
+    per AS (SELECT source, COUNT(*) AS n FROM fp GROUP BY source),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.src_a, s.src_b, s.n_shared,
+           pa.n AS n_a, pb.n AS n_b,
+           (1000000 * s.n_shared) // least(pa.n, pb.n)
+               AS containment_ppm
+    FROM shared s
+    JOIN per pa ON pa.source = s.src_a
+    JOIN per pb ON pb.source = s.src_b
+    """,
+)
+def dd_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair overlap matrix: for every pair of ingestion
+    sources, how many distinct 3-gram shingles they share, as a
+    containment fraction of the smaller source's shingle set (exact
+    ppm) — the corpus-curation census that decides which feeds are
+    near-mirrors of each other and which earn independent trust
+    (the reference weighs data sources the same way, `model.py`
+    DataSource weights). Shingle-level rather than whole-document
+    fingerprints so partial mirroring registers too (whole-doc
+    exact overlap is dd_exact_groups' domain and is zero on feeds
+    that rewrap content).
+
+    Scale shape: documents collapse to DISTINCT (source, shingle)
+    first — the cardinality drop, one map-side-partial aggregate —
+    then pair counts come from a shingle equi-join whose fan-out
+    per shingle is the number of sources carrying it (bounded by
+    |sources|, not corpus size); per-source totals broadcast back.
+    Never all-pairs on documents. At 100 TB the shingle set drops
+    to a per-source KMV sketch (a_kmv_set_ops shows the plumbing)
+    for an estimated matrix at a fraction of the shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = (
+        dedup.with_words(
+            docs.select(F.col("source").alias("id_src"), "text"),
+            "id_src", "text",
+        )
+        .select(F.col("id").alias("source"),
+                F.explode(F.array_distinct(dedup.shingles(3))).alias("f"))
+        .distinct()
+    )
+    per = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.select(F.col("source").alias("src_a"), "f")
+    b = fp.select(F.col("source").alias("src_b"), "f")
+    shared = (
+        a.join(b, "f")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(per.select(F.col("source").alias("src_a"),
+                                   F.col("n").alias("n_a"))), "src_a")
+        .join(
+            F.broadcast(per.select(F.col("source").alias("src_b"),
+                                   F.col("n").alias("n_b"))), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared", "n_a", "n_b",
+            F.expr("(1000000 * n_shared) DIV least(n_a, n_b)")
+            .alias("containment_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate STRIP: the transform twin of txt_boilerplate_passages
+# ---------------------------------------------------------------------------
+
+_STRIP_CHUNK = 8
+_STRIP_MIN_DOCS = 2
+
+
+def _strip_oracle_sql() -> str:
+    w8 = ", ".join(f"w[i + {k}]" if k else "w[i]"
+                   for k in range(_STRIP_CHUNK))
+    return f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    chunks AS (
+        SELECT doc_id, i,
+               concat_ws(' ', {w8}) AS txt,
+               md5(concat_ws('_', {w8})) AS fp
+        FROM words,
+             unnest(generate_series(1, len(w) - {_STRIP_CHUNK - 1},
+                                    {_STRIP_CHUNK})) AS t(i)
+    ),
+    boiler AS (
+        SELECT fp FROM chunks
+        GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= {_STRIP_MIN_DOCS}
+    ),
+    agg AS (
+        SELECT c.doc_id,
+               COUNT(*) AS n_chunks,
+               SUM(CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END) AS n_dropped,
+               string_agg(CASE WHEN b.fp IS NULL THEN c.txt END,
+                          ' ' ORDER BY c.i) AS body
+        FROM chunks c LEFT JOIN boiler b ON b.fp = c.fp
+        GROUP BY c.doc_id
+    )
+    SELECT wd.doc_id,
+           CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+           trim(concat_ws(' ',
+               COALESCE(a.body, ''),
+               CASE WHEN len(wd.w) >= {_STRIP_CHUNK}
+                    THEN array_to_string(
+                        wd.w[(1 + {_STRIP_CHUNK}
+                              * CAST((len(wd.w) - {_STRIP_CHUNK})
+                                     // {_STRIP_CHUNK} AS BIGINT)
+                              + {_STRIP_CHUNK}):len(wd.w)], ' ')
+                    ELSE array_to_string(wd.w, ' ') END)) AS clean_text
+    FROM words wd LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register("txt_boilerplate_strip", oracle=_strip_oracle_sql())
+def txt_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of boilerplate removal: every document is
+    re-emitted with its repeated passages cut out —
+    txt_boilerplate_passages detects (chunk fingerprints in >=
+    {_STRIP_MIN_DOCS} distinct docs, a lower bar than the
+    detector's 3 because stripping wants recall), this one
+    produces the cleaned text a training-prep job actually writes.
+    Documents are cut into non-overlapping {_STRIP_CHUNK}-word
+    chunks; surviving chunks re-join in order, and the sub-chunk
+    tail (and any document shorter than one chunk) is always kept.
+
+    Scale shape: the same stride-{_STRIP_CHUNK} explode as the
+    detector (output tokens ~= input tokens), one DF hash-aggregate,
+    one fingerprint equi-join back, then a PER-DOCUMENT ordered
+    re-assembly (collect_list + array_sort within the doc's own
+    group — bounded by document length, no cross-document state).
+    The reassembled text shuffles once, keyed by doc_id.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = dedup.with_words(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("w")
+    )
+    L = _STRIP_CHUNK
+    starts = F.sequence(F.lit(1), F.size("w") - (L - 1), F.lit(L))
+    chunks = (
+        words.where(F.size("w") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        s.alias("i"),
+                        F.concat_ws(" ", F.slice("w", s, L)).alias("txt"),
+                        F.md5(F.concat_ws("_", F.slice("w", s, L)))
+                        .alias("fp"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "c.i", "c.txt", "c.fp")
+    )
+    boiler = (
+        chunks.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _STRIP_MIN_DOCS)
+        .select("fp")
+    )
+    flagged = chunks.join(
+        boiler.withColumn("hit", F.lit(1)), "fp", "left"
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+        .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("hit").isNull(),
+                            F.struct(F.col("i"), F.col("txt")),
+                        )
+                    )
+                ),
+                lambda x: x["txt"],
+            ),
+            " ",
+        ).alias("body"),
+    )
+    tail = F.when(
+        F.size("w") >= L,
+        F.array_join(
+            F.slice(
+                "w",
+                1 + L * F.floor((F.size("w") - L) / L).cast("int") + L,
+                F.size("w"),
+            ),
+            " ",
+        ),
+    ).otherwise(F.array_join("w", " "))
+    return (
+        words.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint")
+            .alias("n_chunks"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint")
+            .alias("n_dropped"),
+            F.trim(
+                F.concat_ws(
+                    " ", F.coalesce("body", F.lit("")), tail
+                )
+            ).alias("clean_text"),
+        )
+    )

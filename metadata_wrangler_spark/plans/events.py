@@ -1723,3 +1723,67 @@ def ev_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(days.day.alias("window_end_day"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type Markov transition matrix (journey analytics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS row_total FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.n,
+           (1000000 * t.n) // tot.row_total AS prob_ppm
+    FROM t JOIN tot USING (prev_type)
+    """,
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (previous type → next type) pair, the count
+    and the row-normalized transition probability in exact ppm —
+    the journey model behind next-action prediction and funnel
+    drop-off diagnostics (the CEP path-regex query
+    `ev_regex_path_match` matches specific journeys; this one
+    estimates the whole chain).
+
+    Scale shape: one lag window PARTITIONED BY user (parallel,
+    bounded by per-user history), one hash aggregate to the
+    |types|² transition table (25 rows here — tiny at any corpus
+    size), and a broadcast row-total join. The raw stream is
+    touched once.
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    t = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("(1000000 * n) DIV row_total").alias("prob_ppm"),
+        )
+    )

@@ -1914,3 +1914,166 @@ def a_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A12: Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT COUNT(*) AS total FROM d),
+    obs AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit)
+    SELECT obs.digit, obs.n_orders,
+           (1000000 * obs.n_orders) // n.total AS share_ppm,
+           CAST(floor(log10(1.0 + 1.0 / obs.digit) * 1000000 + 0.5)
+                AS BIGINT) AS benford_ppm,
+           (1000000 * obs.n_orders) // n.total
+             - CAST(floor(log10(1.0 + 1.0 / obs.digit) * 1000000 + 0.5)
+                    AS BIGINT) AS deviation_ppm
+    FROM obs CROSS JOIN n
+    """,
+)
+def a_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed
+    leading-digit shares vs the log10(1 + 1/d) expectation, the
+    classic screen for fabricated or truncated numeric columns in a
+    data-quality sweep. Shares are exact ppm integers; the Benford
+    expectation is the identical IEEE log10+floor chain in both
+    engines, so the deviation column is bit-stable.
+
+    Scale shape: one codegen projection (string head of the integer
+    part), one 9-row hash aggregate, one broadcast scalar for the
+    total — nothing shuffles but 9 rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+            1, 1,
+        ).cast("int").alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    share = F.expr("(1000000 * n_orders) DIV total")
+    benford = F.floor(
+        F.log10(1.0 + 1.0 / F.col("digit")) * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        obs.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_orders",
+            share.alias("share_ppm"),
+            benford.alias("benford_ppm"),
+            (share - benford).alias("deviation_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13: median absolute deviation (robust dispersion) per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_mad_robust",
+    oracle="""
+    WITH q AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS qv
+        FROM events
+    ),
+    r1 AS (
+        SELECT event_type, qv,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY qv, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM q
+    ),
+    med AS (
+        SELECT event_type, qv AS med_qv FROM r1
+        WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+    ),
+    dev AS (
+        SELECT q.event_id, q.event_type, abs(q.qv - m.med_qv) AS adev
+        FROM q JOIN med m USING (event_type)
+    ),
+    r2 AS (
+        SELECT event_type, adev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY adev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    )
+    SELECT r2.event_type,
+           CAST(m.med_qv AS BIGINT) / 10000.0 AS median_value,
+           CAST(r2.adev AS BIGINT) / 10000.0 AS mad
+    FROM r2 JOIN med m USING (event_type)
+    WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+    """,
+)
+def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust
+    dispersion measure outlier-immune pipelines use where stddev
+    (a_anomaly_zscore's basis) is poisoned by the very outliers
+    being hunted. Both medians are DISCRETE (exact data values at
+    rank floor((n-1)/2)+1, ties broken by event_id), so the result
+    is engine-portable with no interpolation arithmetic.
+
+    Scale shape: two windowed passes, each partitioned by
+    event_type (parallel across groups; no global sort) with a
+    broadcast-size median table joined back between them. At 100 TB
+    a per-group pass over raw rows is the honest cost of an exact
+    MAD; the approximate path is the KMV/t-digest family
+    (a_kmv_distinct_sketch shows the sketch plumbing).
+    """
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("bigint").alias("qv"),
+    )
+    by_type = W.partitionBy("event_type")
+    r1 = q.select(
+        "event_type",
+        "qv",
+        F.row_number().over(by_type.orderBy("qv", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(by_type).alias("n"),
+    )
+    med = r1.where(
+        F.col("rn") == F.floor((F.col("n") - 1) * 0.5).cast("bigint") + 1
+    ).select("event_type", F.col("qv").alias("med_qv"))
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.abs(F.col("qv") - F.col("med_qv")).alias("adev"),
+    )
+    r2 = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(by_type.orderBy("adev", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(by_type).alias("n"),
+    )
+    return (
+        r2.where(
+            F.col("rn")
+            == F.floor((F.col("n") - 1) * 0.5).cast("bigint") + 1
+        )
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            (F.col("med_qv").cast("bigint") / 10000.0)
+            .alias("median_value"),
+            (F.col("adev").cast("bigint") / 10000.0).alias("mad"),
+        )
+    )
