@@ -138,6 +138,9 @@ EXTENDED = [
     "ev_markov_transitions",
     "dd_source_overlap",
     "txt_boilerplate_strip",
+    "txt_dsir_weight",
+    "ev_cusum_changepoint",
+    "a_gini_coefficient",
 ]
 
 

@@ -116,6 +116,13 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "f_token_sort_ratio",
     "w_shortest_candidate",
     "s_xml_classify_response",
+    # NOTE (round-4 closing session): seventeen further additions
+    # (g_neighbor_jaccard, g_bipartite_project, ev_decay_halflife,
+    # txt_contamination_frac, sim_rp_topk, ev_sliding_distinct,
+    # a_abc_pareto, txt_split_assign, a_benford_digits, a_mad_robust,
+    # ev_markov_transitions, dd_source_overlap, txt_boilerplate_strip,
+    # and the batch-4 ops) also ride behind the window on the pytest
+    # all-oracle sweep until round 5 rotates them in.
     # NOTE (round-4 end state): every window slot goes to a
     # never-driver-verified query so that ZERO such queries remain
     # after this round (the round-3 verdict's ask #2). Four queries

@@ -2632,3 +2632,114 @@ def txt_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (target-vs-raw hashed-LM log ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_PRED = "lang = 'en'"  # the distribution we want more of
+
+
+@register(
+    "txt_dsir_weight",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, {_DSIR_TARGET_PRED} AS is_tgt, {_WORDS_SQL} AS w
+        FROM documents
+    ), big AS (
+        SELECT doc_id, is_tgt, w[i] AS pfx,
+               concat(w[i], '_', w[i+1]) AS bg
+        FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    tbg AS (SELECT bg, COUNT(*) AS c FROM big WHERE is_tgt GROUP BY bg),
+    tpf AS (SELECT pfx, COUNT(*) AS c FROM big WHERE is_tgt GROUP BY pfx),
+    rbg AS (SELECT bg, COUNT(*) AS c FROM big WHERE NOT is_tgt GROUP BY bg),
+    rpf AS (SELECT pfx, COUNT(*) AS c FROM big WHERE NOT is_tgt
+            GROUP BY pfx)
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(
+               (length(bin(COALESCE(rp.c, 0)))
+                - length(bin(COALESCE(rb.c, 0))))
+               - (length(bin(COALESCE(tp.c, 0)))
+                  - length(bin(COALESCE(tb.c, 0))))
+           ) AS BIGINT) AS sum_weight,
+           (1000000 * CAST(SUM(
+               (length(bin(COALESCE(rp.c, 0)))
+                - length(bin(COALESCE(rb.c, 0))))
+               - (length(bin(COALESCE(tp.c, 0)))
+                  - length(bin(COALESCE(tb.c, 0))))
+           ) AS BIGINT)) // COUNT(*) AS mean_weight_ppm
+    FROM big b
+    LEFT JOIN tbg tb USING (bg) LEFT JOIN tpf tp USING (pfx)
+    LEFT JOIN rbg rb USING (bg) LEFT JOIN rpf rp USING (pfx)
+    WHERE NOT b.is_tgt
+    GROUP BY b.doc_id
+    """,
+)
+def txt_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): each
+    raw (non-target) document is scored by log p_target(doc) -
+    log p_raw(doc) under two hashed bigram LMs — one fit on the
+    target slice ({_DSIR_TARGET_PRED}), one on the raw remainder —
+    so resampling by this weight shifts the raw corpus toward the
+    target distribution. Per bigram the log-ratio uses the same
+    libm-free integer-log2 surrogate as txt_lm_surprisal
+    (bitlen(prefix count) - bitlen(bigram count), with absent
+    counts coalescing to 0 whose bin() length of 1 acts as add-one
+    smoothing), so the weights are bit-reproducible across engines.
+
+    Scale shape: one bigram explode, four vocabulary-bounded
+    hash-aggregates (two per LM), four equi-joins back on the
+    bigram/prefix keys — the Zipf head of every count table
+    broadcasts at scale, and the raw corpus shuffles only its
+    bigram stream, exactly like the surprisal plan it extends.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    starts = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    big = docs.select(
+        "doc_id",
+        F.expr(_DSIR_TARGET_PRED).alias("is_tgt"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    F.element_at(words, s).alias("pfx"),
+                    F.concat_ws(
+                        "_", F.element_at(words, s), F.element_at(words, s + 1)
+                    ).alias("bg"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "is_tgt", "t.pfx", "t.bg")
+    tbg = big.where("is_tgt").groupBy("bg").agg(
+        F.count(F.lit(1)).alias("tb_c"))
+    tpf = big.where("is_tgt").groupBy("pfx").agg(
+        F.count(F.lit(1)).alias("tp_c"))
+    rbg = big.where(~F.col("is_tgt")).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("rb_c"))
+    rpf = big.where(~F.col("is_tgt")).groupBy("pfx").agg(
+        F.count(F.lit(1)).alias("rp_c"))
+    bitlen = lambda c: F.length(F.bin(F.coalesce(c, F.lit(0))))  # noqa: E731
+    w = (
+        big.where(~F.col("is_tgt"))
+        .join(tbg, "bg", "left").join(tpf, "pfx", "left")
+        .join(rbg, "bg", "left").join(rpf, "pfx", "left")
+        .select(
+            "doc_id",
+            (
+                (bitlen(F.col("rp_c")) - bitlen(F.col("rb_c")))
+                - (bitlen(F.col("tp_c")) - bitlen(F.col("tb_c")))
+            ).alias("wt"),
+        )
+    )
+    return w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("wt").cast("bigint").alias("sum_weight"),
+        F.expr("(1000000 * CAST(SUM(wt) AS BIGINT)) DIV COUNT(*)")
+        .alias("mean_weight_ppm"),
+    )

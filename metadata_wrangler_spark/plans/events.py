@@ -1787,3 +1787,125 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n) DIV row_total").alias("prob_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over daily means
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+               SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS qsum,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, SUM(qsum) AS t, SUM(cnt) AS n FROM daily
+        GROUP BY event_type
+    ),
+    cum AS (
+        SELECT d.event_type, d.day,
+               SUM(d.qsum) OVER w AS cs, SUM(d.cnt) OVER w AS cc,
+               tot.t, tot.n
+        FROM daily d JOIN tot USING (event_type)
+        WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    stat AS (
+        SELECT event_type, day,
+               CAST(n AS HUGEINT) * CAST(cs AS HUGEINT)
+                 - CAST(t AS HUGEINT) * CAST(cc AS HUGEINT) AS s,
+               CAST(t AS HUGEINT) * CAST(n AS HUGEINT) AS tn
+        FROM cum
+    )
+    SELECT event_type, day AS change_day,
+           CAST((1000000 * abs(s)) // tn AS BIGINT) AS cusum_ppm,
+           CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END
+                AS INT) AS direction
+    FROM (
+        SELECT event_type, day, s, tn,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY abs(s) DESC, day ASC) AS rn
+        FROM stat
+    ) t WHERE rn = 1
+    """,
+)
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where
+    the cumulative deviation of daily value totals from the
+    type-level mean rate peaks — the standard level-shift detector
+    a metrics pipeline runs to date a regression. The statistic is
+    kept RATIONAL-EXACT: S_k = Σ(daily_sum) - μ·Σ(daily_count)
+    with μ = T/N is evaluated as N·ΣS - T·ΣC over HUGEINT/DECIMAL
+    (never a float μ), normalized to ppm of T·N only at the end —
+    so the argmax day cannot flip on float noise between engines.
+
+    Scale shape: the raw stream collapses to (type, day) rows in
+    one map-side-partial aggregate; the cumulative window runs per
+    type over days (tiny, parallel across types); the argmax is a
+    second per-type window over the same rows. Raw events are
+    touched exactly once.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.floor(F.unix_timestamp("ts")) / 86400)
+        .cast("bigint").alias("day"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+        ).alias("qsum"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("qsum").alias("t"), F.sum("cnt").alias("n")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.sum("qsum").over(wcum).alias("cs"),
+            F.sum("cnt").over(wcum).alias("cc"),
+            "t",
+            "n",
+        )
+    )
+    d20 = "decimal(20,0)"
+    stat = cum.select(
+        "event_type",
+        "day",
+        (
+            F.col("n").cast(d20) * F.col("cs").cast(d20)
+            - F.col("t").cast(d20) * F.col("cc").cast(d20)
+        ).alias("s"),
+        (F.col("t").cast(d20) * F.col("n").cast(d20)).alias("tn"),
+    )
+    warg = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.asc("day")
+    )
+    return (
+        stat.withColumn("rn", F.row_number().over(warg))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.expr("CAST((1000000 * abs(s)) DIV tn AS BIGINT)")
+            .alias("cusum_ppm"),
+            F.when(F.col("s") > 0, 1)
+            .when(F.col("s") < 0, -1)
+            .otherwise(0)
+            .cast("int")
+            .alias("direction"),
+        )
+    )

@@ -2077,3 +2077,85 @@ def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("adev").cast("bigint") / 10000.0).alias("mad"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A14: Gini coefficient per group (inequality / concentration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_gini_coefficient",
+    oracle="""
+    WITH q AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS qv
+        FROM orders
+    ),
+    r AS (
+        SELECT o_orderpriority, qv,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY qv, o_orderkey) AS rn
+        FROM q
+    ),
+    agg AS (
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(qv AS HUGEINT)) AS sx,
+               SUM(CAST(rn AS HUGEINT) * CAST(qv AS HUGEINT)) AS srx
+        FROM r GROUP BY o_orderpriority
+    )
+    SELECT priority, n_orders,
+           CAST(sx AS BIGINT) / 10000.0 AS total_value,
+           CAST((1000000 * (2 * srx - (n_orders + 1) * sx))
+                // (CAST(n_orders AS HUGEINT) * sx) AS BIGINT)
+               AS gini_ppm
+    FROM agg
+    """,
+)
+def a_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of order value per priority
+    class — the inequality measure behind revenue-concentration and
+    workload-skew dashboards (complements a_simpson_diversity's
+    categorical concentration and a_abc_pareto's cumulative-share
+    classes). Uses the rank formula G = (2·Σ(i·x_i) − (n+1)·Σx) /
+    (n·Σx) over ascending-sorted values with a deterministic tie
+    order (value then order key), computed entirely in
+    HUGEINT/DECIMAL integer arithmetic and emitted as exact ppm —
+    no float accumulation anywhere.
+
+    Scale shape: one rank window per priority group (parallel
+    across groups; at 100 TB the same bit-length-bucketed
+    distributed prefix rank as a_abc_pareto substitutes for the
+    per-group sort) followed by one hash aggregate — the fact table
+    shuffles once, keyed by group.
+    """
+    o = load(spark, sf_dir, "orders")
+    q = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+        .cast("bigint").alias("qv"),
+    )
+    r = q.select(
+        "o_orderpriority",
+        "qv",
+        F.row_number().over(
+            W.partitionBy("o_orderpriority").orderBy("qv", "o_orderkey")
+        ).alias("rn"),
+    )
+    d20 = "decimal(20,0)"
+    agg = r.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("qv").cast(d20)).alias("sx"),
+        F.sum(F.col("rn").cast(d20) * F.col("qv").cast(d20)).alias("srx"),
+    )
+    return agg.select(
+        "priority",
+        "n_orders",
+        (F.col("sx").cast("bigint") / 10000.0).alias("total_value"),
+        F.expr(
+            "CAST((1000000 * (2 * srx - (n_orders + 1) * sx))"
+            " DIV (CAST(n_orders AS DECIMAL(20,0)) * sx) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
