@@ -141,6 +141,9 @@ EXTENDED = [
     "txt_dsir_weight",
     "ev_cusum_changepoint",
     "a_gini_coefficient",
+    "txt_unigram_entropy",
+    "w_session_path_topk",
+    "a_chi2_independence",
 ]
 
 

@@ -2743,3 +2743,76 @@ def txt_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * CAST(SUM(wt) AS BIGINT)) DIV COUNT(*)")
         .alias("mean_weight_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram self-LM entropy per source (corpus health / compressibility)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_unigram_entropy",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_WORDS_SQL}) AS w FROM documents
+    ),
+    c AS (SELECT source, w, COUNT(*) AS cw FROM tok GROUP BY source, w),
+    n AS (SELECT source, SUM(cw) AS nt, COUNT(*) AS vocab FROM c
+          GROUP BY source)
+    SELECT c.source, n.nt AS n_tokens, n.vocab,
+           CAST(SUM(c.cw * (length(bin(n.nt)) - length(bin(c.cw))))
+                AS BIGINT) AS sum_bits,
+           (1000000 * CAST(SUM(c.cw * (length(bin(n.nt))
+                                       - length(bin(c.cw)))) AS BIGINT))
+               // n.nt AS mean_bits_ppm
+    FROM c JOIN n USING (source)
+    GROUP BY c.source, n.nt, n.vocab
+    """,
+)
+def txt_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram self-entropy: the mean per-token surprisal
+    of each source under its own unigram distribution — the
+    corpus-health metric that flags template-generated or
+    low-diversity feeds (low bits/token ≈ highly compressible)
+    before they flood a training mix. Like txt_lm_surprisal, the
+    log2 is the libm-free INTEGER bit-length surrogate
+    (bitlen(N) - bitlen(c_w), within ±1 bit of -log2(c_w/N)), so
+    the aggregate is bit-stable across engines — the repo's
+    standing rule of never trusting two libms to round alike.
+
+    Scale shape: one token explode, one (source, word) hash
+    aggregate (vocabulary-bounded), one per-source rollup, one
+    equi-join between them — map-side partials everywhere, no
+    window, no quadratic step.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(dedup.normalize_text(F.col("text")), " "))
+        .alias("w"),
+    )
+    c = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cw"))
+    n = c.groupBy("source").agg(
+        F.sum("cw").alias("nt"), F.count(F.lit(1)).alias("vocab")
+    )
+    bits = F.col("cw") * (
+        F.length(F.bin("nt")) - F.length(F.bin("cw"))
+    )
+    return (
+        c.join(F.broadcast(n), "source")
+        .groupBy("source", "nt", "vocab")
+        .agg(
+            F.sum(bits).cast("bigint").alias("sum_bits"),
+            F.expr(
+                "(1000000 * CAST(SUM(cw * (length(bin(nt))"
+                " - length(bin(cw)))) AS BIGINT)) DIV nt"
+            ).alias("mean_bits_ppm"),
+        )
+        .select(
+            "source",
+            F.col("nt").alias("n_tokens"),
+            "vocab",
+            "sum_bits",
+            "mean_bits_ppm",
+        )
+    )

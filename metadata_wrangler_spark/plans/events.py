@@ -1909,3 +1909,149 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# top user-journey paths (per user-day event sequences)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_session_path_topk",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+    ),
+    p AS (SELECT path, COUNT(*) AS n_sessions FROM s GROUP BY path)
+    SELECT path, n_sessions FROM p
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+)
+def w_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: each user-day's events concatenated
+    in time order into a path string ('view>click>purchase'), then
+    the 20 most common paths — the whole-journey census that
+    complements ev_markov_transitions' pairwise chain and
+    ev_regex_path_match's single-pattern matcher.
+
+    Scale shape: the sequence assembly is a per-(user, day)
+    collect_list + array_sort (bounded by one user's daily
+    activity; partitioned, never global), the path census is a hash
+    aggregate on the path string, and the final top-20 runs as
+    TakeOrderedAndProject — per-partition heaps, no full sort of
+    the path table.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            "user_id",
+            F.floor(F.floor(F.unix_timestamp("ts")) / 86400)
+            .cast("bigint").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        s.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence: event mix vs day-of-week
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_chi2_independence",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) % 7 AS dow,
+               COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, SUM(o) AS rt FROM cell GROUP BY event_type),
+    c AS (SELECT dow, SUM(o) AS ct FROM cell GROUP BY dow),
+    n AS (SELECT SUM(o) AS nt FROM cell),
+    term AS (
+        SELECT cell.event_type, cell.o,
+               CAST(floor(
+                   (CAST(n.nt * cell.o - r.rt * c.ct AS DOUBLE)
+                    * CAST(n.nt * cell.o - r.rt * c.ct AS DOUBLE))
+                   / (CAST(n.nt AS DOUBLE) * CAST(r.rt AS DOUBLE)
+                      * CAST(c.ct AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS t_micro
+        FROM cell JOIN r USING (event_type) JOIN c USING (dow)
+        CROSS JOIN n
+    )
+    SELECT event_type, CAST(SUM(o) AS BIGINT) AS n_events,
+           CAST(SUM(t_micro) AS BIGINT) AS chi2_contrib_micro
+    FROM term GROUP BY event_type
+    """,
+)
+def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen: is the event-type mix stable
+    across days of the week? Each (type, weekday) cell contributes
+    (O−E)²/E with E = row·col/N; the per-type contribution sums are
+    the seasonality red-flags a metrics pipeline checks before
+    trusting week-over-week comparisons. The statistic is evaluated
+    as (N·O − R·C)²/(N·R·C) — numerator and denominator are EXACT
+    integers cast once to double (same bits both engines; within
+    2^53 up to ~billions of events per cell — beyond that,
+    pre-scale the counts), each cell's term quantized to 1e-6 and
+    summed as integers, so partition order cannot move the result.
+    Weekday is epoch-day mod 7 (no locale-dependent dayofweek()).
+
+    Scale shape: raw events collapse to the |types|×7 cell table in
+    one map-side-partial aggregate; everything after is arithmetic
+    on ~35 rows with broadcast margins.
+    """
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        (
+            F.floor(F.floor(F.unix_timestamp("ts")) / 86400)
+            .cast("bigint") % 7
+        ).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    r = cell.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    c = cell.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = cell.agg(F.sum("o").alias("nt"))
+    num = (F.col("nt") * F.col("o") - F.col("rt") * F.col("ct")) \
+        .cast("double")
+    den = (
+        F.col("nt").cast("double")
+        * F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+    )
+    term = (
+        cell.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "o",
+            F.floor(num * num / den * 1000000 + F.lit(0.5))
+            .cast("bigint").alias("t_micro"),
+        )
+    )
+    return term.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n_events"),
+        F.sum("t_micro").cast("bigint").alias("chi2_contrib_micro"),
+    )
