@@ -144,6 +144,7 @@ EXTENDED = [
     "txt_unigram_entropy",
     "w_session_path_topk",
     "a_chi2_independence",
+    "pipe_corpus_curation",
 ]
 
 

@@ -383,3 +383,168 @@ def pipe_metadata_nested_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_identifiers"),
         F.sum("weight").cast("bigint").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# composed LLM-corpus curation pipeline (the training-data §3.3 twin)
+# ---------------------------------------------------------------------------
+
+_CURATE_QUALITY_MIN = 0.45
+
+
+def _curation_oracle_sql() -> str:
+    from metadata_wrangler_spark.plans.documents import (
+        _DECON_EVAL_PRED,
+        _DECON_N,
+        _lsh_pairs_ctes,
+        _shingles_sql,
+        _WORDS_SQL,
+        _count_token_sql,
+    )
+
+    stop_sum = " + ".join(
+        _count_token_sql(t) for t in ("the", "a", "and", "is", "of")
+    )
+    return f"""
+    WITH RECURSIVE {_lsh_pairs_ctes()},
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM lsh_pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM lsh_pairs
+    ),
+    walk(node, lbl) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk
+        GROUP BY node
+    ),
+    clustered AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    rep AS (
+        SELECT doc_id, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM clustered
+    ),
+    ws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    evs AS (
+        SELECT DISTINCT unnest({_shingles_sql(_DECON_N)}) AS sh
+        FROM ws WHERE {_DECON_EVAL_PRED}
+    ),
+    contam AS (
+        SELECT DISTINCT t.doc_id FROM (
+            SELECT doc_id, unnest({_shingles_sql(_DECON_N)}) AS sh
+            FROM ws WHERE NOT ({_DECON_EVAL_PRED})
+        ) t JOIN evs USING (sh)
+    ),
+    qual AS (
+        SELECT doc_id,
+               CASE WHEN len({_WORDS_SQL}) < 10 THEN 0.0
+                    ELSE 0.5 * least(len({_WORDS_SQL}) / 100.0, 1.0)
+                         + 0.5 * (len(list_distinct({_WORDS_SQL}))
+                                  / len({_WORDS_SQL})) END AS quality
+        FROM documents
+    )
+    SELECT r.doc_id, r.cluster_id,
+           CASE WHEN r.doc_id % 13 = 7 THEN 'eval_holdout'
+                WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN r.rn > 1 THEN 'near_dup'
+                WHEN q.quality < {_CURATE_QUALITY_MIN} THEN 'low_quality'
+                ELSE 'kept' END AS verdict
+    FROM rep r
+    LEFT JOIN contam ct ON ct.doc_id = r.doc_id
+    JOIN qual q ON q.doc_id = r.doc_id
+    """
+
+
+@register("pipe_corpus_curation", oracle=_curation_oracle_sql())
+def pipe_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data twin of pipe_provider_end_to_end: one
+    DAG that runs the full corpus-curation policy and emits a
+    verdict per document — 'eval_holdout' (the benchmark slice is
+    never trained on), 'contaminated' (shares a 5-gram with the
+    holdout, dd_decontaminate's rule), 'near_dup' (MinHash-LSH
+    cluster member that is not the longest representative,
+    dd_cluster_keep's rule), 'low_quality' (the txt_quality_score
+    heuristic under {_CURATE_QUALITY_MIN}), else 'kept'. First
+    failing gate wins, mirroring how production mixes order the
+    cheap-to-expensive filters.
+
+    Every stage is an operator that also ships standalone; this
+    query is the integration proof that they compose in one plan.
+    Scale shape: each gate keeps its standalone shape (broadcast
+    eval shingles, linear LSH banding, checkpointed components,
+    per-cluster window, codegen quality expression) and the final
+    assembly is three per-doc-keyed left joins.
+    """
+    from metadata_wrangler_spark.operators import closure, dedup, textstats
+    from metadata_wrangler_spark.plans.documents import (
+        _BANDS,
+        _DECON_EVAL_PRED,
+        _DECON_N,
+        _NUM_HASHES,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    cc = closure.connected_components(pairs, src="id_a", dst="id_b")
+    clustered = (
+        docs.select("doc_id", "n_chars")
+        .join(
+            cc.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("cluster_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    rep = clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.row_number().over(
+            W.partitionBy("cluster_id")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        ).alias("rn"),
+    )
+    ev = docs.where(F.expr(_DECON_EVAL_PRED))
+    tr = docs.where(~F.expr(_DECON_EVAL_PRED))
+    evs = (
+        dedup.distinct_shingles(ev, "doc_id", "text", _DECON_N)
+        .select("sh").distinct()
+    )
+    contam = (
+        dedup.distinct_shingles(tr, "doc_id", "text", _DECON_N)
+        .join(F.broadcast(evs), "sh")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_contam", F.lit(1))
+    )
+    qual = textstats.quality_score(docs).select("doc_id", "quality")
+    return (
+        rep.join(contam, "doc_id", "left")
+        .join(qual, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.when(F.col("doc_id") % 13 == 7, "eval_holdout")
+            .when(F.col("is_contam").isNotNull(), "contaminated")
+            .when(F.col("rn") > 1, "near_dup")
+            .when(F.col("quality") < _CURATE_QUALITY_MIN, "low_quality")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )
