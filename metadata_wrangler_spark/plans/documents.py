@@ -2067,19 +2067,23 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged.
     """
     docs = load(spark, sf_dir, "documents")
-    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    # with_words materializes the split behind a projection barrier —
+    # the inline spelling re-ran normalize+split once per slice()
+    # inside the transform (CollapseProject): 7.5 s → ~1 s at sf0.1.
+    wd = dedup.with_words(docs, "doc_id", "text")
+    w = F.col("w")
     L = _SPAN_L
     starts = F.when(
-        F.size(words) >= L, F.sequence(F.lit(1), F.size(words) - (L - 1))
+        F.size(w) >= L, F.sequence(F.lit(1), F.size(w) - (L - 1))
     ).otherwise(F.array().cast("array<int>"))
-    wins = docs.select(
-        "doc_id",
+    wins = wd.select(
+        F.col("id").alias("doc_id"),
         F.explode(
             F.transform(
                 starts,
                 lambda s: F.struct(
                     s.alias("start"),
-                    F.md5(F.concat_ws("_", F.slice(words, s, L))).alias("fp"),
+                    F.md5(F.concat_ws("_", F.slice(w, s, L))).alias("fp"),
                 ),
             )
         ).alias("win"),
@@ -2150,19 +2154,24 @@ def txt_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles — the joins are on high-entropy string keys either way.
     """
     docs = load(spark, sf_dir, "documents")
-    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    # with_words puts the split+regex behind a projection barrier;
+    # the inline spelling re-ran normalize_text once per element_at
+    # inside the transform lambda (CollapseProject) — measured 19 s
+    # vs 1.4 s at sf0.1 for this very plan.
+    wd = dedup.with_words(docs, "doc_id", "text")
+    w = F.col("w")
     starts = F.when(
-        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
+        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
     ).otherwise(F.array().cast("array<int>"))
-    big = docs.select(
-        "doc_id",
+    big = wd.select(
+        F.col("id").alias("doc_id"),
         F.explode(
             F.transform(
                 starts,
                 lambda s: F.struct(
-                    F.element_at(words, s).alias("pfx"),
+                    F.element_at(w, s).alias("pfx"),
                     F.concat_ws(
-                        "_", F.element_at(words, s), F.element_at(words, s + 1)
+                        "_", F.element_at(w, s), F.element_at(w, s + 1)
                     ).alias("bg"),
                 ),
             )
@@ -2697,38 +2706,49 @@ def txt_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram stream, exactly like the surprisal plan it extends.
     """
     docs = load(spark, sf_dir, "documents")
-    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    # projection barrier (see txt_lm_surprisal) + BOTH LMs' counts in
+    # ONE aggregate per key via conditional sums — two joins back
+    # instead of four, and the bigram explode evaluates three times
+    # (two count legs + the scoring leg), not five.
+    wd = dedup.with_words(docs, "doc_id", "text")
+    w_ = F.col("w")
     starts = F.when(
-        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
+        F.size(w_) >= 2, F.sequence(F.lit(1), F.size(w_) - 1)
     ).otherwise(F.array().cast("array<int>"))
-    big = docs.select(
+    big = wd.join(
+        F.broadcast(
+            docs.select("doc_id", F.expr(_DSIR_TARGET_PRED).alias("is_tgt"))
+        ),
+        wd.id == F.col("doc_id"),
+    ).select(
         "doc_id",
-        F.expr(_DSIR_TARGET_PRED).alias("is_tgt"),
+        "is_tgt",
         F.explode(
             F.transform(
                 starts,
                 lambda s: F.struct(
-                    F.element_at(words, s).alias("pfx"),
+                    F.element_at(w_, s).alias("pfx"),
                     F.concat_ws(
-                        "_", F.element_at(words, s), F.element_at(words, s + 1)
+                        "_", F.element_at(w_, s), F.element_at(w_, s + 1)
                     ).alias("bg"),
                 ),
             )
         ).alias("t"),
     ).select("doc_id", "is_tgt", "t.pfx", "t.bg")
-    tbg = big.where("is_tgt").groupBy("bg").agg(
-        F.count(F.lit(1)).alias("tb_c"))
-    tpf = big.where("is_tgt").groupBy("pfx").agg(
-        F.count(F.lit(1)).alias("tp_c"))
-    rbg = big.where(~F.col("is_tgt")).groupBy("bg").agg(
-        F.count(F.lit(1)).alias("rb_c"))
-    rpf = big.where(~F.col("is_tgt")).groupBy("pfx").agg(
-        F.count(F.lit(1)).alias("rp_c"))
+    tgt_flag = F.when(F.col("is_tgt"), 1).otherwise(0)
+    bgc = big.groupBy("bg").agg(
+        F.sum(tgt_flag).alias("tb_c"),
+        F.sum(1 - tgt_flag).alias("rb_c"),
+    )
+    pfc = big.groupBy("pfx").agg(
+        F.sum(tgt_flag).alias("tp_c"),
+        F.sum(1 - tgt_flag).alias("rp_c"),
+    )
     bitlen = lambda c: F.length(F.bin(F.coalesce(c, F.lit(0))))  # noqa: E731
     w = (
         big.where(~F.col("is_tgt"))
-        .join(tbg, "bg", "left").join(tpf, "pfx", "left")
-        .join(rbg, "bg", "left").join(rpf, "pfx", "left")
+        .join(bgc, "bg")
+        .join(pfc, "pfx")
         .select(
             "doc_id",
             (
