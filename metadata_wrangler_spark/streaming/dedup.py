@@ -27,9 +27,13 @@ def deduped_events_stream(
     """Event stream with state-store dedup on ``key_cols``.
 
     `dropDuplicates` emits the FIRST arrival of each key immediately
-    (append mode) and remembers the key until the watermark passes its
-    event time — duplicates across micro-batches are dropped without
-    unbounded state.
+    (append mode). CAVEAT on state growth: with the dedup keys NOT
+    including the event-time column, Spark keeps every seen key
+    forever — the watermark bounds which late rows are considered,
+    not the state. This spelling is therefore the exact-history
+    dedup (a key re-sent a month later is still dropped), priced at
+    unbounded state; the bounded-state twin a 100 TB/day ingest
+    wants is `deduped_events_stream_within_watermark` below.
     """
     events = incremental.read_events_stream(spark, source_dir)
     if dict(events.dtypes).get("ts") == "timestamp_ntz":
@@ -51,6 +55,51 @@ def run_dedup_stream(
     (swap for a parquet/Delta sink in production)."""
     q = (
         deduped_events_stream(spark, source_dir)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def deduped_events_stream_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    (Spark 3.5+) drops duplicate keys whose arrivals fall within the
+    watermark delay of each other and EVICTS the key's state once
+    the watermark passes — state is bounded by (delay × arrival
+    rate) regardless of key cardinality, the property the plain
+    `dropDuplicates` spelling above cannot give without putting the
+    event time into the key. Retries that carry a fresh timestamp
+    (the common real-world duplicate) still dedup, because matching
+    is on ``key_cols`` alone.
+    """
+    events = incremental.read_events_stream(spark, source_dir)
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        from pyspark.sql import functions as F
+
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(list(key_cols))
+
+
+def run_dedup_stream_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "dedup_stream_ww",
+) -> DataFrame:
+    """One AvailableNow pass of the bounded-state dedup."""
+    q = (
+        deduped_events_stream_within_watermark(spark, source_dir)
         .writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")

@@ -410,3 +410,42 @@ def test_stream_stream_join_evicts_state_behind_watermark(spark, tmp_path):
         if p["stateOperators"]
     )
     assert removed >= 2  # click@00:00 + purchase@00:10 state evicted
+
+
+def test_dedup_within_watermark_bounds_state_and_drops_dupes(
+    spark, tmp_path
+):
+    """The bounded-state twin: duplicates delivered twice (same ids,
+    second copy time-shifted inside the watermark window — a retry
+    with a fresh timestamp) are emitted exactly once, which the plain
+    dropDuplicates spelling also achieves but only at unbounded
+    state; this asserts the WithinWatermark operator's semantics on
+    the same re-sent-feed scenario."""
+    from pyspark.sql import functions as F
+
+    from metadata_wrangler_spark.streaming import dedup as sdedup
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ev = load(spark, SF_DIR, "events")
+    stage0 = tmp_path / "stage0"
+    stage1 = tmp_path / "stage1"
+    ev.coalesce(1).write.parquet(str(stage0))
+    # the retry: same ids, timestamps nudged 1 min — still dupes
+    ev.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+    ).coalesce(1).write.parquet(str(stage1))
+    for i, stage in enumerate((stage0, stage1)):
+        part = next(stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"part-{i:03d}.parquet")
+
+    got = sdedup.run_dedup_stream_within_watermark(
+        spark,
+        str(src),
+        str(tmp_path / "cp_ww"),
+        query_name="t_dedup_ww",
+    )
+    assert got.count() == ev.count()
+    assert sorted(
+        r["event_id"] for r in got.select("event_id").collect()
+    ) == sorted(r["event_id"] for r in ev.select("event_id").collect())
