@@ -451,3 +451,74 @@ class ParquetStateTable:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
+
+
+class AuditReject(Exception):
+    """A write-audit-publish audit vetoed the staged snapshot."""
+
+
+def write_audit_publish(
+    table: "VersionedParquetTable",
+    fn,
+    audits,
+    max_retries: int = 10,
+) -> int:
+    """Write-audit-publish (the Iceberg WAP / Delta CDC-gate
+    pattern): ``fn(current) -> post`` builds the candidate snapshot,
+    every ``audit(current, post)`` must return True BEFORE the
+    commit is attempted, and only an audited snapshot enters the
+    optimistic-commit race. On conflict the candidate is rebuilt
+    AND re-audited against the new base — an audit that passed
+    against a stale snapshot proves nothing about the one actually
+    published (the subtle WAP bug this helper exists to prevent).
+    Raises AuditReject (no commit, no version consumed) when an
+    audit fails.
+
+    Audits are plain callables over two DataFrames so they run as
+    Spark jobs (count deltas, null scans, FK probes) — never
+    driver-side row loops.
+    """
+    for _ in range(max_retries):
+        base = table.current_version()
+        current = table.read(base)
+        post = fn(current)
+        for audit in audits:
+            if not audit(current, post):
+                raise AuditReject(
+                    f"{table.path}: audit {getattr(audit, '__name__', audit)}"
+                    f" rejected the staged snapshot at base v{base}"
+                )
+        if table.try_commit(base, post):
+            return base + 1
+    raise CommitConflict(
+        f"{table.path}: lost {max_retries} optimistic races"
+    )
+
+
+def audit_row_delta(max_drop_frac: float = 0.5):
+    """Audit: the new snapshot may not silently lose more than
+    ``max_drop_frac`` of the rows (catches a bad join wiping the
+    table — the classic WAP save)."""
+
+    def check(current: DataFrame, post: DataFrame) -> bool:
+        n0, n1 = current.count(), post.count()
+        return n0 == 0 or n1 >= n0 * (1.0 - max_drop_frac)
+
+    check.__name__ = f"audit_row_delta(max_drop={max_drop_frac})"
+    return check
+
+
+def audit_no_nulls(cols: tuple[str, ...]):
+    """Audit: the named columns contain no NULLs in the candidate."""
+
+    def check(current: DataFrame, post: DataFrame) -> bool:
+        from pyspark.sql import functions as F
+
+        pred = None
+        for c in cols:
+            p = F.col(c).isNull()
+            pred = p if pred is None else (pred | p)
+        return post.where(pred).limit(1).count() == 0
+
+    check.__name__ = f"audit_no_nulls{cols}"
+    return check

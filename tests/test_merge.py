@@ -347,3 +347,51 @@ def test_policy_merge_fuzz_invariants(spark):
                 assert got == expected, (k, i, got, c, s)
 
     check()
+
+
+def test_write_audit_publish_gates_and_commits(spark, tmp_path):
+    """WAP: an audited snapshot publishes; a snapshot that wipes the
+    table is vetoed with no version consumed."""
+    import pytest
+
+    from metadata_wrangler_spark.operators.merge import (
+        AuditReject,
+        VersionedParquetTable,
+        audit_no_nulls,
+        audit_row_delta,
+        write_audit_publish,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path / "wap"))
+    t.init(spark.range(100).withColumnRenamed("id", "k"))
+    v0 = t.current_version()
+
+    # good write: drops 10% — under the 50% veto line
+    v1 = write_audit_publish(
+        t,
+        lambda cur: cur.where("k >= 10"),
+        audits=[audit_row_delta(0.5), audit_no_nulls(("k",))],
+    )
+    assert v1 == v0 + 1 and t.read().count() == 90
+
+    # bad write: wipes 95% of rows — audit vetoes, version unchanged
+    with pytest.raises(AuditReject):
+        write_audit_publish(
+            t,
+            lambda cur: cur.where("k >= 96"),
+            audits=[audit_row_delta(0.5)],
+        )
+    assert t.current_version() == v1 and t.read().count() == 90
+
+    # null audit vetoes a candidate that nulls a key column
+    from pyspark.sql import functions as F
+
+    with pytest.raises(AuditReject):
+        write_audit_publish(
+            t,
+            lambda cur: cur.withColumn(
+                "k", F.when(F.col("k") == 50, None).otherwise(F.col("k"))
+            ),
+            audits=[audit_no_nulls(("k",))],
+        )
+    assert t.current_version() == v1
