@@ -125,3 +125,41 @@ def test_recursive_cte_uses_native_union_loop(spark, queries):
     # recursive SQL support alongside the checkpointed library BFS.
     plan = explain_str(queries["g_transitive_closure_rcte"](spark, SF))
     assert "UnionLoop" in plan
+
+
+def test_abc_pareto_has_no_single_partition_window(spark, queries):
+    """The Pareto cumulative share must come from the distributed
+    prefix sum (bit-length buckets), never a flat global window.
+    (The plan legitimately contains one Exchange SinglePartition for
+    the 1-row grand-total scalar — same as every scalar aggregate —
+    so the assert targets windows, mirroring tools/plan_audit.py.)"""
+    plan = explain_str(queries["a_abc_pareto"](spark, SF))
+    assert not any(
+        "SinglePartition" in line and "Window" in line
+        for line in plan.splitlines()
+    )
+
+
+def test_contamination_and_overlap_broadcast_small_sides(spark, queries):
+    """The eval shingle set (contamination) and per-source totals
+    (overlap matrix) ride broadcast joins — the training corpus
+    must not shuffle at full width for either."""
+    plan = explain_str(queries["txt_contamination_frac"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    plan = explain_str(queries["dd_source_overlap"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_decay_halflife_is_single_pass(spark, queries):
+    """The decayed score is one scan + one partial-combine hash
+    aggregate: no join, no window, no exchange other than the final
+    per-user combine."""
+    plan = explain_str(queries["ev_decay_halflife"](spark, SF))
+    assert "Join" not in plan and "Window" not in plan
+    # exactly one shuffle key: the per-user combine
+    keys = {
+        line.split("hashpartitioning(")[1].split(",")[0]
+        for line in plan.splitlines()
+        if "hashpartitioning(" in line
+    }
+    assert len(keys) == 1 and next(iter(keys)).startswith("user_id")
