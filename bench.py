@@ -145,6 +145,7 @@ EXTENDED = [
     "w_session_path_topk",
     "a_chi2_independence",
     "pipe_corpus_curation",
+    "j_scd2_pit",
 ]
 
 

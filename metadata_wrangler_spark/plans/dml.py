@@ -545,3 +545,94 @@ def d_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return unchanged.unionByName(closed).unionByName(opened)
+
+
+@register(
+    "j_scd2_pit",
+    oracle=f"""
+    WITH updates AS (
+        SELECT c_custkey, 'UPDATED-' || c_mktsegment AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    hist AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               TIMESTAMP '{_SCD2_EPOCH}' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.c_custkey = c.c_custkey)
+        UNION ALL
+        SELECT c.c_custkey, c.c_mktsegment,
+               TIMESTAMP '{_SCD2_EPOCH}', TIMESTAMP '{_SCD2_BATCH}', FALSE
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM updates u
+                      WHERE u.c_custkey = c.c_custkey)
+        UNION ALL
+        SELECT u.c_custkey, u.c_mktsegment,
+               TIMESTAMP '{_SCD2_BATCH}', CAST(NULL AS TIMESTAMP), TRUE
+        FROM updates u
+    ),
+    fact AS (
+        SELECT event_id, user_id,
+               ts + CASE WHEN event_id % 2 = 1
+                         THEN INTERVAL 45 DAY
+                         ELSE INTERVAL 0 DAY END AS pit_ts
+        FROM events
+    )
+    SELECT f.event_id, f.user_id, h.c_mktsegment AS segment_at_pit,
+           h.is_current
+    FROM fact f
+    JOIN hist h ON h.c_custkey = f.user_id
+               AND h.valid_from <= f.pit_ts
+               AND (h.valid_to IS NULL OR f.pit_ts < h.valid_to)
+    """,
+)
+def j_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join of a fact stream against the SCD2
+    dimension history built by d_scd2_merge: each event resolves the
+    customer attribute AS OF its own timestamp — events inside the
+    first validity window bind to the CLOSED historical row (the one
+    a naive is_current-only join silently gets wrong), while
+    late-settling events (odd ids, +45 days — past the batch time)
+    bind to the reopened current row. Exactly one dimension row
+    matches per fact by SCD2's non-overlap invariant, which the
+    companion test asserts.
+
+    Scale shape: the history side is dimension-sized and BROADCAST;
+    the range predicate rides the broadcast hash join on the
+    dimension key as a join filter (no range-bucketing needed —
+    validity intervals per key are few and non-overlapping). The
+    fact table never shuffles.
+    """
+    ev = load(spark, sf_dir, "events")
+    from metadata_wrangler_spark.plans.dml import d_scd2_merge
+
+    hist = d_scd2_merge(spark, sf_dir).select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to",
+        "is_current",
+    )
+    fact = ev.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("event_id") % 2 == 1,
+            F.col("ts") + F.expr("INTERVAL 45 DAYS"),
+        ).otherwise(F.col("ts")).alias("pit_ts"),
+    )
+    return (
+        fact.join(
+            F.broadcast(hist),
+            (F.col("c_custkey") == F.col("user_id"))
+            & (F.col("valid_from") <= F.col("pit_ts"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("pit_ts") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_mktsegment").alias("segment_at_pit"),
+            "is_current",
+        )
+    )

@@ -121,3 +121,27 @@ def test_gini_matches_rank_formula(spark):
     assert got == expect
     # Gini lives in [0, 1e6) and equal-ish uniform draws stay low-ish
     assert all(0 <= v[2] < 1_000_000 for v in got.values())
+
+
+def test_scd2_pit_exactly_one_match_and_correct_version(spark):
+    """PIT join invariants: every fact resolves exactly once; facts
+    inside the first validity window of an updated key bind to the
+    CLOSED historical row, late facts to the reopened current row."""
+    import pyarrow.parquet as pq2
+
+    ev = pq2.read_table(f"{SF}/events.parquet",
+                        columns=["event_id", "user_id"])
+    n_events = ev.num_rows
+    rows = plans.QUERIES["j_scd2_pit"](spark, SF).collect()
+    assert len(rows) == n_events  # exactly-one-match per fact
+    for r in rows:
+        updated_key = r.user_id % 10 == 3
+        late = r.event_id % 2 == 1
+        if updated_key and late:
+            assert r.segment_at_pit.startswith("UPDATED-")
+            assert r.is_current
+        elif updated_key:
+            assert not r.segment_at_pit.startswith("UPDATED-")
+            assert not r.is_current
+        else:
+            assert r.is_current
