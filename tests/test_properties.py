@@ -261,3 +261,34 @@ def test_chunk_overlap_covers_every_token(spark):
             assert r["n_tokens"] <= _CHUNK_WORDS
             covered = max(covered, start + r["n_tokens"])
         assert covered == n_words[doc_id]
+
+
+def test_closing_ops_partition_invariant(spark):
+    """The closing-session integer-exact aggregates (binary-shift
+    decay, rank-formula Gini, chi-square cells) must hash
+    identically at any parallelism — rerun each query under a
+    1-partition and a 64-partition shuffle config and compare full
+    sorted outputs."""
+    from metadata_wrangler_spark.plans import QUERIES, load_all_plans
+
+    load_all_plans()
+    sf = "/root/testdata/sf0.001"
+
+    def run_all():
+        out = {}
+        for name in ("ev_decay_halflife", "a_gini_coefficient",
+                     "a_chi2_independence", "a_abc_pareto"):
+            out[name] = sorted(
+                tuple(r) for r in QUERIES[name](spark, sf).collect()
+            )
+        return out
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = run_all()
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        many = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert one == many
