@@ -146,6 +146,7 @@ EXTENDED = [
     "a_chi2_independence",
     "pipe_corpus_curation",
     "j_scd2_pit",
+    "sim_diversified_topk",
 ]
 
 

@@ -1001,3 +1001,124 @@ def sim_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _K)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval diversification: pairwise-dominance MMR approximation
+# ---------------------------------------------------------------------------
+
+_DIV_C = 20     # exact top-C candidate pool per query
+_DIV_THETA = 0.4  # diversity radius: drop the lower-ranked of any pair
+
+
+def _div_oracle_sql() -> str:
+    def r6(x: str) -> str:
+        return (f"((CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END)"
+                f" * CAST(floor(abs({x}) * 1000000 + 0.5) AS BIGINT)"
+                f" / 1000000.0)")
+
+    cos_qc = (f"{_DOT.format(a='q.qvec', b='c.embedding')}"
+              f" / ({_NORM.format(a='q.qvec')}"
+              f" * {_NORM.format(a='c.embedding')})")
+    cos_ab = (f"{_DOT.format(a='a.vec', b='b.vec')}"
+              f" / ({_NORM.format(a='a.vec')} * {_NORM.format(a='b.vec')})")
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE {_QUERY_PRED}
+    ), cand AS (
+        SELECT query_id, corpus_id, vec, cosine, rank FROM (
+            SELECT q.query_id, c.vec_id AS corpus_id, c.embedding AS vec,
+                   {r6(cos_qc)} AS cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {r6(cos_qc)} DESC,
+                                               c.vec_id ASC) AS rank
+            FROM embeddings c JOIN q ON q.query_id <> c.vec_id
+        ) t WHERE rank <= {_DIV_C}
+    ), dominated AS (
+        SELECT DISTINCT b.query_id, b.corpus_id
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.rank < b.rank
+        WHERE {r6(cos_ab)} > {_DIV_THETA}
+    )
+    SELECT query_id, corpus_id, cosine, div_rank FROM (
+        SELECT c.query_id, c.corpus_id, c.cosine,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY c.cosine DESC,
+                                           c.corpus_id ASC) AS div_rank
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM dominated d
+                          WHERE d.query_id = c.query_id
+                            AND d.corpus_id = c.corpus_id)
+    ) t WHERE div_rank <= {_K}
+    """
+
+
+@register("sim_diversified_topk", oracle=_div_oracle_sql())
+def sim_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (MMR-lite): exact top-{_DIV_C}
+    candidates per query, then the lower-ranked member of any
+    candidate pair closer than {_DIV_THETA} cosine is dropped
+    (pairwise dominance) and the survivors re-rank into the final
+    top-{_K} — search-result diversification, the post-retrieval
+    step that keeps five DIFFERENT answers instead of five copies
+    of the best one. Pairwise dominance is the ONE-SHOT
+    deterministic approximation of greedy MMR (a dropped item still
+    dominates its own neighbors — slightly more aggressive than the
+    sequential greedy, and order-free, which is what makes it a
+    single declarative plan both engines can hash-match).
+
+    Scale shape: the candidate pool bounds everything — the
+    pairwise stage is C²/2 per query (190 pairs here) via a
+    per-query self-join of a {_DIV_C}-row set, the anti-join and
+    re-rank are per-query windows. The candidate generation itself
+    is whichever ANN tier fits the corpus (exact here; LSH/IVF/PQ
+    at 100 TB) — diversification cost is independent of corpus
+    size.
+    """
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators.similarity import (
+        dot, norm, round6,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(_QUERY_PRED))
+    cand = similarity.cosine_topk(emb, queries, k=_DIV_C).join(
+        emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("vec"),
+        ),
+        "corpus_id",
+    )
+    a = cand.select(
+        "query_id",
+        F.col("rank").alias("rank_a"),
+        F.col("vec").alias("vec_a"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("corpus_id").alias("corpus_id"),
+        F.col("rank").alias("rank_b"),
+        F.col("vec").alias("vec_b"),
+    )
+    pair_cos = round6(
+        dot(F.col("vec_a"), F.col("vec_b"))
+        / (norm(F.col("vec_a")) * norm(F.col("vec_b")))
+    )
+    dominated = (
+        a.join(b, "query_id")
+        .where(F.col("rank_a") < F.col("rank_b"))
+        .where(pair_cos > _DIV_THETA)
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        cand.join(dominated, ["query_id", "corpus_id"], "left_anti")
+        .withColumn("div_rank", F.row_number().over(wq))
+        .where(F.col("div_rank") <= _K)
+        .select("query_id", "corpus_id", "cosine", "div_rank")
+    )
