@@ -121,8 +121,13 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # txt_contamination_frac, sim_rp_topk, ev_sliding_distinct,
     # a_abc_pareto, txt_split_assign, a_benford_digits, a_mad_robust,
     # ev_markov_transitions, dd_source_overlap, txt_boilerplate_strip,
-    # and the batch-4 ops) also ride behind the window on the pytest
-    # all-oracle sweep until round 5 rotates them in.
+    # txt_dsir_weight, ev_cusum_changepoint, a_gini_coefficient,
+    # txt_unigram_entropy, w_session_path_topk, a_chi2_independence,
+    # pipe_corpus_curation, j_scd2_pit, sim_diversified_topk) also
+    # ride behind the window on the pytest all-oracle sweep until
+    # round 5 rotates them in; each has additionally been
+    # hash-verified at sf0.1 (and the earlier surface at sf1) during
+    # this session — see README "Verification".
     # NOTE (round-4 end state): every window slot goes to a
     # never-driver-verified query so that ZERO such queries remain
     # after this round (the round-3 verdict's ask #2). Four queries
