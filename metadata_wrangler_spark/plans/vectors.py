@@ -959,35 +959,29 @@ def sim_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metadata_wrangler_spark.operators.similarity import dot, norm, round6
 
     emb = load(spark, sf_dir, "embeddings")
-    proj = F.array(*[
-        dot(F.col("embedding"), F.array(*[F.lit(x) for x in row]))
-        for row in _RP_PLANES
-    ])
-    p = emb.select("vec_id", "embedding", proj.alias("proj"))
-    q = p.where(F.expr(_QUERY_PRED)).select(
+    # Projection AND candidate scoring both run Arrow-vectorized with
+    # dimension-ordered accumulation — bit-identical to the `dot()`
+    # HOF fold and the oracle's list_sum, so the hash is unchanged,
+    # but the 32-plane × 64-dim interpreted fold per corpus row
+    # (measured 1.2 s of the 2.4 s sf0.1 span) drops to one numpy
+    # FMA pass per Arrow batch.
+    p = similarity.rp_project_arrow(emb, _RP_PLANES)
+    cand = similarity.cosine_topk_arrow(
+        p.select("vec_id", F.col("proj").alias("embedding")),
+        p.where(F.expr(_QUERY_PRED)).select(
+            "vec_id", F.col("proj").alias("embedding")
+        ),
+        k=_RP_C,
+    ).select("query_id", "corpus_id")
+    qv = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
-        F.col("proj").alias("qproj"),
     )
-    pcos = round6(
-        dot(F.col("qproj"), F.col("proj"))
-        / (norm(F.col("qproj")) * norm(F.col("proj")))
+    cv = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("cvec"),
     )
-    wp = W.partitionBy("query_id").orderBy(
-        F.desc("pcos"), F.asc("corpus_id")
-    )
-    cand = (
-        p.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("corpus_id"),
-            "qvec",
-            F.col("embedding").alias("cvec"),
-            pcos.alias("pcos"),
-        )
-        .withColumn("prank", F.row_number().over(wp))
-        .where(F.col("prank") <= _RP_C)
-    )
+    cand = cand.join(F.broadcast(qv), "query_id").join(cv, "corpus_id")
     cos = round6(
         dot(F.col("qvec"), F.col("cvec"))
         / (norm(F.col("qvec")) * norm(F.col("cvec")))
