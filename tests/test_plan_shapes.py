@@ -25,6 +25,9 @@ ARROW_STAGES = {
     "sim_cosine_topk", "dd_embedding_cosine", "dd_semantic_prune",
     # Arrow-vectorized candidate-pair scorer (score_pairs_arrow)
     "sim_lsh_multitable_topk",
+    # Arrow-vectorized random projection + projected-space scorer
+    # (rp_project_arrow / cosine_topk_arrow, fold-order-identical)
+    "sim_rp_topk",
 }
 
 
