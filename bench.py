@@ -147,6 +147,9 @@ EXTENDED = [
     "pipe_corpus_curation",
     "j_scd2_pit",
     "sim_diversified_topk",
+    "txt_lang_confusion",
+    "w_path_edit_similarity",
+    "a_assoc_rules",
 ]
 
 

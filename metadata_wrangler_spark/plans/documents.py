@@ -2836,3 +2836,61 @@ def txt_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_bits_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID evaluation: confusion matrix vs declared labels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_lang_confusion",
+    oracle=f"""
+    WITH pred AS ({_langid_oracle_sql().replace('SELECT doc_id,', 'SELECT doc_id,', 1)}),
+    joined AS (
+        SELECT d.lang, p.predicted_lang
+        FROM documents d JOIN pred p USING (doc_id)
+    ),
+    cell AS (
+        SELECT lang, predicted_lang, COUNT(*) AS n
+        FROM joined GROUP BY lang, predicted_lang
+    ),
+    tot AS (SELECT lang, SUM(n) AS nl FROM cell GROUP BY lang)
+    SELECT c.lang, c.predicted_lang, c.n,
+           (1000000 * c.n) // t.nl AS share_ppm,
+           CAST(c.lang = c.predicted_lang AS BOOLEAN) AS is_correct
+    FROM cell c JOIN tot t USING (lang)
+    """,
+)
+def txt_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the marker-heuristic
+    predictions (txt_language_id) censused against the corpus's
+    declared labels — per (declared, predicted) cell counts and the
+    row-share in exact ppm. This is the EVALUATION harness every
+    classifier in the pipeline needs (the reference evaluates its
+    own guessers the same way, e.g. VIAF candidate scoring): run it
+    after swapping marker tables to see exactly which languages
+    regressed.
+
+    Scale shape: the per-doc scoring is one codegen pass (see
+    txt_language_id); the matrix is a |langs|² hash aggregate with
+    a broadcast row-total join. One corpus scan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pred = textstats.language_id(docs).select("doc_id", "predicted_lang")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    cell = joined.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n").alias("nl"))
+    return (
+        cell.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            F.expr("(1000000 * n) DIV nl").alias("share_ppm"),
+            (F.col("lang") == F.col("predicted_lang"))
+            .alias("is_correct"),
+        )
+    )

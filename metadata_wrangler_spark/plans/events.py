@@ -2055,3 +2055,81 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").cast("bigint").alias("n_events"),
         F.sum("t_micro").cast("bigint").alias("chi2_contrib_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# journey similarity: edit distance to the golden conversion path
+# ---------------------------------------------------------------------------
+
+_GOLDEN_PATH = "vcp"  # view > click > purchase, compacted to initials
+
+
+@register(
+    "w_path_edit_similarity",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id,
+               CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+    )
+    SELECT user_id, day, path,
+           CAST(levenshtein(path, '{_GOLDEN_PATH}') AS INT) AS edit_dist,
+           (1000000 * (greatest(length(path), {len(_GOLDEN_PATH)})
+                       - levenshtein(path, '{_GOLDEN_PATH}')))
+             // greatest(length(path), {len(_GOLDEN_PATH)})
+               AS similarity_ppm
+    FROM s
+    """,
+)
+def w_path_edit_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey similarity scoring: each user-day path (event-type
+    initials in time order) measured by edit distance against the
+    golden conversion journey '{_GOLDEN_PATH}' (view→click→
+    purchase), normalized to a ppm similarity — the behavioral
+    scoring that ranks sessions by how close they came to
+    converting, complementing the exact matcher
+    (ev_regex_path_match) and the census (w_session_path_topk).
+    Initials are unique across this event vocabulary, so the
+    compaction is lossless.
+
+    Scale shape: per-(user, day) ordered reassembly (bounded by
+    daily activity, partitioned) then a pure codegen
+    levenshtein+arithmetic projection — the same JVM levenshtein
+    the fuzzy-match family runs; no joins, no further shuffles.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            "user_id",
+            F.floor(F.floor(F.unix_timestamp("ts")) / 86400)
+            .cast("bigint").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")),
+                    lambda x: F.substring(x["event_type"], 1, 1),
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    g = F.lit(_GOLDEN_PATH)
+    maxlen = F.greatest(F.length("path"), F.lit(len(_GOLDEN_PATH)))
+    dist = F.levenshtein(F.col("path"), g)
+    return s.select(
+        "user_id",
+        "day",
+        "path",
+        dist.cast("int").alias("edit_dist"),
+        F.expr(
+            f"(1000000 * (greatest(length(path), {len(_GOLDEN_PATH)})"
+            f" - levenshtein(path, '{_GOLDEN_PATH}')))"
+            f" DIV greatest(length(path), {len(_GOLDEN_PATH)})"
+        ).alias("similarity_ppm"),
+    )

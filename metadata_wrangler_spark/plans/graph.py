@@ -869,3 +869,77 @@ def g_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lift_ppm") >= _LIFT_MIN_PPM)
     )
     return out.select("supp_a", "supp_b", "weight", "lift_ppm")
+
+
+# ---------------------------------------------------------------------------
+# association rules: directional confidence over co-fulfillment pairs
+# ---------------------------------------------------------------------------
+
+_RULE_MIN_CONF_PPM = 50_000  # keep rules with confidence >= 5%
+
+
+@register(
+    "a_assoc_rules",
+    oracle=f"""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM os),
+    sc AS (SELECT l_suppkey, COUNT(*) AS c FROM os GROUP BY l_suppkey),
+    p AS (
+        SELECT a.l_suppkey AS antecedent, b.l_suppkey AS consequent,
+               COUNT(*) AS w
+        FROM os a JOIN os b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_suppkey <> b.l_suppkey
+        GROUP BY a.l_suppkey, b.l_suppkey
+    )
+    SELECT p.antecedent, p.consequent, p.w AS n_joint,
+           (1000000 * p.w) // ca.c AS confidence_ppm,
+           (1000000 * p.w) // n.n_orders AS support_ppm
+    FROM p
+    JOIN sc ca ON ca.l_suppkey = p.antecedent
+    CROSS JOIN n
+    WHERE (1000000 * p.w) // ca.c >= {_RULE_MIN_CONF_PPM}
+    """,
+)
+def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over the co-fulfillment
+    baskets: confidence(a→b) = P(b | a) in exact ppm, with joint
+    support — the rule-mining metric that complements
+    g_bipartite_project's symmetric lift (lift says the pair
+    co-occurs beyond chance; confidence says which DIRECTION the
+    implication is strong in, the quantity a recommender thresholds
+    on). Rules kept at confidence >= 5% — confidence is already
+    row-normalized, so the threshold is scale-invariant like the
+    lift one.
+
+    Scale shape: identical to the projection — distinct bipartite
+    edges, basket-bounded self-join (both directions via <>), one
+    pair hash-aggregate, broadcast antecedent totals and the 1-row
+    order count.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    n = os_.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sc = os_.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    a = os_.select("l_orderkey", F.col("l_suppkey").alias("antecedent"))
+    b = os_.select("l_orderkey", F.col("l_suppkey").alias("consequent"))
+    p = (
+        a.join(b, "l_orderkey")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return (
+        p.join(
+            F.broadcast(sc.select(F.col("l_suppkey").alias("antecedent"),
+                                  F.col("c").alias("ca"))), "antecedent")
+        .crossJoin(F.broadcast(n))
+        .where(F.expr(f"(1000000 * w) DIV ca >= {_RULE_MIN_CONF_PPM}"))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("w").alias("n_joint"),
+            F.expr("(1000000 * w) DIV ca").alias("confidence_ppm"),
+            F.expr("(1000000 * w) DIV n_orders").alias("support_ppm"),
+        )
+    )

@@ -1,0 +1,116 @@
+"""Property tests for the closing batch #6: language-ID confusion
+matrix, journey edit-similarity, and directional association rules —
+pure-Python recomputations plus semantic invariants.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from metadata_wrangler_spark import plans
+
+plans.load_all_plans()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cols(table, *cols):
+    t = pq.read_table(f"{SF}/{table}.parquet", columns=list(cols))
+    return list(zip(*(t.column(c).to_pylist() for c in cols)))
+
+
+def test_lang_confusion_consistent_with_langid(spark):
+    pred = {
+        r.doc_id: r.predicted_lang
+        for r in plans.QUERIES["txt_language_id"](spark, SF).collect()
+    }
+    labels = dict(_cols("documents", "doc_id", "lang"))
+    cells = Counter((labels[d], p) for d, p in pred.items())
+    row_tot = Counter()
+    for (lang, _), n in cells.items():
+        row_tot[lang] += n
+    got = {
+        (r.lang, r.predicted_lang): (r.n, r.share_ppm, r.is_correct)
+        for r in plans.QUERIES["txt_lang_confusion"](spark, SF).collect()
+    }
+    assert set(got) == set(cells)
+    for (lang, p), n in cells.items():
+        assert got[(lang, p)] == (
+            n, (1_000_000 * n) // row_tot[lang], lang == p
+        )
+    # shares per declared language sum to ~1e6
+    sums = Counter()
+    for (lang, _), (_, ppm, _) in got.items():
+        sums[lang] += ppm
+    assert all(1_000_000 - 20 <= s <= 1_000_000 for s in sums.values())
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_path_edit_similarity_matches_pure_python(spark):
+    sessions = defaultdict(list)
+    for uid, eid, ts, et in _cols("events", "user_id", "event_id",
+                                  "ts", "event_type"):
+        day = int(math.floor(ts.timestamp()) // 86400)
+        sessions[(uid, day)].append((ts, eid, et[0]))
+    expect = {}
+    for (uid, day), seq in sessions.items():
+        seq.sort()
+        path = "".join(c for _, _, c in seq)
+        d = _lev(path, "vcp")
+        m = max(len(path), 3)
+        expect[(uid, day)] = (path, d, (1_000_000 * (m - d)) // m)
+    got = {
+        (r.user_id, r.day): (r.path, r.edit_dist, r.similarity_ppm)
+        for r in plans.QUERIES["w_path_edit_similarity"](spark, SF)
+        .collect()
+    }
+    assert got == expect
+    # a perfect conversion day scores 1e6; anything else strictly less
+    assert all(
+        (v[2] == 1_000_000) == (v[0] == "vcp") for v in got.values()
+    )
+
+
+def test_assoc_rules_match_pure_python(spark):
+    order_supps = defaultdict(set)
+    for ok, sk in _cols("lineitem", "l_orderkey", "l_suppkey"):
+        order_supps[ok].add(sk)
+    n_orders = len(order_supps)
+    cnt, joint = Counter(), Counter()
+    for supps in order_supps.values():
+        cnt.update(supps)
+        for a in supps:
+            for b in supps:
+                if a != b:
+                    joint[(a, b)] += 1
+    expect = {}
+    for (a, b), w in joint.items():
+        conf = (1_000_000 * w) // cnt[a]
+        if conf >= 50_000:
+            expect[(a, b)] = (w, conf, (1_000_000 * w) // n_orders)
+    got = {
+        (r.antecedent, r.consequent):
+            (r.n_joint, r.confidence_ppm, r.support_ppm)
+        for r in plans.QUERIES["a_assoc_rules"](spark, SF).collect()
+    }
+    assert got == expect
+    # confidence is directional: some surviving rule's reverse fails
+    # the cut OR has a different confidence (asymmetry witnessed)
+    asym = any(
+        got.get((b, a), (None, None, None))[1] != c
+        for (a, b), (_, c, _) in got.items()
+    )
+    assert asym or not got
