@@ -150,6 +150,8 @@ EXTENDED = [
     "txt_lang_confusion",
     "w_path_edit_similarity",
     "a_assoc_rules",
+    "ev_funnel_bounded",
+    "a_weighted_median",
 ]
 
 

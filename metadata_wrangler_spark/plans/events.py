@@ -2133,3 +2133,98 @@ def w_path_edit_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV greatest(length(path), {len(_GOLDEN_PATH)})"
         ).alias("similarity_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded-gap funnel (each step within 1 h of the previous)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_GAP_S = 3600
+
+
+@register(
+    "ev_funnel_bounded",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events
+    ),
+    s1 AS (
+        SELECT user_id, MIN(ep) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ep) AS t2
+        FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.ep > s1.t1 AND e.ep <= s1.t1 + {_FUNNEL_GAP_S}
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ep) AS t3
+        FROM e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ep > s2.t2 AND e.ep <= s2.t2 + {_FUNNEL_GAP_S}
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_click_1h,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_1h,
+           (1000000 * (SELECT COUNT(*) FROM s3))
+             // (SELECT COUNT(*) FROM s1) AS conversion_ppm
+    """,
+)
+def ev_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-gap funnel (the Amplitude-style sequenced funnel):
+    first view → first click within ONE HOUR of that view → first
+    purchase within one hour of THAT click, each step re-anchored on
+    the previous step's time — vs ev_funnel_conversion's global
+    firsts, which over-count users whose steps happened days apart.
+    Gaps are measured on floored epochs so both engines compare the
+    same integers.
+
+    Scale shape: three per-user conditional-min hash aggregates
+    chained by equi-joins on the user key (each stage's output is
+    user-cardinality, shrinking down the funnel); the final census
+    is four scalar counts. The event table is scanned once per
+    stage with the type filter pushed to the scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ep"),
+    )
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ep").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("ep") > F.col("t1"))
+               & (F.col("ep") <= F.col("t1") + _FUNNEL_GAP_S))
+        .groupBy("user_id").agg(F.min("ep").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ep") > F.col("t2"))
+               & (F.col("ep") <= F.col("t2") + _FUNNEL_GAP_S))
+        .groupBy("user_id").agg(F.min("ep").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_click_1h"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_1h"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_view",
+            "n_click_1h",
+            "n_purchase_1h",
+            F.expr("(1000000 * n_purchase_1h) DIV n_view")
+            .alias("conversion_ppm"),
+        )
+    )

@@ -2159,3 +2159,79 @@ def a_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(n_orders AS DECIMAL(20,0)) * sx) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A15: weighted median per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_weighted_median",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS qv,
+               CAST(floor(l_quantity) AS BIGINT) AS wt,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    r AS (
+        SELECT flag, qv, wt,
+               SUM(wt) OVER (PARTITION BY flag
+                             ORDER BY qv, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(wt) OVER (PARTITION BY flag) AS tot
+        FROM q
+    )
+    SELECT flag,
+           COUNT(*) AS n_rows,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN qv END) AS BIGINT)
+               / 10000.0 AS weighted_median
+    FROM r GROUP BY flag
+    """,
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the value at
+    which half the SHIPPED UNITS (not half the line items) are
+    cheaper — the inventory-weighted center a pricing analysis
+    needs where the plain median (a_percentile_disc) over-weights
+    small orders. Computed as the first value whose running weight
+    crosses half the group total, with a deterministic tie order
+    (value, order key, line number), all in integer arithmetic.
+
+    Scale shape: one cumulative window per group (partitioned by
+    flag — parallel across groups; the bit-length-bucketed prefix
+    sum of a_abc_pareto substitutes if one group outgrows a
+    partition's sort budget) and one hash aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5))
+        .cast("bigint").alias("qv"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        W.partitionBy("flag")
+        .orderBy("qv", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r = q.select(
+        "flag",
+        "qv",
+        "wt",
+        F.sum("wt").over(wcum).alias("cum"),
+        F.sum("wt").over(W.partitionBy("flag")).alias("tot"),
+    )
+    return r.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("tot").cast("bigint").alias("total_weight"),
+        (
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("qv")))
+            .cast("bigint") / 10000.0
+        ).alias("weighted_median"),
+    )

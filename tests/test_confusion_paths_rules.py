@@ -114,3 +114,65 @@ def test_assoc_rules_match_pure_python(spark):
         for (a, b), (_, c, _) in got.items()
     )
     assert asym or not got
+
+
+def test_bounded_funnel_matches_pure_python(spark):
+    from collections import defaultdict as dd
+    import math as m
+
+    by_user = dd(list)
+    for uid, ts, et in _cols("events", "user_id", "ts", "event_type"):
+        by_user[uid].append((int(m.floor(ts.timestamp())), et))
+    n1 = n2 = n3 = 0
+    for seq in by_user.values():
+        views = sorted(ep for ep, et in seq if et == "view")
+        if not views:
+            continue
+        n1 += 1
+        t1 = views[0]
+        clicks = sorted(ep for ep, et in seq
+                        if et == "click" and t1 < ep <= t1 + 3600)
+        if not clicks:
+            continue
+        n2 += 1
+        t2 = clicks[0]
+        buys = [ep for ep, et in seq
+                if et == "purchase" and t2 < ep <= t2 + 3600]
+        if buys:
+            n3 += 1
+    row = plans.QUERIES["ev_funnel_bounded"](spark, SF).collect()[0]
+    assert (row.n_view, row.n_click_1h, row.n_purchase_1h) == (n1, n2, n3)
+    assert row.conversion_ppm == (1_000_000 * n3) // n1
+    # the bounded funnel can never beat the unbounded one
+    loose = plans.QUERIES["ev_funnel_conversion"](spark, SF).collect()[0]
+    assert row.n_view <= loose.n_users
+
+
+def test_weighted_median_matches_pure_python(spark):
+    import math as m
+    from collections import defaultdict as dd
+
+    groups = dd(list)
+    for fl, ep, qty, ok, ln in _cols("lineitem", "l_returnflag",
+                                     "l_extendedprice", "l_quantity",
+                                     "l_orderkey", "l_linenumber"):
+        groups[fl].append(
+            (int(m.floor(ep * 10_000 + 0.5)), int(m.floor(qty)), ok, ln)
+        )
+    expect = {}
+    for fl, rows in groups.items():
+        rows.sort(key=lambda t: (t[0], t[2], t[3]))
+        tot = sum(w for _, w, _, _ in rows)
+        cum = 0
+        med = None
+        for qv, w, _, _ in rows:
+            cum += w
+            if 2 * cum >= tot:
+                med = qv / 10_000.0
+                break
+        expect[fl] = (len(rows), tot, med)
+    got = {
+        r.flag: (r.n_rows, r.total_weight, r.weighted_median)
+        for r in plans.QUERIES["a_weighted_median"](spark, SF).collect()
+    }
+    assert got == expect
