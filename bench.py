@@ -152,6 +152,8 @@ EXTENDED = [
     "a_assoc_rules",
     "ev_funnel_bounded",
     "a_weighted_median",
+    "ev_json_props",
+    "d_forget_cascade_preview",
 ]
 
 

@@ -636,3 +636,97 @@ def j_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current",
         )
     )
+
+
+_FORGET_PRED = "c_custkey % 53 = 9"  # the deletion-request cohort
+
+
+@register(
+    "d_forget_cascade_preview",
+    oracle=f"""
+    WITH victims AS (SELECT c_custkey FROM customer WHERE {_FORGET_PRED}),
+    o AS (
+        SELECT o.o_custkey, COUNT(*) AS n_orders
+        FROM orders o JOIN victims v ON v.c_custkey = o.o_custkey
+        GROUP BY o.o_custkey
+    ),
+    l AS (
+        SELECT o.o_custkey, COUNT(*) AS n_lineitems
+        FROM lineitem li
+        JOIN orders o ON o.o_orderkey = li.l_orderkey
+        JOIN victims v ON v.c_custkey = o.o_custkey
+        GROUP BY o.o_custkey
+    ),
+    e AS (
+        SELECT e.user_id AS c_custkey, COUNT(*) AS n_events
+        FROM events e JOIN victims v ON v.c_custkey = e.user_id
+        GROUP BY e.user_id
+    )
+    SELECT v.c_custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(l.n_lineitems, 0) AS n_lineitems,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(o.n_orders, 0) + COALESCE(l.n_lineitems, 0)
+             + COALESCE(e.n_events, 0) + 1 AS n_rows_total
+    FROM victims v
+    LEFT JOIN o ON o.o_custkey = v.c_custkey
+    LEFT JOIN l ON l.o_custkey = v.c_custkey
+    LEFT JOIN e ON e.c_custkey = v.c_custkey
+    """,
+)
+def d_forget_cascade_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade PREVIEW: for every customer in
+    the deletion-request cohort, the exact row counts that a
+    cascading erasure would remove from each table (orders,
+    lineitems via the order FK, events via the user key, plus the
+    customer row itself) — the audit report a privacy pipeline
+    produces and signs off BEFORE running the destructive deletes
+    (which then execute as d_bulk_delete per table inside one
+    VersionedParquetTable/WAP commit, oldest-FK-first).
+
+    Scale shape: the victim set broadcasts against each fact table
+    (deletion cohorts are tiny against a 100 TB lake), one hash
+    aggregate per table keyed by customer, three per-victim left
+    joins at cohort cardinality.
+    """
+    c = load(spark, sf_dir, "customer")
+    victims = c.where(F.expr(_FORGET_PRED)).select("c_custkey")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    o = (
+        orders.join(F.broadcast(victims),
+                    orders.o_custkey == victims.c_custkey)
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    l_ = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(victims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
+    e = (
+        ev.join(F.broadcast(victims), ev.user_id == victims.c_custkey)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        victims
+        .join(o.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey",
+              "left")
+        .join(l_.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey",
+              "left")
+        .join(e.withColumnRenamed("user_id", "c_custkey"), "c_custkey",
+              "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).alias("n_lineitems"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            (
+                F.coalesce("n_orders", F.lit(0))
+                + F.coalesce("n_lineitems", F.lit(0))
+                + F.coalesce("n_events", F.lit(0))
+                + 1
+            ).alias("n_rows_total"),
+        )
+    )

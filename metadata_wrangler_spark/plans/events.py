@@ -2228,3 +2228,66 @@ def ev_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conversion_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured column: typed JSON props extraction + rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_json_props",
+    oracle="""
+    WITH x AS (
+        SELECT event_type, CAST(props->>'k' AS INT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (k IS NULL) AS n_missing,
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           COUNT(DISTINCT k) AS distinct_k,
+           (1000000 * CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END)
+                           AS BIGINT)) // COUNT(*) AS high_k_ppm
+    FROM x GROUP BY event_type
+    """,
+)
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events table's `props`
+    JSON string parsed with a DECLARED schema (`from_json`, the
+    idiomatic Spark path — typed extraction inside codegen, no
+    Python) and rolled up per event type with a missing-value count
+    — the pattern for every raw-ingest fact table that carries a
+    JSON grab-bag column next to the typed ones. The oracle uses
+    DuckDB's native JSON operator, so the hash check proves the two
+    engines' JSON paths agree, not just two regexes.
+
+    Scale shape: one scan, JSON parse in codegen (Jackson, not a
+    UDF), one hash aggregate. At 100 TB the win is the same as any
+    scan-heavy op: push the needed key into the parse schema and
+    let the rest of the JSON stay unparsed.
+    """
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.from_json(
+            F.col("props"), T.StructType([T.StructField("k", T.IntegerType())])
+        )["k"].alias("k"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_missing"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.countDistinct("k").alias("distinct_k"),
+        F.expr(
+            "(1000000 * CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END)"
+            " AS BIGINT)) DIV COUNT(*)"
+        ).alias("high_k_ppm"),
+    )

@@ -176,3 +176,63 @@ def test_weighted_median_matches_pure_python(spark):
         for r in plans.QUERIES["a_weighted_median"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_json_props_matches_pure_python(spark):
+    import json as js
+    from collections import defaultdict as dd
+
+    stats = dd(list)
+    for et, props in _cols("events", "event_type", "props"):
+        k = js.loads(props).get("k") if props else None
+        stats[et].append(k)
+    got = {
+        r.event_type: (r.n_events, r.n_missing, r.min_k, r.max_k,
+                       r.sum_k, r.distinct_k, r.high_k_ppm)
+        for r in plans.QUERIES["ev_json_props"](spark, SF).collect()
+    }
+    for et, ks in stats.items():
+        present = [k for k in ks if k is not None]
+        assert got[et] == (
+            len(ks),
+            len(ks) - len(present),
+            min(present),
+            max(present),
+            sum(present),
+            len(set(present)),
+            (1_000_000 * sum(1 for k in present if k >= 50)) // len(ks),
+        )
+
+
+def test_forget_cascade_counts_match_pure_python(spark):
+    from collections import Counter
+
+    cust = [c for (c,) in _cols("customer", "c_custkey")]
+    victims = {c for c in cust if c % 53 == 9}
+    o_by_c = Counter()
+    order_cust = {}
+    for ok, ck in _cols("orders", "o_orderkey", "o_custkey"):
+        order_cust[ok] = ck
+        if ck in victims:
+            o_by_c[ck] += 1
+    l_by_c = Counter()
+    for (ok,) in _cols("lineitem", "l_orderkey"):
+        ck = order_cust.get(ok)
+        if ck in victims:
+            l_by_c[ck] += 1
+    e_by_c = Counter()
+    for (u,) in _cols("events", "user_id"):
+        if u in victims:
+            e_by_c[u] += 1
+    got = {
+        r.c_custkey: (r.n_orders, r.n_lineitems, r.n_events,
+                      r.n_rows_total)
+        for r in plans.QUERIES["d_forget_cascade_preview"](spark, SF)
+        .collect()
+    }
+    assert set(got) == victims
+    for c in victims:
+        assert got[c] == (
+            o_by_c[c], l_by_c[c], e_by_c[c],
+            o_by_c[c] + l_by_c[c] + e_by_c[c] + 1,
+        )
