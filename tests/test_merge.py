@@ -395,3 +395,40 @@ def test_write_audit_publish_gates_and_commits(spark, tmp_path):
             audits=[audit_no_nulls(("k",))],
         )
     assert t.current_version() == v1
+
+
+def test_write_audit_publish_reaudits_after_rebase(spark, tmp_path):
+    """The WAP pitfall the helper exists for: writer A's candidate
+    passes its audit against v0, then loses the commit race to B;
+    the retry must REBUILD and RE-AUDIT against B's snapshot — and a
+    candidate that only became unsafe after the rebase is vetoed,
+    never published."""
+    import pytest
+
+    from metadata_wrangler_spark.operators.merge import (
+        AuditReject,
+        VersionedParquetTable,
+        audit_row_delta,
+        write_audit_publish,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path / "wap_race"))
+    t.init(spark.range(100).withColumnRenamed("id", "k"))
+
+    # B sneaks in first and shrinks the table to 60 rows.
+    assert t.try_commit(0, t.read(0).where("k < 60")) is True
+
+    # A's transform keeps k >= 25: against v0 that's 75/100 rows
+    # (passes a 50% drop audit); against B's v1 it's 35/60 — a 42%
+    # drop, still passing; tighten the audit to 30% so the SAME
+    # candidate is safe on v0 but unsafe on v1. If the helper
+    # audited only against the stale base, this would publish.
+    audits = [audit_row_delta(0.3)]
+    fn = lambda cur: cur.where("k >= 25")  # noqa: E731
+    # sanity: on v0 the audit would have passed (25% drop)
+    assert audits[0](t.read(0), fn(t.read(0)))
+    with pytest.raises(AuditReject):
+        write_audit_publish(t, fn, audits=audits)
+    # nothing published beyond B's version
+    assert t.current_version() == 1
+    assert t.read().count() == 60
