@@ -101,8 +101,26 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     pass; at 100 TB swap markers for larger per-language tables
     without changing the plan shape.
     """
-    norm = normalize_text(F.col(text_col))
-    words = F.split(norm, " ")
+    # Materialize (norm, words) behind a Generate barrier FIRST: the
+    # score expressions reference them once per marker AND reappear
+    # inside greatest() and every when() clause, so the inline
+    # spelling re-ran the normalize regex + split dozens of times per
+    # row (CollapseProject — measured 3.0 s vs 0.6 at sf0.1 through
+    # txt_lang_confusion).
+    barrier = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    normalize_text(F.col(text_col)).alias("norm"),
+                    F.split(normalize_text(F.col(text_col)), " ")
+                    .alias("w"),
+                )
+            )
+        ).alias("_t"),
+    ).select(id_col, "_t.norm", "_t.w")
+    norm = F.col("norm")
+    words = F.col("w")
 
     def marker_count(lang: str, t: str) -> Column:
         if lang in SUBSTRING_LANGS:
@@ -122,7 +140,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     for lang in langs:
         clause = (scores[lang] == best, F.lit(lang))
         pred = F.when(*clause) if pred is None else pred.when(*clause)
-    return docs.select(
+    return barrier.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
         F.when(best <= 0, F.lit("und")).otherwise(pred).alias("predicted_lang"),
