@@ -154,6 +154,7 @@ EXTENDED = [
     "a_weighted_median",
     "ev_json_props",
     "d_forget_cascade_preview",
+    "sim_label_centroids",
 ]
 
 

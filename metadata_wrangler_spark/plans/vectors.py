@@ -1116,3 +1116,145 @@ def sim_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("div_rank") <= _K)
         .select("query_id", "corpus_id", "cosine", "div_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding evaluation: per-label centroids, cohesion, separation
+# ---------------------------------------------------------------------------
+
+_CENT_Q = 10_000_000  # 1e-7 fixed-point for centroid component sums
+
+
+def _centroid_oracle_sql() -> str:
+    def r6(x: str) -> str:
+        return (f"((CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END)"
+                f" * CAST(floor(abs({x}) * 1000000 + 0.5) AS BIGINT)"
+                f" / 1000000.0)")
+
+    vc = (f"{_DOT.format(a='e.embedding', b='c.cent')}"
+          f" / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='c.cent')})")
+    cc = (f"{_DOT.format(a='a.cent', b='b.cent')}"
+          f" / ({_NORM.format(a='a.cent')} * {_NORM.format(a='b.cent')})")
+    return f"""
+    WITH dims AS (
+        SELECT label, i,
+               SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                              * {_CENT_Q} + 0.5) AS BIGINT)) AS s
+        FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+        GROUP BY label, i
+    ),
+    cents AS (
+        SELECT label,
+               list(CAST(s AS DOUBLE) ORDER BY i) AS cent
+        FROM dims GROUP BY label
+    ),
+    intra AS (
+        SELECT e.label,
+               COUNT(*) AS n_vectors,
+               CAST(SUM(CAST(floor({vc} * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) // COUNT(*) AS intra_cos_ppm
+        FROM embeddings e JOIN cents c USING (label)
+        GROUP BY e.label
+    ),
+    inter AS (
+        SELECT a.label, b.label AS nearest_label,
+               CAST(floor({r6(cc)} * 1000000 + 0.5) AS BIGINT)
+                   AS inter_cos_ppm,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.label
+                   ORDER BY {r6(cc)} DESC, b.label ASC) AS rn
+        FROM cents a JOIN cents b ON a.label <> b.label
+    )
+    SELECT i.label, i.n_vectors, i.intra_cos_ppm,
+           x.nearest_label, x.inter_cos_ppm
+    FROM intra i JOIN inter x ON x.label = i.label AND x.rn = 1
+    """
+
+
+@register("sim_label_centroids", oracle=_centroid_oracle_sql())
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space evaluation by label: per-class centroid
+    (exact integer component sums — a float mean would be
+    partition-order-dependent), mean cosine of members to their own
+    centroid (cohesion), and the most-similar OTHER centroid with
+    its cosine (separation) — the silhouette-style health check a
+    team runs on a new embedding model before trusting its clusters
+    for dedup or retrieval. All scores quantized per-term to 1e-6
+    and integer-averaged, so the report is bit-stable.
+
+    Scale shape: one dimension explode + hash aggregate for the
+    centroid sums (|labels|×dim rows), centroids reassembled with a
+    bounded per-label sort (64 components); cohesion is one corpus
+    scan against the BROADCAST centroid table; separation is a
+    |labels|² centroid self-join — all tiny. Nothing quadratic in
+    the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators.similarity import dot, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(
+            "label",
+            F.posexplode("embedding").alias("i", "v"),
+        )
+        .groupBy("label", "i")
+        .agg(
+            F.sum(
+                F.floor(F.col("v").cast("double") * _CENT_Q + F.lit(0.5))
+                .cast("bigint")
+            ).alias("s")
+        )
+    )
+    cents = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))),
+            lambda x: x["s"].cast("double"),
+        ).alias("cent")
+    )
+    vcos = dot(F.col("embedding"), F.col("cent")) / (
+        norm(F.col("embedding")) * norm(F.col("cent"))
+    )
+    # name the per-row cosine so the aggregate expression can see it
+    intra = (
+        emb.join(F.broadcast(cents), "label")
+        .select("label", vcos.alias("_vc"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr(
+                "CAST(SUM(CAST(floor(_vc * 1000000 + 0.5) AS BIGINT))"
+                " AS BIGINT) DIV COUNT(*)"
+            ).alias("intra_cos_ppm"),
+        )
+    )
+    a = cents.select(F.col("label"), F.col("cent").alias("cent_a"))
+    b = cents.select(
+        F.col("label").alias("nearest_label"), F.col("cent").alias("cent_b")
+    )
+    from metadata_wrangler_spark.operators.similarity import round6
+
+    ccos = round6(
+        dot(F.col("cent_a"), F.col("cent_b"))
+        / (norm(F.col("cent_a")) * norm(F.col("cent_b")))
+    )
+    wn = W.partitionBy("label").orderBy(
+        F.desc("_cc"), F.asc("nearest_label")
+    )
+    inter = (
+        a.join(b, F.col("label") != F.col("nearest_label"))
+        .select("label", "nearest_label", ccos.alias("_cc"))
+        .withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select(
+            "label",
+            "nearest_label",
+            F.floor(F.col("_cc") * 1000000 + F.lit(0.5))
+            .cast("bigint").alias("inter_cos_ppm"),
+        )
+    )
+    return intra.join(inter, "label").select(
+        "label", "n_vectors", "intra_cos_ppm",
+        "nearest_label", "inter_cos_ppm",
+    )

@@ -189,3 +189,48 @@ def test_diversified_topk_dominance_semantics(spark):
     # corpus (top-5 membership may or may not change at this SF —
     # at sf0.01 it does; here the dominated items sit lower)
     assert n_dominated >= 1
+
+
+def test_label_centroids_match_numpy(spark):
+    """Per-label centroid eval: recompute cohesion/separation in
+    numpy with the same 1e-7 quantization and fold-order dot."""
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    labels = np.array(t.column("label").to_pylist())
+    V = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    cents = {}
+    for lb in sorted(set(labels.tolist())):
+        q = np.floor(V[labels == lb] * 10_000_000 + 0.5).astype(np.int64)
+        cents[lb] = q.sum(axis=0).astype(np.float64)
+    expect = {}
+    for lb, c in cents.items():
+        mem = V[labels == lb]
+        cn = math.sqrt(float((c * c).sum()))
+        coss = [
+            float((v @ c) / (math.sqrt(float((v * v).sum())) * cn))
+            for v in mem
+        ]
+        intra = sum(int(math.floor(x * 1e6 + 0.5)) for x in coss) \
+            // len(coss)
+        best = None
+        for lb2, c2 in cents.items():
+            if lb2 == lb:
+                continue
+            cc = float((c @ c2) / (cn * math.sqrt(float((c2 * c2).sum()))))
+            r6 = (1 if cc >= 0 else -1) * math.floor(abs(cc) * 1e6 + 0.5) \
+                / 1e6
+            key = (-r6, lb2)
+            if best is None or key < best[0]:
+                best = (key, lb2, int(math.floor(r6 * 1e6 + 0.5)))
+        expect[lb] = (len(mem), intra, best[1], best[2])
+    got = {
+        r.label: (r.n_vectors, r.intra_cos_ppm, r.nearest_label,
+                  r.inter_cos_ppm)
+        for r in plans.QUERIES["sim_label_centroids"](spark, SF).collect()
+    }
+    assert got == expect
+    # members correlate positively with their own centroid (they are
+    # its summands); no claim on inter-centroid order — the synthetic
+    # labels carry little cluster structure, which is exactly what
+    # this report exists to reveal
+    assert all(v[1] > 0 for v in got.values())
+    assert set(got) == set(cents)
