@@ -123,11 +123,14 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # ev_markov_transitions, dd_source_overlap, txt_boilerplate_strip,
     # txt_dsir_weight, ev_cusum_changepoint, a_gini_coefficient,
     # txt_unigram_entropy, w_session_path_topk, a_chi2_independence,
-    # pipe_corpus_curation, j_scd2_pit, sim_diversified_topk) also
-    # ride behind the window on the pytest all-oracle sweep until
-    # round 5 rotates them in; each has additionally been
-    # hash-verified at sf0.1 (and the earlier surface at sf1) during
-    # this session — see README "Verification".
+    # pipe_corpus_curation, j_scd2_pit, sim_diversified_topk,
+    # txt_lang_confusion, w_path_edit_similarity, a_assoc_rules,
+    # ev_funnel_bounded, a_weighted_median, ev_json_props,
+    # d_forget_cascade_preview, sim_label_centroids) also ride
+    # behind the window on the pytest all-oracle sweep until round 5
+    # rotates them in; each has additionally been hash-verified at
+    # ALL FOUR scale factors (sf0.001/0.01/0.1/sf1) during this
+    # session — see README "Verification".
     # NOTE (round-4 end state): every window slot goes to a
     # never-driver-verified query so that ZERO such queries remain
     # after this round (the round-3 verdict's ask #2). Four queries
