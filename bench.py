@@ -155,6 +155,7 @@ EXTENDED = [
     "ev_json_props",
     "d_forget_cascade_preview",
     "sim_label_centroids",
+    "a_iqr_outliers",
 ]
 
 

@@ -2235,3 +2235,104 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint") / 10000.0
         ).alias("weighted_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A16: IQR (Tukey fence) outliers per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_iqr_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS qv
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, qv,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY qv, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM q
+    ),
+    quart AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = CAST(floor((n - 1) * 0.25) AS BIGINT) + 1
+                        THEN qv END) AS q1,
+               MIN(CASE WHEN rn = CAST(floor((n - 1) * 0.75) AS BIGINT) + 1
+                        THEN qv END) AS q3
+        FROM r GROUP BY event_type
+    )
+    SELECT q.event_id, q.event_type,
+           CAST(q.qv AS BIGINT) / 10000.0 AS value,
+           CAST(quart.q1 AS BIGINT) / 10000.0 AS q1,
+           CAST(quart.q3 AS BIGINT) / 10000.0 AS q3,
+           CASE WHEN 2 * q.qv > 2 * quart.q3 + 3 * (quart.q3 - quart.q1)
+                THEN 'high' ELSE 'low' END AS side
+    FROM q JOIN quart USING (event_type)
+    WHERE 2 * q.qv > 2 * quart.q3 + 3 * (quart.q3 - quart.q1)
+       OR 2 * q.qv < 2 * quart.q1 - 3 * (quart.q3 - quart.q1)
+    """,
+)
+def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outliers per event type: values beyond
+    quartile ± 1.5·IQR — the third member of the outlier family
+    next to the parametric z-score (a_anomaly_zscore) and the
+    robust MAD (a_mad_robust); IQR is what box plots draw and what
+    most data-quality checklists specify. Quartiles are DISCRETE
+    (exact data values, deterministic tie order) and the 1.5×
+    fence is evaluated in doubled integers (2·q vs 2·q3 + 3·IQR),
+    so no fractional arithmetic exists anywhere — bit-stable by
+    construction.
+
+    Scale shape: one rank window per type for the quartiles
+    (parallel across groups), a broadcast 5-row quartile table
+    joined back, fence test in codegen. Raw events shuffle once.
+    """
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("bigint").alias("qv"),
+    )
+    by_type = W.partitionBy("event_type")
+    r = q.select(
+        "event_type",
+        "qv",
+        F.row_number().over(by_type.orderBy("qv", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(by_type).alias("n"),
+    )
+    quart = r.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n") - 1) * 0.25).cast("bigint") + 1,
+                F.col("qv"),
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n") - 1) * 0.75).cast("bigint") + 1,
+                F.col("qv"),
+            )
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    high = 2 * F.col("qv") > 2 * F.col("q3") + 3 * iqr
+    low = 2 * F.col("qv") < 2 * F.col("q1") - 3 * iqr
+    return (
+        q.join(F.broadcast(quart), "event_type")
+        .where(high | low)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("qv").cast("bigint") / 10000.0).alias("value"),
+            (F.col("q1").cast("bigint") / 10000.0).alias("q1"),
+            (F.col("q3").cast("bigint") / 10000.0).alias("q3"),
+            F.when(high, "high").otherwise("low").alias("side"),
+        )
+    )

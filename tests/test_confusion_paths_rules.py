@@ -236,3 +236,34 @@ def test_forget_cascade_counts_match_pure_python(spark):
             o_by_c[c], l_by_c[c], e_by_c[c],
             o_by_c[c] + l_by_c[c] + e_by_c[c] + 1,
         )
+
+
+def test_iqr_outliers_match_pure_python(spark):
+    import math as m
+    from collections import defaultdict as dd
+
+    groups = dd(list)
+    for eid, et, v in _cols("events", "event_id", "event_type", "value"):
+        groups[et].append((int(m.floor(v * 10_000 + 0.5)), eid))
+    expect = {}
+    for et, xs in groups.items():
+        ordered = [q for q, _ in sorted(xs)]
+        n = len(ordered)
+        q1 = ordered[(n - 1) // 4]
+        q3 = ordered[(3 * (n - 1)) // 4]
+        iqr = q3 - q1
+        for qv, eid in xs:
+            if 2 * qv > 2 * q3 + 3 * iqr:
+                expect[eid] = (et, qv / 1e4, q1 / 1e4, q3 / 1e4, "high")
+            elif 2 * qv < 2 * q1 - 3 * iqr:
+                expect[eid] = (et, qv / 1e4, q1 / 1e4, q3 / 1e4, "low")
+    got = {
+        r.event_id: (r.event_type, r.value, r.q1, r.q3, r.side)
+        for r in plans.QUERIES["a_iqr_outliers"](spark, SF).collect()
+    }
+    assert got == expect
+    # three outlier detectors, one dataset: IQR fences and z-score
+    # need not agree row-for-row, but both must flag SOMETHING on a
+    # corpus with heavy tails, and every flagged value must sit
+    # outside its own group's box
+    assert len(got) > 0
