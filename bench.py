@@ -156,6 +156,7 @@ EXTENDED = [
     "d_forget_cascade_preview",
     "sim_label_centroids",
     "a_iqr_outliers",
+    "pipe_semantic_search",
 ]
 
 

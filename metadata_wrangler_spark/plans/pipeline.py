@@ -548,3 +548,166 @@ def pipe_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# composed semantic-search serving pipeline
+# ---------------------------------------------------------------------------
+
+_SEARCH_POOL = 10   # LSH candidate pool reranked exactly
+_SEARCH_K = 5       # final results per query
+_SEARCH_THETA = 0.4  # diversity radius (see sim_diversified_topk)
+
+
+def _search_oracle_sql() -> str:
+    from metadata_wrangler_spark.plans.vectors import (
+        _DOT,
+        _NORM,
+        _PLANES,
+        _QUERY_PRED,
+    )
+
+    plane_lits = [
+        "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        for row in _PLANES
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {_DOT.format(a='embedding', b=p)} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(plane_lits)
+    )
+
+    def r6(x: str) -> str:
+        return (f"((CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END)"
+                f" * CAST(floor(abs({x}) * 1000000 + 0.5) AS BIGINT)"
+                f" / 1000000.0)")
+
+    cos_qc = (f"{_DOT.format(a='q.qvec', b='c.embedding')}"
+              f" / ({_NORM.format(a='q.qvec')}"
+              f" * {_NORM.format(a='c.embedding')})")
+    cos_ab = (f"{_DOT.format(a='a.vec', b='b.vec')}"
+              f" / ({_NORM.format(a='a.vec')} * {_NORM.format(a='b.vec')})")
+    norm_txt = r"trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))"
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, bucket
+        FROM b WHERE {_QUERY_PRED}
+    ), cand AS (
+        SELECT query_id, corpus_id, vec, cosine, rank FROM (
+            SELECT q.query_id, c.vec_id AS corpus_id,
+                   c.embedding AS vec, {r6(cos_qc)} AS cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {r6(cos_qc)} DESC,
+                                               c.vec_id ASC) AS rank
+            FROM b c JOIN q ON q.bucket = c.bucket
+                           AND q.query_id <> c.vec_id
+        ) t WHERE rank <= {_SEARCH_POOL}
+    ), dominated AS (
+        SELECT DISTINCT b.query_id, b.corpus_id
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.rank < b.rank
+        WHERE {r6(cos_ab)} > {_SEARCH_THETA}
+    ), final AS (
+        SELECT query_id, corpus_id, cosine, div_rank FROM (
+            SELECT c.query_id, c.corpus_id, c.cosine,
+                   ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                      ORDER BY c.cosine DESC,
+                                               c.corpus_id ASC) AS div_rank
+            FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM dominated x
+                              WHERE x.query_id = c.query_id
+                                AND x.corpus_id = c.corpus_id)
+        ) t WHERE div_rank <= {_SEARCH_K}
+    )
+    SELECT f.query_id, f.corpus_id, f.cosine, f.div_rank,
+           d.lang, d.source,
+           array_to_string(
+               list_slice(string_split({norm_txt}, ' '), 1, 8), ' ')
+               AS snippet
+    FROM final f JOIN documents d ON d.doc_id = f.corpus_id
+    """
+
+
+@register("pipe_semantic_search", oracle=_search_oracle_sql())
+def pipe_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-search SERVING pipeline, end to end in one DAG:
+    hyperplane-LSH candidate generation (the 100 TB tier — corpus
+    hashed once, bucket equi-join), exact cosine rerank of the
+    {_SEARCH_POOL}-candidate pool, pairwise-dominance
+    diversification (sim_diversified_topk's rule), and a metadata
+    join that decorates the final top-{_SEARCH_K} with the matched
+    document's language, source, and an 8-word snippet — the row a
+    search API actually returns. Every stage ships standalone
+    (sim_lsh_topk / sim_cosine_topk / sim_diversified_topk /
+    catalog join); this query is the composition proof, like
+    pipe_provider_end_to_end for the metadata side and
+    pipe_corpus_curation for the training-data side.
+
+    Scale shape: candidate generation is the only stage that sees
+    the corpus (one scan + bucket equi-join); everything after is
+    bounded by |Q|·pool — rerank, C² dominance pairs, and a
+    broadcast-able doc-metadata join on the final handful of ids.
+    """
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators import similarity
+    from metadata_wrangler_spark.operators.dedup import normalize_text
+    from metadata_wrangler_spark.operators.similarity import (
+        dot, norm, round6,
+    )
+    from metadata_wrangler_spark.plans.vectors import _PLANES, _QUERY_PRED
+
+    emb = load(spark, sf_dir, "embeddings")
+    cand = similarity.lsh_cosine_topk(
+        emb, None, _PLANES, k=_SEARCH_POOL,
+        query_pred=lambda c: c % 101 == 0,
+    ).join(
+        emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("vec"),
+        ),
+        "corpus_id",
+    )
+    a = cand.select(
+        "query_id", F.col("rank").alias("rank_a"),
+        F.col("vec").alias("vec_a"),
+    )
+    b = cand.select(
+        "query_id", "corpus_id", F.col("rank").alias("rank_b"),
+        F.col("vec").alias("vec_b"),
+    )
+    pair_cos = round6(
+        dot(F.col("vec_a"), F.col("vec_b"))
+        / (norm(F.col("vec_a")) * norm(F.col("vec_b")))
+    )
+    dominated = (
+        a.join(b, "query_id")
+        .where(F.col("rank_a") < F.col("rank_b"))
+        .where(pair_cos > _SEARCH_THETA)
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    final = (
+        cand.join(dominated, ["query_id", "corpus_id"], "left_anti")
+        .withColumn("div_rank", F.row_number().over(wq))
+        .where(F.col("div_rank") <= _SEARCH_K)
+        .select("query_id", "corpus_id", "cosine", "div_rank")
+    )
+    docs = load(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").alias("corpus_id"),
+        "lang",
+        "source",
+        F.array_join(
+            F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8), " "
+        ).alias("snippet"),
+    )
+    return final.join(meta, "corpus_id").select(
+        "query_id", "corpus_id", "cosine", "div_rank",
+        "lang", "source", "snippet",
+    )

