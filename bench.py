@@ -157,6 +157,7 @@ EXTENDED = [
     "sim_label_centroids",
     "a_iqr_outliers",
     "pipe_semantic_search",
+    "ev_time_to_convert",
 ]
 
 

@@ -2291,3 +2291,110 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)) DIV COUNT(*)"
         ).alias("high_k_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-to-convert distribution (survival-lite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_time_to_convert",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events
+    ),
+    v AS (SELECT user_id, MIN(ep) AS t_view FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ep) AS t_buy
+        FROM e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ep > v.t_view
+        GROUP BY e.user_id
+    ),
+    d AS (
+        SELECT p.user_id, p.t_buy - v.t_view AS delta_s,
+               ROW_NUMBER() OVER (ORDER BY p.t_buy - v.t_view,
+                                           p.user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM p JOIN v USING (user_id)
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MIN(delta_s) AS BIGINT) AS min_s,
+           CAST(MIN(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+                         THEN delta_s END) AS BIGINT) AS median_s,
+           CAST(MIN(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+                         THEN delta_s END) AS BIGINT) AS p90_s,
+           CAST(MAX(delta_s) AS BIGINT) AS max_s
+    FROM d
+    """,
+)
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (survival-analysis-lite): for
+    every user whose first purchase follows their first view, the
+    elapsed seconds — summarized as min / discrete median / p90 /
+    max. This is the latency twin of the funnel counts
+    (ev_funnel_bounded says HOW MANY convert; this says HOW LONG
+    conversion takes), the number an activation team actually
+    tracks week over week.
+
+    Scale shape: two per-user conditional-min aggregates and a join
+    (user-cardinality throughout); the distribution summary ranks
+    the per-user deltas — converted-user cardinality, orders of
+    magnitude below events — with the usual discrete-percentile
+    rank probe. The oracle's flat window over deltas is the
+    semantic spec; at true scale the bit-length-bucketed prefix
+    rank substitutes (a_abc_pareto's technique).
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ep"),
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ep").alias("t_view"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ep") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ep").alias("t_buy"))
+    )
+    d = (
+        p.join(v, "user_id")
+        .select(
+            "user_id", (F.col("t_buy") - F.col("t_view")).alias("delta_s")
+        )
+        .select(
+            "delta_s",
+            F.row_number().over(
+                W.orderBy("delta_s", "user_id")
+            ).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        )
+    )
+    med = F.min(
+        F.when(
+            F.col("rn") == F.floor((F.col("n") - 1) * 0.5)
+            .cast("bigint") + 1,
+            F.col("delta_s"),
+        )
+    )
+    p90 = F.min(
+        F.when(
+            F.col("rn") == F.floor((F.col("n") - 1) * 0.9)
+            .cast("bigint") + 1,
+            F.col("delta_s"),
+        )
+    )
+    return d.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.min("delta_s").cast("bigint").alias("min_s"),
+        med.cast("bigint").alias("median_s"),
+        p90.cast("bigint").alias("p90_s"),
+        F.max("delta_s").cast("bigint").alias("max_s"),
+    )

@@ -267,3 +267,31 @@ def test_iqr_outliers_match_pure_python(spark):
     # corpus with heavy tails, and every flagged value must sit
     # outside its own group's box
     assert len(got) > 0
+
+
+def test_time_to_convert_matches_pure_python(spark):
+    import math as m
+    from collections import defaultdict as dd
+
+    by_user = dd(list)
+    for uid, ts, et in _cols("events", "user_id", "ts", "event_type"):
+        by_user[uid].append((int(m.floor(ts.timestamp())), et))
+    deltas = []
+    for uid, seq in by_user.items():
+        views = [ep for ep, et in seq if et == "view"]
+        if not views:
+            continue
+        t1 = min(views)
+        buys = [ep for ep, et in seq if et == "purchase" and ep > t1]
+        if buys:
+            deltas.append((min(buys) - t1, uid))
+    deltas.sort()
+    vals = [d for d, _ in deltas]
+    n = len(vals)
+    row = plans.QUERIES["ev_time_to_convert"](spark, SF).collect()[0]
+    assert (row.n_converted, row.min_s, row.max_s) == (
+        n, vals[0], vals[-1]
+    )
+    assert row.median_s == vals[(n - 1) // 2]
+    assert row.p90_s == vals[int(m.floor((n - 1) * 0.9))]
+    assert row.min_s <= row.median_s <= row.p90_s <= row.max_s
