@@ -4,8 +4,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "headline_wall", "value": <total sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <scale factor>,
-   "oracle_queries": {"<name>": sec, ...}, "oracle_total": sec,
-   "ratio_vs_oracle": <value / oracle_total>}
+   "oracle_total": sec, "ratio_vs_oracle": <value / oracle_total>, ...}
+
+The line is kept under ~2 KB (the driver records only a short tail
+of stdout — round 4's full per-query line was truncated into an
+unparseable artifact). Complete per-query detail (concurrent spans,
+oracle spans, the extended series) is written to BENCH_DETAIL.json
+next to this file.
 
 Protocol: the headline queries are submitted CONCURRENTLY from a
 thread pool onto the shared session (FAIR scheduler, one pool per
@@ -321,7 +326,26 @@ def main() -> int:
 
     oracle = _time_oracles(present, oracles)
 
+    # Extended set: the same concurrent FAIR-pool batch as the
+    # headline (so the ~0.3-0.5 s/query scheduling floor overlaps
+    # instead of summing — the iterative graph family is nearly all
+    # floor at sf0.1), plus uncontended sequential spans for the
+    # per-query detail file.
     ext_present = [n for n in EXTENDED if n in queries]
+
+    def _run_ext_batch() -> tuple[float, dict[str, float]]:
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            spans = dict(pool.map(_run_one, ext_present))
+        return time.time() - t0, spans
+
+    _run_ext_batch()  # warm pass (codegen/JIT), untimed
+    ext_batch_wall, ext_concurrent = _run_ext_batch()
+    for _ in range(RUNS - 1):
+        wall, spans = _run_ext_batch()
+        if wall < ext_batch_wall:
+            ext_batch_wall, ext_concurrent = wall, spans
+
     extended = {
         name: _best_of(
             RUNS, lambda name=name: queries[name](spark, SF_DIR).toPandas()
@@ -332,21 +356,23 @@ def main() -> int:
 
     total = round(best_wall, 3)
     oracle_total = round(sum(oracle.values()), 3)
-    os.write(real_stdout, (json.dumps({
+
+    # Contract (round-4 verdict #1): the driver keeps only a ~2 KB
+    # tail of stdout, so the ONE JSON line must stay small — scalar
+    # metrics plus the compact headline span dict. Full per-query
+    # detail (concurrent spans, oracle spans, the 80-query extended
+    # series) goes to a committed side file.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
+    summary = {
         "metric": "headline_wall",
         "value": total,
         "unit": "sec",
-        "queries": sequential,
-        "queries_concurrent": timings,
+        "queries": {n: round(s, 2) for n, s in sequential.items()},
         "sf": sf,
-        "protocol": (
-            f"concurrent_batch_wall best_of_{RUNS}, {n_threads} threads, "
-            "FAIR pools; oracle sequential best_of_%d (unchanged); "
-            "'queries' = uncontended one-at-a-time spans (same protocol "
-            "as 'oracle_queries'), 'queries_concurrent' = overlapping "
-            "spans inside the timed batch" % RUNS
-        ),
-        "oracle_queries": oracle,
         "oracle_total": oracle_total,
         "ratio_vs_oracle": round(total / oracle_total, 2) if oracle_total else None,
         "spark_sequential_total": round(sequential_total, 3),
@@ -355,11 +381,40 @@ def main() -> int:
         ),
         "fixed_floor_per_query": floor,
         "n_queries": len(present),
-        "extended_queries": extended,
-        "extended_oracle_queries": ext_oracle,
+        "extended_batch_wall": round(ext_batch_wall, 3),
         "extended_total": round(sum(extended.values()), 3),
         "extended_oracle_total": round(sum(ext_oracle.values()), 3),
-    }) + "\n").encode())
+        "n_extended": len(ext_present),
+        "detail": os.path.basename(detail_path),
+    }
+    detail = dict(
+        summary,
+        queries=sequential,
+        protocol=(
+            f"headline value = concurrent_batch_wall best_of_{RUNS}, "
+            f"{n_threads} threads, FAIR pools; oracle sequential "
+            f"best_of_{RUNS} (unchanged vs r1-r3); 'queries' = "
+            "uncontended one-at-a-time spans (same protocol as "
+            "'oracle_queries'); '*_concurrent' = overlapping spans "
+            "inside the timed batch; extended_batch_wall = same "
+            "concurrent protocol over the extended set"
+        ),
+        queries_concurrent=timings,
+        oracle_queries=oracle,
+        extended_queries=extended,
+        extended_concurrent=ext_concurrent,
+        extended_oracle_queries=ext_oracle,
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    line = json.dumps(summary)
+    # Hard guard on the one-line contract: the driver's tail capture
+    # is ~2 KB. Headline spans are the first thing to drop.
+    if len(line) > 1900:
+        summary.pop("queries", None)
+        line = json.dumps(summary)
+    os.write(real_stdout, (line + "\n").encode())
     return 0
 
 

@@ -58,97 +58,81 @@ def register(name: str, oracle: str | None = None):
 # ordered_queries()); VERIFICATION_PRIORITY is curated to exactly N.
 VERIFICATION_WINDOW = 50
 
+# WINDOW POLICY (round 5 onward): any NEW query lands at the FRONT
+# of VERIFICATION_PRIORITY in the same session that registers it, so
+# the never-driver-verified gap of rounds 3 (13 queries) and 4 (49)
+# cannot recur. When the never-verified set is smaller than the
+# window, remaining slots go to one previously-green representative
+# per SURVEY.md §2 family, rotating.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- round-4 final additions: PPJoin prefix filtering, BM25
-    # retrieval, bounded Bellman-Ford, distribution windows,
-    # k-core, CEP path regex, histogram, skew-salted join ---
-    "dd_prefix_filter_join",
-    "txt_bm25_search",
-    "g_shortest_path",
-    "w_percent_rank_cume",
-    "g_kcore",
-    "ev_regex_path_match",
-    "a_histogram",
-    "j_skew_salted_join",
-    # --- round-4 late additions: graph analytics, SNM blocking,
-    # gap-fill, grouped OLS, inverted index, bloom pruning ---
-    "g_triangle_count",
-    "dd_sorted_neighborhood",
-    "ev_gap_fill",
-    "a_regr_trend",
-    "txt_inverted_index",
-    "j_bloom_prune",
-    "s_zorder_layout",
-    "a_cube_report",
-    "a_anomaly_zscore",
-    "ev_unpivot_long",
-    # --- round-4 additions: recursive CTE twin, stream-stream join ---
-    "g_transitive_closure_rcte",
-    "ev_stream_stream_join",
-    "dd_semantic_prune",
-    "txt_tfidf_topk",
-    "sim_ivf_train_step",
-    "a_rollup_report",
-    "ev_pivot_daily_matrix",
-    "txt_chunk_overlap",
-    "ev_cohort_retention",
-    "ev_funnel_conversion",
-    "d_scd2_merge",
-    "ev_moving_average",
-    "a_string_agg",
-    "g_pagerank",
-    "ev_matview_refresh",
-    "ev_range_window",
-    "txt_quality_deciles",
-    "ev_rfm_segments",
-    "so_multiset_ops",
-    # --- round-3 additions, never driver-verified before round 4 ---
-    "ev_asof_join",
-    "ev_range_join",
-    "ev_session_window_native",
-    "a_kmv_distinct_sketch",
-    "sim_lsh_probe_topk",
-    "sim_lsh_multitable_topk",
-    "txt_sequence_packing",
-    "txt_boilerplate_passages",
-    "txt_ngram_topk",
-    "f_title_safe_strip",
-    "f_token_sort_ratio",
-    "w_shortest_candidate",
-    "s_xml_classify_response",
-    # NOTE (round-4 closing session): seventeen further additions
-    # (g_neighbor_jaccard, g_bipartite_project, ev_decay_halflife,
-    # txt_contamination_frac, sim_rp_topk, ev_sliding_distinct,
-    # a_abc_pareto, txt_split_assign, a_benford_digits, a_mad_robust,
-    # ev_markov_transitions, dd_source_overlap, txt_boilerplate_strip,
-    # txt_dsir_weight, ev_cusum_changepoint, a_gini_coefficient,
-    # txt_unigram_entropy, w_session_path_topk, a_chi2_independence,
-    # pipe_corpus_curation, j_scd2_pit, sim_diversified_topk,
-    # txt_lang_confusion, w_path_edit_similarity, a_assoc_rules,
-    # ev_funnel_bounded, a_weighted_median, ev_json_props,
-    # d_forget_cascade_preview, sim_label_centroids) also ride
-    # behind the window on the pytest all-oracle sweep until round 5
-    # rotates them in; each has additionally been hash-verified at
-    # ALL FOUR scale factors (sf0.001/0.01/0.1/sf1) during this
-    # session — see README "Verification".
-    # NOTE (round-4 end state): every window slot goes to a
-    # never-driver-verified query so that ZERO such queries remain
-    # after this round (the round-3 verdict's ask #2). Four queries
-    # added AFTER the window locked (txt_pmi_bigrams,
-    # txt_weighted_sample, a_hll_sketch, sim_quantized_topk) ride
-    # behind it on the pytest all-oracle sweep until round 5 rotates
-    # them in (ditto ev_hopping_window, a_kmv_set_ops,
-    # g_label_propagation, a_countmin_heavy_hitters, mm_audio_windows,
-    # a_simpson_diversity, ev_concurrency_sweep, s_opds_updates_page,
-    # dd_span_dedup, txt_lm_surprisal, dd_cluster_keep, sim_pq_topk). Also including
-    # j_skew_salted_join, which CORRECTNESS_r0{1,2,3} shows was
-    # never actually inside a driver window despite being listed as
-    # a stalwart. The re-verification family reps rotated out
-    # (mm_binary_features, pipe_provider_end_to_end,
-    # p_compound_predicates, sim_cosine_topk, g_transitive_closure,
-    # dd_embedding_cosine, s_xml_classify) are still hash-checked
-    # every pytest run by tests/test_all_oracles.py; round 5 should
-    # rotate one green rep per family back in.
+    # --- round-5 window: ALL 49 queries added during round 4 that
+    # have never entered a driver correctness window (the round-4
+    # verdict's ask #4), plus one previously-green family rep for
+    # the p_ family (the only §2 family with no member below).
+    # After this round, zero never-driver-verified queries remain.
+    # Composed-pipeline integration proofs first (verdict ask #7):
+    "pipe_corpus_curation",
+    "pipe_semantic_search",
+    # Sketches / approximate tier:
+    "a_hll_sketch",
+    "a_kmv_set_ops",
+    "a_countmin_heavy_hitters",
+    # Robust / distributional statistics:
+    "a_abc_pareto",
+    "a_benford_digits",
+    "a_chi2_independence",
+    "a_gini_coefficient",
+    "a_iqr_outliers",
+    "a_mad_robust",
+    "a_simpson_diversity",
+    "a_weighted_median",
+    "a_assoc_rules",
+    # DML / deletion-compliance preview:
+    "d_forget_cascade_preview",
+    # Dedup tail:
+    "dd_cluster_keep",
+    "dd_source_overlap",
+    "dd_span_dedup",
+    # Event analytics:
+    "ev_concurrency_sweep",
+    "ev_cusum_changepoint",
+    "ev_decay_halflife",
+    "ev_funnel_bounded",
+    "ev_hopping_window",
+    "ev_json_props",
+    "ev_markov_transitions",
+    "ev_sliding_distinct",
+    "ev_time_to_convert",
+    # Graph analytics:
+    "g_bipartite_project",
+    "g_label_propagation",
+    "g_neighbor_jaccard",
+    # Joins / windows:
+    "j_scd2_pit",
+    "w_path_edit_similarity",
+    "w_session_path_topk",
+    # Multimodal / source:
+    "mm_audio_windows",
+    "s_opds_updates_page",
+    # Similarity retrieval tiers:
+    "sim_diversified_topk",
+    "sim_label_centroids",
+    "sim_pq_topk",
+    "sim_quantized_topk",
+    "sim_rp_topk",
+    # Text-analysis tail:
+    "txt_boilerplate_strip",
+    "txt_contamination_frac",
+    "txt_dsir_weight",
+    "txt_lang_confusion",
+    "txt_lm_surprisal",
+    "txt_pmi_bigrams",
+    "txt_split_assign",
+    "txt_unigram_entropy",
+    "txt_weighted_sample",
+    # Family rep (p_): previously green in r3, keeps every §2 family
+    # with at least one driver-green row this round.
+    "p_compound_predicates",
 )
 
 

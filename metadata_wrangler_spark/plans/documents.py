@@ -1809,8 +1809,8 @@ _PMI_TOP = 50
         ) GROUP BY 1, 2
     ), scored AS (
         SELECT p.w1, p.w2, p.c_xy,
-               (p.c_xy * t.n_total * 10000) // (u1.c * u2.c)
-                   AS pmi_ratio_x10k
+               CAST((p.c_xy * t.n_total * 10000) // (u1.c * u2.c)
+                    AS BIGINT) AS pmi_ratio_x10k
         FROM pairs p
         JOIN uni u1 ON u1.word = p.w1
         JOIN uni u2 ON u2.word = p.w2
@@ -1908,9 +1908,9 @@ _WS_PPM = 1_000_000      # gate resolution
         SELECT SUM(w_tokens) AS total_w FROM sized
     )
     SELECT doc_id, lang, w_tokens,
-           least({_WS_PPM},
-                 ({_WS_PPM} * {_WS_TARGET} * w_tokens) // total_w)
-               AS prob_ppm
+           CAST(least({_WS_PPM},
+                      ({_WS_PPM} * {_WS_TARGET} * w_tokens) // total_w)
+                AS BIGINT) AS prob_ppm
     FROM sized CROSS JOIN tot
     WHERE gate * total_w < {_WS_PPM} * {_WS_TARGET} * w_tokens
     """,
@@ -2779,12 +2779,12 @@ def txt_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT source, w, COUNT(*) AS cw FROM tok GROUP BY source, w),
     n AS (SELECT source, SUM(cw) AS nt, COUNT(*) AS vocab FROM c
           GROUP BY source)
-    SELECT c.source, n.nt AS n_tokens, n.vocab,
+    SELECT c.source, CAST(n.nt AS BIGINT) AS n_tokens, n.vocab,
            CAST(SUM(c.cw * (length(bin(n.nt)) - length(bin(c.cw))))
                 AS BIGINT) AS sum_bits,
-           (1000000 * CAST(SUM(c.cw * (length(bin(n.nt))
-                                       - length(bin(c.cw)))) AS BIGINT))
-               // n.nt AS mean_bits_ppm
+           CAST((1000000 * CAST(SUM(c.cw * (length(bin(n.nt))
+                                            - length(bin(c.cw)))) AS BIGINT))
+                // n.nt AS BIGINT) AS mean_bits_ppm
     FROM c JOIN n USING (source)
     GROUP BY c.source, n.nt, n.vocab
     """,
@@ -2857,7 +2857,7 @@ def txt_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT lang, SUM(n) AS nl FROM cell GROUP BY lang)
     SELECT c.lang, c.predicted_lang, c.n,
-           (1000000 * c.n) // t.nl AS share_ppm,
+           CAST((1000000 * c.n) // t.nl AS BIGINT) AS share_ppm,
            CAST(c.lang = c.predicted_lang AS BOOLEAN) AS is_correct
     FROM cell c JOIN tot t USING (lang)
     """,

@@ -892,7 +892,8 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1
     )
     {" UNION ALL ".join(
-        f"SELECT day, '{t}' AS event_type, n_{t} AS n_events FROM wide"
+        f"SELECT day, '{t}' AS event_type, CAST(n_{t} AS BIGINT) AS n_events"
+        f" FROM wide"
         for t in _EVENT_TYPES
     )}
     """,
@@ -1746,7 +1747,7 @@ def ev_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT prev_type, SUM(n) AS row_total FROM t GROUP BY prev_type)
     SELECT t.prev_type, t.next_type, t.n,
-           (1000000 * t.n) // tot.row_total AS prob_ppm
+           CAST((1000000 * t.n) // tot.row_total AS BIGINT) AS prob_ppm
     FROM t JOIN tot USING (prev_type)
     """,
 )

@@ -1495,8 +1495,8 @@ def _bloom_pos_col(key: F.Column, i: int) -> F.Column:
     )
     SELECT o_orderpriority,
            COUNT(*) AS n_bloom_pass,
-           SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM needles)
-                    THEN 1 ELSE 0 END) AS n_true
+           CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM needles)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_true
     FROM hits
     WHERE k_hit = {_BLOOM_K}
     GROUP BY o_orderpriority

@@ -30,14 +30,39 @@ def _normalize_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return repr(v)
+        if v != v:  # NaN (pandas NULL in a float64 column)
+            return "NULL"
+        return repr(float(v))
     if isinstance(v, decimal.Decimal):
         return repr(float(v))
     if isinstance(v, datetime.datetime):
+        if v != v:  # pandas NaT
+            return "NULL"
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
     return str(v)
+
+
+def oracle_fetch(rel):
+    """Materialize a DuckDB relation THE WAY THE DRIVER DOES — via
+    Arrow, not ``fetchall``. The representation matters: DuckDB's
+    HUGEINT (the result type of SUM over integers) crosses Arrow as
+    decimal128 and normalizes as a float ("3.0"), while fetchall
+    yields plain Python int ("3") — so an oracle missing a
+    CAST(... AS BIGINT) hashes differently at the driver while a
+    fetchall-based mirror stays green. Round 4 shipped two such
+    latent bugs (j_bloom_prune, ev_unpivot_long); this mirror reds
+    them locally first. Validated against CORRECTNESS_r04: the two
+    known HUGEINT bugs red here, and the driver-green nullable-BIGINT
+    and INTEGER-with-NULL queries (ev_asof_join,
+    s_xml_classify_response) stay green — a plain fetchdf mirror
+    fails that second check because pandas widens nullable ints to
+    float64 on the oracle side only."""
+    tbl = rel.fetch_arrow_table()
+    cols = [c.lower() for c in tbl.column_names]
+    rows = [tuple(d[c] for c in tbl.column_names) for d in tbl.to_pylist()]
+    return cols, rows
 
 
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -74,9 +99,7 @@ def check_one(spark, con, fn, sql: str | None, sf_dir: str) -> list[str]:
     scols = [c.lower() for c in sdf.columns]
     if sql is None:
         return []  # rows-only check: reaching here without raising
-    rel = con.sql(sql)
-    ocols = [c.lower() for c in rel.columns]
-    orows = rel.fetchall()
+    ocols, orows = oracle_fetch(con.sql(sql))
     problems = []
     if sorted(scols) != sorted(ocols):
         problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
@@ -126,9 +149,7 @@ def main() -> int:
                   f"[{spark_secs:.1f}s]")
             continue
         try:
-            rel = con.sql(oracles[name])
-            ocols = [c.lower() for c in rel.columns]
-            orows = rel.fetchall()
+            ocols, orows = oracle_fetch(con.sql(oracles[name]))
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
