@@ -93,13 +93,19 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
 
 
 def language_id(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                carry: tuple[str, ...] = ()) -> DataFrame:
     """Marker-word language-ID heuristic: count per-language marker
     hits, pick the argmax (ties broken by language code order).
 
     Emitted as a greatest/when cascade so the scoring is one codegen
     pass; at 100 TB swap markers for larger per-language tables
     without changing the plan shape.
+
+    ``carry`` columns are passed through from the input, so a caller
+    that needs the prediction NEXT TO another document column (e.g.
+    the confusion matrix's true ``lang``) gets both from the single
+    scan instead of joining back on ``id_col``.
     """
     # Materialize (norm, words) behind a Generate barrier FIRST: the
     # score expressions reference them once per marker AND reappear
@@ -109,6 +115,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     # txt_lang_confusion).
     barrier = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.explode(
             F.array(
                 F.struct(
@@ -118,7 +125,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
                 )
             )
         ).alias("_t"),
-    ).select(id_col, "_t.norm", "_t.w")
+    ).select(id_col, *carry, "_t.norm", "_t.w")
     norm = F.col("norm")
     words = F.col("w")
 
@@ -135,14 +142,31 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
         for lang, toks in LANG_MARKERS.items()
     }
     langs = sorted(scores)  # deterministic tie order
-    best = F.greatest(*[scores[lang] for lang in langs])
+    # SECOND barrier: each per-language score is referenced again by
+    # greatest(), twice per when() clause, and the output projection.
+    # The lambda-bearing count expressions defeat codegen subexpr
+    # elimination, so without the barrier every score was evaluated
+    # ~|langs| times per row (the array-scan IS the cost). Behind it,
+    # each score is one column read.
+    scored = barrier.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode(
+            F.array(F.struct(
+                *[scores[lang].alias(f"score_{lang}") for lang in langs]
+            ))
+        ).alias("_s"),
+    ).select(id_col, *carry, "_s.*")
+    svals = {lang: F.col(f"score_{lang}") for lang in langs}
+    best = F.greatest(*[svals[lang] for lang in langs])
     pred = None
     for lang in langs:
-        clause = (scores[lang] == best, F.lit(lang))
+        clause = (svals[lang] == best, F.lit(lang))
         pred = F.when(*clause) if pred is None else pred.when(*clause)
-    return barrier.select(
+    return scored.select(
         F.col(id_col),
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        *[F.col(c) for c in carry],
+        *[svals[lang].alias(f"score_{lang}") for lang in langs],
         F.when(best <= 0, F.lit("und")).otherwise(pred).alias("predicted_lang"),
     )
 

@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from metadata_wrangler_spark.catalog import load
+from metadata_wrangler_spark.catalog import load, widen
 from metadata_wrangler_spark.operators import dedup, textstats
 from metadata_wrangler_spark.plans import register
 
@@ -2059,14 +2059,17 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the stride-1 explode is ~L x input tokens — the
     price of exact-substring semantics (the suffix array pays the
-    same) — then one hash-aggregate for window frequency, one
-    fp-partitioned equi-join back, and a PER-DOCUMENT window for the
-    island merge (partitioned by doc_id: no global sort, no
-    SinglePartition). At 100 TB the frequency side drops to a Bloom
-    filter (BFF-style) probed map-side; the island merge is
-    unchanged.
+    same) — then ONE fp shuffle with a count-over-partition for
+    window frequency (no second pass over the explode), and a
+    PER-DOCUMENT window for the island merge (partitioned by doc_id:
+    no global sort, no SinglePartition). At 100 TB the frequency
+    side drops to a Bloom filter (BFF-style) probed map-side; the
+    island merge is unchanged.
     """
-    docs = load(spark, sf_dir, "documents")
+    # widen: the single-file local scan is 5 splits; the explode+hash
+    # below is the CPU, so spread it across all cores (no-op at scale
+    # where the scan already has more splits than cores).
+    docs = widen(spark, load(spark, sf_dir, "documents"))
     # with_words materializes the split behind a projection barrier —
     # the inline spelling re-ran normalize+split once per slice()
     # inside the transform (CollapseProject): 7.5 s → ~1 s at sf0.1.
@@ -2076,6 +2079,13 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = F.when(
         F.size(w) >= L, F.sequence(F.lit(1), F.size(w) - (L - 1))
     ).otherwise(F.array().cast("array<int>"))
+    # Fingerprint = xxhash64 over the word-array slice directly: no
+    # concat_ws string build, no 32-byte hex digest — the fingerprint
+    # never leaves this plan, only its equality classes matter, and
+    # those are identical to the oracle's md5-over-concat (same
+    # window words ⟺ same key; 64-bit collision odds at ~10^6
+    # windows ≈ 10^-7, and any collision would be deterministic and
+    # caught by the cross-engine hash gate).
     wins = wd.select(
         F.col("id").alias("doc_id"),
         F.explode(
@@ -2083,13 +2093,25 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 starts,
                 lambda s: F.struct(
                     s.alias("start"),
-                    F.md5(F.concat_ws("_", F.slice(w, s, L))).alias("fp"),
+                    F.xxhash64(F.slice(w, s, L)).alias("fp"),
                 ),
             )
         ).alias("win"),
     ).select("doc_id", "win.start", "win.fp")
-    dup = wins.groupBy("fp").count().where(F.col("count") >= 2).select("fp")
-    hits = wins.join(dup, "fp").select("doc_id", "start")
+    # Window-count over fp instead of groupBy+self-join: the join
+    # spelling computed the explode+hash `wins` subtree TWICE (the
+    # aggregate side partial-aggregates before its exchange, so the
+    # two exchanges don't unify for reuse). One count-over-partition
+    # computes it once with the same single fp shuffle: 2.57 s ->
+    # 1.04 s at sf0.1. At 100 TB the frequency side still drops to a
+    # Bloom filter probed map-side (docstring below).
+    hits = (
+        wins.withColumn(
+            "cnt", F.count(F.lit(1)).over(W.partitionBy("fp"))
+        )
+        .where(F.col("cnt") >= 2)
+        .select("doc_id", "start")
+    )
     by_pos = W.partitionBy("doc_id").orderBy("start")
     brk = hits.withColumn(
         "new_span",
@@ -2153,7 +2175,7 @@ def txt_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     head of both count tables broadcasts and only the long tail
     shuffles — the joins are on high-entropy string keys either way.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(spark, load(spark, sf_dir, "documents"))
     # with_words puts the split+regex behind a projection barrier;
     # the inline spelling re-ran normalize_text once per element_at
     # inside the transform lambda (CollapseProject) — measured 19 s
@@ -2177,12 +2199,21 @@ def txt_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t"),
     ).select("doc_id", "t.pfx", "t.bg")
-    bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
-    pfc = big.groupBy("pfx").agg(F.count(F.lit(1)).alias("c1"))
+    # Count tables as windows, not aggregate+join-back: the join
+    # spelling computed the bigram explode THREE times (once per
+    # count table, once for the probe side — the partial aggregates
+    # block exchange reuse). Two count-over-partition windows keep
+    # one explode and the same two shuffles (1.12 -> 0.76 s at
+    # sf0.1). The 100 TB plan is unchanged: both windows partition
+    # on high-entropy vocab keys, no SinglePartition anywhere; the
+    # Zipf-head hot keys are exactly as hot as they were as join
+    # keys, and AQE skew-split applies to the sort-window shuffle
+    # the same way.
     bitlen = lambda c: F.length(F.bin(c))  # noqa: E731
     scored = (
-        big.join(bgc, "bg")
-        .join(pfc, "pfx")
+        big
+        .withColumn("c2", F.count(F.lit(1)).over(W.partitionBy("bg")))
+        .withColumn("c1", F.count(F.lit(1)).over(W.partitionBy("pfx")))
         .select("doc_id", (bitlen(F.col("c1")) - bitlen(F.col("c2"))).alias("s"))
     )
     return scored.groupBy("doc_id").agg(
@@ -2453,14 +2484,20 @@ def dd_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: documents collapse to DISTINCT (source, shingle)
     first — the cardinality drop, one map-side-partial aggregate —
-    then pair counts come from a shingle equi-join whose fan-out
-    per shingle is the number of sources carrying it (bounded by
-    |sources|, not corpus size); per-source totals broadcast back.
+    then pair counts come from per-shingle source baskets whose
+    fan-out per shingle is the number of sources carrying it
+    (bounded by |sources|, not corpus size), pairs exploded inline
+    on the same f-partitioned exchange; per-source totals broadcast
+    back.
     Never all-pairs on documents. At 100 TB the shingle set drops
     to a per-source KMV sketch (a_kmv_set_ops shows the plumbing)
     for an estimated matrix at a fraction of the shuffle.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(spark, load(spark, sf_dir, "documents"))
+    # One explicit f-partitioned exchange: the (source, f) dedup,
+    # the per-f basket build, and (via ReusedExchange) the per-source
+    # totals all sit on the same shuffle instead of recomputing the
+    # explode three times (1.34 -> 1.07 s at sf0.1).
     fp = (
         dedup.with_words(
             docs.select(F.col("source").alias("id_src"), "text"),
@@ -2468,16 +2505,26 @@ def dd_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("id").alias("source"),
                 F.explode(F.array_distinct(dedup.shingles(3))).alias("f"))
-        .distinct()
+        .repartition("f")
+        .dropDuplicates(["source", "f"])
     )
     per = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = fp.select(F.col("source").alias("src_a"), "f")
-    b = fp.select(F.col("source").alias("src_b"), "f")
-    shared = (
-        a.join(b, "f")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # Pair generation basket-style: per shingle, the sorted source
+    # set (bounded by |sources|, a curation-time constant — NOT
+    # corpus size), pairs exploded inline. Replaces the f self-join:
+    # same pair multiset, no second probe of the exploded table.
+    baskets = fp.groupBy("f").agg(
+        F.sort_array(F.collect_set("source")).alias("s")
+    )
+    pairs = baskets.select(
+        F.explode(F.flatten(F.expr(
+            "transform(s, (x, i) -> transform("
+            "slice(s, i + 2, size(s)), "
+            "y -> struct(x AS src_a, y AS src_b)))"
+        ))).alias("p")
+    ).select("p.src_a", "p.src_b")
+    shared = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
     )
     return (
         shared.join(
@@ -2563,12 +2610,15 @@ def txt_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     group — bounded by document length, no cross-document state).
     The reassembled text shuffles once, keyed by doc_id.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(spark, load(spark, sf_dir, "documents"))
     words = dedup.with_words(docs, "doc_id", "text").select(
         F.col("id").alias("doc_id"), F.col("w")
     )
     L = _STRIP_CHUNK
     starts = F.sequence(F.lit(1), F.size("w") - (L - 1), F.lit(L))
+    # fp = xxhash64 over the word slice: internal-only key (never in
+    # the output), so the equality classes are all that matter —
+    # identical to the oracle's md5-over-concat (see dd_span_dedup).
     chunks = (
         words.where(F.size("w") >= L)
         .select(
@@ -2579,22 +2629,41 @@ def txt_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: F.struct(
                         s.alias("i"),
                         F.concat_ws(" ", F.slice("w", s, L)).alias("txt"),
-                        F.md5(F.concat_ws("_", F.slice("w", s, L)))
-                        .alias("fp"),
+                        F.xxhash64(F.slice("w", s, L)).alias("fp"),
                     ),
                 )
             ).alias("c"),
         )
         .select("doc_id", "c.i", "c.txt", "c.fp")
     )
-    boiler = (
-        chunks.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= _STRIP_MIN_DOCS)
-        .select("fp")
-    )
-    flagged = chunks.join(
-        boiler.withColumn("hit", F.lit(1)), "fp", "left"
+    # Distinct-doc count as windows over ONE explicit fp exchange,
+    # not aggregate+join-back (the join spelling computed `chunks`
+    # twice — same idiom as dd_span_dedup / txt_lm_surprisal).
+    # HashPartitioning(fp) satisfies both window specs below, so no
+    # further exchange. COUNT(DISTINCT doc_id) is spelled as
+    # sum-of-first-flags — row_number marks each doc's first chunk
+    # per fp, a sum over fp counts them — which stays spill-safe on
+    # a boilerplate fingerprint shared by millions of docs (a
+    # collect_set window would buffer that entire doc-id set per
+    # row).
+    flagged = (
+        chunks.repartition("fp")
+        .withColumn(
+            "first_in_doc",
+            F.when(
+                F.row_number().over(
+                    W.partitionBy("fp", "doc_id").orderBy("i")
+                ) == 1,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "nd", F.sum("first_in_doc").over(W.partitionBy("fp"))
+        )
+        .withColumn(
+            "hit",
+            F.when(F.col("nd") >= _STRIP_MIN_DOCS, F.lit(1)),
+        )
     )
     agg = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
@@ -2876,9 +2945,12 @@ def txt_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt_language_id); the matrix is a |langs|² hash aggregate with
     a broadcast row-total join. One corpus scan.
     """
-    docs = load(spark, sf_dir, "documents")
-    pred = textstats.language_id(docs).select("doc_id", "predicted_lang")
-    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    # carry=("lang",): the true label rides through the scoring scan,
+    # so no join-back on doc_id — one scan, one |langs|² aggregate.
+    docs = widen(spark, load(spark, sf_dir, "documents"))
+    joined = textstats.language_id(docs, carry=("lang",)).select(
+        "lang", "predicted_lang"
+    )
     cell = joined.groupBy("lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -841,9 +841,21 @@ def g_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair generation — measured 20 s, because the object-hash
     # collect_set over the full fact table costs more than the extra
     # columnar shuffle it saves. Kept the join.
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
-    n = os_.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
+    #
+    # Partitioning: one explicit exchange on l_orderkey up front.
+    # HashPartitioning(l_orderkey) satisfies the clustered
+    # distribution of the (l_orderkey, l_suppkey) dedup, BOTH sides
+    # of the order-key self-join, and the per-order count — so the
+    # dedup, the join, and n_orders all run exchange-free on top of
+    # this single shuffle (measured: 1.70 -> 1.49 s at sf0.1).
+    os_ = (
+        li.select("l_orderkey", "l_suppkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+    )
+    n = (
+        os_.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     sc = os_.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
     a = os_.select("l_orderkey", F.col("l_suppkey").alias("supp_a"))
@@ -918,8 +930,18 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     order count.
     """
     li = load(spark, sf_dir, "lineitem")
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
-    n = os_.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    # Same single-exchange layout as g_bipartite_project: partition
+    # on l_orderkey once; dedup, self-join, and the order count all
+    # reuse it exchange-free.
+    os_ = (
+        li.select("l_orderkey", "l_suppkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+    )
+    n = (
+        os_.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
     sc = os_.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
     a = os_.select("l_orderkey", F.col("l_suppkey").alias("antecedent"))
     b = os_.select("l_orderkey", F.col("l_suppkey").alias("consequent"))
