@@ -111,9 +111,14 @@ def _shingle_tables(
         "id", F.array_distinct(shingles(n)).alias("shs")
     )
     sizes = base.select("id", F.size("shs").alias("n_sh"))
+    # xxhash64, not md5_long: hp never leaves any pairwise scorer
+    # (outputs are ids + counts/ratios), so only equality classes
+    # matter and they match the oracle's md5 join — at a fraction of
+    # the per-shingle cost. MinHash keeps md5_long: its VALUES feed
+    # the affine rehashes replicated verbatim in the oracle SQL.
     sh = base.select(
         "id", F.explode("shs").alias("sh")
-    ).select("id", md5_long(F.col("sh")).alias("hp")).cache()
+    ).select("id", F.xxhash64(F.col("sh")).alias("hp")).cache()
     return sh, sizes
 
 
@@ -385,11 +390,15 @@ def decontaminate_pairs(
     the training side. Returns (train_id, eval_id, n_shared), the
     count of distinct shared n-grams per contaminated pair.
     """
+    # xxhash64, not md5_long: the hash is internal-only (only ids and
+    # counts leave the plan), so equality classes are all that matter
+    # and they match the oracle's md5 join exactly — while costing a
+    # fraction of md5+hex+conv per shingle on the full-corpus side.
     tr = distinct_shingles(train, id_col, text_col, n).select(
-        F.col("id").alias("train_id"), md5_long(F.col("sh")).alias("hp")
+        F.col("id").alias("train_id"), F.xxhash64(F.col("sh")).alias("hp")
     )
     ev = distinct_shingles(eval_set, id_col, text_col, n).select(
-        F.col("id").alias("eval_id"), md5_long(F.col("sh")).alias("hp")
+        F.col("id").alias("eval_id"), F.xxhash64(F.col("sh")).alias("hp")
     )
     return (
         tr.join(F.broadcast(ev), "hp")

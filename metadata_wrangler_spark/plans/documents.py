@@ -436,7 +436,7 @@ def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (benchmark suites are MBs against a 100 TB corpus), so
     the sweep is one training-corpus scan with zero training-side
     shuffles before the per-pair count."""
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(spark, load(spark, sf_dir, "documents"))
     ev = docs.where(F.expr(_DECON_EVAL_PRED))
     tr = docs.where(~F.expr(_DECON_EVAL_PRED))
     return dedup.decontaminate_pairs(tr, ev, n=_DECON_N)
@@ -610,9 +610,11 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: duplicate 2-gram/5-gram
-    fractions (array-level, pure codegen) + top-2-gram share (one
-    explode + doc-keyed aggregates) + the keep/reject rule."""
-    return textstats.repetition_stats(load(spark, sf_dir, "documents"))
+    fractions and top-2-gram share, all array-level pure codegen
+    (zero shuffles — see repetition_stats), + the keep/reject rule."""
+    return textstats.repetition_stats(
+        widen(spark, load(spark, sf_dir, "documents"))
+    )
 
 
 @register(
