@@ -1260,23 +1260,40 @@ def txt_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE order carries a doc_id tiebreak: ties at a decile boundary
     would otherwise be split by partition order, and the two engines
     would disagree. The decile summary (count/min/max per bucket) is
-    the serving artifact. The global NTILE is a total order —
-    fine over the slim (doc_id, n_tokens) projection at report
-    scale, but at 100 TB compute decile CUT-POINTS with the
-    percentile plans (a_percentile_disc/cont) and bucket by range
-    comparison instead; exact global ranking is a serving-layer op
-    here exactly as in w_order_by_rank.
+    the serving artifact. The global NTILE is a total order, so it
+    is computed as global rank (operators/prefix.py's range-bucketed
+    distributed prefix scheme — no SinglePartition stage, balanced
+    partitions at any scale) plus NTILE's closed-form rank→tile
+    arithmetic; the oracle's flat NTILE(10) window is the semantic
+    spec.
 
     Reference analog: the percentile calibration utility
     (`bin/util/calculate_percentile:11-36`), bucketed instead of
     cut-pointed.
     """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
     d = load(spark, sf_dir, "documents")
     words = F.split(dedup.normalize_text(F.col("text")), " ")
     q = d.select("doc_id", F.size(words).cast("int").alias("n_tokens"))
-    w = W.orderBy("n_tokens", "doc_id")
+    # NTILE is rank arithmetic: with n rows and k tiles, the first
+    # n%k tiles hold n/k+1 rows and the rest n/k. The global rank
+    # comes from the range-bucketed distributed prefix operator and
+    # the tile from the closed form — bit-identical to the oracle's
+    # flat NTILE(10) window, with no SinglePartition stage.
+    tot = q.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        global_order_stats(q, [F.asc("n_tokens"), F.asc("doc_id")])
+        .crossJoin(F.broadcast(tot))
+        .withColumn("sz", F.expr("n DIV 10"))
+        .withColumn("r", F.expr("n % 10"))
+    )
+    decile = F.expr(
+        "CASE WHEN rn <= r * (sz + 1) THEN (rn - 1) DIV (sz + 1) + 1 "
+        "ELSE r + (rn - r * (sz + 1) - 1) DIV greatest(sz, 1) + 1 END"
+    ).cast("int")
     return (
-        q.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

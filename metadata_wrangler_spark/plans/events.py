@@ -2344,10 +2344,10 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two per-user conditional-min aggregates and a join
     (user-cardinality throughout); the distribution summary ranks
     the per-user deltas — converted-user cardinality, orders of
-    magnitude below events — with the usual discrete-percentile
-    rank probe. The oracle's flat window over deltas is the
-    semantic spec; at true scale the bit-length-bucketed prefix
-    rank substitutes (a_abc_pareto's technique).
+    magnitude below events but still data-sized — with the
+    range-bucketed distributed prefix rank (operators/prefix.py)
+    and a one-row broadcast total. The oracle's flat window over
+    deltas is the semantic spec.
     """
     ev = load(spark, sf_dir, "events")
     e = ev.select(
@@ -2365,19 +2365,19 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ep") > F.col("t_view"))
         .groupBy("user_id").agg(F.min("ep").alias("t_buy"))
     )
-    d = (
-        p.join(v, "user_id")
-        .select(
-            "user_id", (F.col("t_buy") - F.col("t_view")).alias("delta_s")
-        )
-        .select(
-            "delta_s",
-            F.row_number().over(
-                W.orderBy("delta_s", "user_id")
-            ).alias("rn"),
-            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-        )
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    conv = p.join(v, "user_id").select(
+        "user_id", (F.col("t_buy") - F.col("t_view")).alias("delta_s")
     )
+    # One row per CONVERTING USER — scales with users, so the global
+    # rank comes from the range-bucketed distributed prefix operator
+    # and the total from a one-row broadcast, not from the flat
+    # row_number()/count() global windows this plan shipped with.
+    tot = conv.agg(F.count(F.lit(1)).alias("n"))
+    d = global_order_stats(
+        conv, [F.asc("delta_s"), F.asc("user_id")]
+    ).crossJoin(F.broadcast(tot)).select("delta_s", "rn", "n")
     med = F.min(
         F.when(
             F.col("rn") == F.floor((F.col("n") - 1) * 0.5)

@@ -480,16 +480,22 @@ def a_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation. `a_percentile_cont` is the
     single-pass aggregate variant.
     """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
     c = load(spark, sf_dir, "customer")
-    # Pre-aggregate to per-value counts first: the only ordered pass
-    # is the cumulative sum over |distinct values| rows (map-side
-    # partial agg shrinks the shuffle; no row-level global sort).
+    # Pre-aggregate to per-value counts first (map-side partial agg
+    # shrinks the shuffle), then take the cumulative count with the
+    # range-bucketed distributed prefix sum — |distinct values| is
+    # NOT bounded (acctbal is near-continuous, distincts scale with
+    # customers), so a flat Window.orderBy here would be the
+    # SinglePartition trap operators/prefix.py exists to kill.
     counts = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("cnt"))
-    cum_w = W.orderBy("c_acctbal").rowsBetween(W.unboundedPreceding, 0)
-    cum = counts.select(
+    cum = global_order_stats(
+        counts, [F.asc("c_acctbal")], cum_cols=["cnt"], rank_col=None
+    ).select(
         "c_acctbal",
-        F.sum("cnt").over(cum_w).alias("cum"),
-        (F.sum("cnt").over(cum_w) - F.col("cnt")).alias("prev"),
+        F.col("cum_cnt").alias("cum"),
+        (F.col("cum_cnt") - F.col("cnt")).alias("prev"),
     )
     total = c.agg(F.count(F.lit(1)).alias("n"))
     pcts = spark.createDataFrame([(0.25,), (0.50,), (0.75,), (0.90,)], "p double")
@@ -1843,16 +1849,16 @@ def a_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fact table collapses to one row per supplier
     FIRST (map-side-partial hash aggregate — the only stage that
     touches raw lineitem). The cumulative sum over suppliers is the
-    textbook SinglePartition trap, so the Spark side computes it as
-    a DISTRIBUTED PREFIX SUM (same technique as
-    ev_concurrency_sweep): running sums within revenue-magnitude
-    buckets (window partitioned by the revenue's bit length —
-    bit_length is monotone in qrev, so bucket order is consistent
-    with the global ORDER BY qrev DESC), per-bucket totals, each
-    bucket's offset via a broadcast triangular join over the bucket
-    totals (at most 64 buckets), then offset + local sum. The
-    oracle's flat global window is the semantic spec.
+    textbook SinglePartition trap, so the Spark side computes it
+    with the DISTRIBUTED PREFIX operator (operators/prefix.py):
+    range-bucketed running sums (balanced partitions by sampled
+    boundaries — immune to the magnitude skew a bit-length bucket
+    key suffers when most revenues cluster in one decade), bucket
+    offsets via a broadcast triangular join, offset + local sum.
+    The oracle's flat global window is the semantic spec.
     """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
     li = load(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
@@ -1860,43 +1866,20 @@ def a_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qrev")
     )
     tot = rev.agg(F.sum("qrev").alias("total"))
-    # distributed prefix sum over (qrev DESC, suppkey ASC); bucket by
-    # the revenue's bit length (bin() emits no leading zeros)
-    b = rev.withColumn("blen", F.length(F.bin("qrev")))
-    within = W.partitionBy("blen").orderBy(
-        F.desc("qrev"), F.asc("suppkey")
-    ).rowsBetween(W.unboundedPreceding, 0)
-    local = (
-        b.withColumn("cum_local", F.sum("qrev").over(within))
-        .withColumn(
-            "rn_local",
-            F.row_number().over(
-                W.partitionBy("blen").orderBy(F.desc("qrev"),
-                                              F.asc("suppkey"))
-            ),
-        )
-    )
-    totals = b.groupBy("blen").agg(
-        F.sum("qrev").alias("b_sum"), F.count(F.lit(1)).alias("b_n")
-    )
-    t1 = totals.select(F.col("blen").alias("b_a"))
-    t2 = totals.select(F.col("blen").alias("b_b"), "b_sum", "b_n")
-    offsets = (
-        t1.join(F.broadcast(t2), F.col("b_b") > F.col("b_a"), "left")
-        .groupBy("b_a")
-        .agg(
-            F.coalesce(F.sum("b_sum"), F.lit(0)).alias("off_sum"),
-            F.coalesce(F.sum("b_n"), F.lit(0)).alias("off_n"),
-        )
-        .select(F.col("b_a").alias("blen"), "off_sum", "off_n")
-    )
+    # distributed prefix sum over (qrev DESC, suppkey ASC) — the
+    # range-bucketed operator (balanced partitions even when most
+    # revenues share a magnitude; this plan's first spelling
+    # bucketed by bit length, which skews exactly then)
     ranked = (
-        local.join(F.broadcast(offsets), "blen")
+        global_order_stats(
+            rev,
+            [F.desc("qrev"), F.asc("suppkey")],
+            cum_cols=["qrev"],
+            rank_col="rev_rank",
+        )
         .select(
-            "suppkey",
-            "qrev",
-            (F.col("off_n") + F.col("rn_local")).alias("rev_rank"),
-            (F.col("off_sum") + F.col("cum_local")).alias("cum"),
+            "suppkey", "qrev", "rev_rank",
+            F.col("cum_qrev").alias("cum"),
         )
         .crossJoin(F.broadcast(tot))
     )

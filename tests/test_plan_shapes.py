@@ -130,17 +130,67 @@ def test_recursive_cte_uses_native_union_loop(spark, queries):
     assert "UnionLoop" in plan
 
 
+def _single_partition_windows(df):
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from plan_audit import single_partition_windows
+
+    return single_partition_windows(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def test_abc_pareto_has_no_single_partition_window(spark, queries):
     """The Pareto cumulative share must come from the distributed
-    prefix sum (bit-length buckets), never a flat global window.
-    (The plan legitimately contains one Exchange SinglePartition for
-    the 1-row grand-total scalar — same as every scalar aggregate —
-    so the assert targets windows, mirroring tools/plan_audit.py.)"""
-    plan = explain_str(queries["a_abc_pareto"](spark, SF))
-    assert not any(
-        "SinglePartition" in line and "Window" in line
-        for line in plan.splitlines()
+    prefix sum, never a flat global window. (The plan legitimately
+    contains one Exchange SinglePartition for the 1-row grand-total
+    scalar — same as every scalar aggregate — so the assert targets
+    windows via the chain-walking detector in tools/plan_audit.py.)"""
+    assert not _single_partition_windows(
+        queries["a_abc_pareto"](spark, SF)
     )
+
+
+def test_no_unbounded_single_partition_window_anywhere(spark, queries):
+    """EVERY registered query plans without a Window fed by an
+    unbounded Exchange SinglePartition — the stage that serializes
+    the whole input through one task at 100 TB. Planning-only sweep
+    (nothing executes). The two serving-layer twins whose window
+    input is bounded by contract, not by a planner-visible limit,
+    are pinned by name (tools/plan_audit.py documents each bound);
+    anything new that global-windows raw rows fails here the day it
+    lands — the round-4 audit's same-line string match could never
+    fire, and three real offenders (a_percentile_disc,
+    ev_time_to_convert, txt_quality_deciles) hid under it until
+    round 5 rewrote them on operators/prefix.py."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from plan_audit import SINGLE_PARTITION_BOUNDED
+
+    offenders = {}
+    for name, fn in queries.items():
+        if name in SINGLE_PARTITION_BOUNDED:
+            continue
+        hits = _single_partition_windows(fn(spark, SF))
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"unbounded global windows: {offenders}"
 
 
 def test_contamination_and_overlap_broadcast_small_sides(spark, queries):

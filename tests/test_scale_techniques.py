@@ -85,3 +85,95 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_left")
         spark.sql("DROP TABLE IF EXISTS t_bucket_right")
+
+
+# --- distributed global order statistics (operators/prefix.py) -------------
+
+
+def test_global_order_stats_matches_flat_window(spark):
+    """The range-bucketed prefix scheme must reproduce the flat
+    global window EXACTLY — rank and running sum — on skewed data
+    (one value covering a third of all rows, so range boundaries
+    land inside a tie run) and regardless of bucket count."""
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    df = spark.range(0, 900).select(
+        F.col("id"),
+        # heavy skew: ids 0..299 share key 7; the rest spread out
+        F.when(F.col("id") < 300, F.lit(7))
+        .otherwise((F.col("id") * 37) % 101).alias("k"),
+        ((F.col("id") * 13) % 50 + 1).alias("v"),
+    )
+    order = [F.asc("k"), F.asc("id")]
+    got = {
+        r["id"]: (r["rn"], r["cum_v"])
+        for r in global_order_stats(
+            df, order, cum_cols=["v"], npart=7
+        ).collect()
+    }
+    flat = W.orderBy(*order)
+    want = {
+        r["id"]: (r["rn"], r["cum_v"])
+        for r in df.select(
+            "id",
+            F.row_number().over(flat).cast("bigint").alias("rn"),
+            F.sum("v").over(
+                flat.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).alias("cum_v"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_order_stats_descending_and_rankless(spark):
+    """Descending primary order; cum-only mode (rank_col=None)."""
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    df = spark.range(0, 400).select(
+        F.col("id"), ((F.col("id") * 7) % 23).alias("k")
+    )
+    order = [F.desc("k"), F.asc("id")]
+    got = {
+        r["id"]: r["cum_k"]
+        for r in global_order_stats(
+            df, order, cum_cols=["k"], rank_col=None, npart=5
+        ).collect()
+    }
+    flat = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r["id"]: r["cum_k"]
+        for r in df.select("id", F.sum("k").over(flat).alias("cum_k"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_global_order_stats_plan_has_no_single_partition_window(spark):
+    """The operator's own plan must pass the audit it exists to
+    satisfy: every window partitioned, offsets via broadcast join."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from plan_audit import single_partition_windows
+
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 9).alias("k")
+    )
+    out = global_order_stats(
+        df, [F.asc("k"), F.asc("id")], cum_cols=["k"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not single_partition_windows(plan)
