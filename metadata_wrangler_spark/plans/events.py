@@ -1403,8 +1403,16 @@ def a_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine Spark gives a COUNT groupBy), total state d·w = 1024
     cells regardless of cardinality — THE sketch for per-key
     frequency at 100 TB where exact per-user counts would be a
-    full-cardinality shuffle. The probe join broadcasts the 1024-row
-    counter table; nothing user-cardinality-sized moves twice.
+    full-cardinality shuffle. THIS report also outputs the exact
+    top-{_CMS_TOP} (the bias column), so it pays that per-user
+    aggregate regardless — and the counters are therefore built
+    from the per-user counts it already has (counter value = sum of
+    member users' counts): one events scan, {_CMS_D} hashes per
+    USER instead of per event, bit-identical counters. A
+    sketch-only deployment drops the topu branch and hashes raw
+    events straight into the 1024 map-side-combined cells. The
+    probe join broadcasts the 1024-row counter table; nothing
+    user-cardinality-sized moves twice.
     """
     ev = load(spark, sf_dir, "events")
     from metadata_wrangler_spark.operators.dedup import md5_long
@@ -1414,19 +1422,24 @@ def a_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(r_col.cast("string"), F.lit("_"), u_col.cast("string"))
         ) % _CMS_W
 
-    rows = ev.select(
-        "user_id", F.explode(F.array([F.lit(i) for i in range(_CMS_D)]))
-        .alias("r")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_n")
     )
     counters = (
-        rows.select("r", bucket(F.col("r"), F.col("user_id")).alias("bucket"))
+        per_user.select(
+            "user_id", "exact_n",
+            F.explode(F.array([F.lit(i) for i in range(_CMS_D)]))
+            .alias("r"),
+        )
+        .select(
+            "r", bucket(F.col("r"), F.col("user_id")).alias("bucket"),
+            "exact_n",
+        )
         .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact_n").alias("c"))
     )
     topu = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        per_user.orderBy(F.desc("exact_n"), F.asc("user_id"))
         .limit(_CMS_TOP)
         .withColumn(
             "rank",

@@ -292,3 +292,40 @@ def test_closing_ops_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert one == many
+
+
+def test_global_order_stats_property(spark):
+    """Random keys with heavy ties + random partition counts: the
+    range-bucketed prefix operator's rank and running sum must equal
+    the flat prefix computed independently in Python, for every
+    npart (boundaries falling inside tie runs included)."""
+    from hypothesis import given, settings, strategies as st2
+
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    @settings(max_examples=1, deadline=None)
+    @given(
+        st2.lists(
+            st2.tuples(st2.integers(0, 5), st2.integers(1, 9)),
+            min_size=40, max_size=120,
+        ),
+        st2.integers(1, 11),
+    )
+    def run(pairs, npart):
+        rows = [(i, k, v) for i, (k, v) in enumerate(pairs)]
+        df = spark.createDataFrame(rows, "id long, k long, v long")
+        got = {
+            r["id"]: (r["rn"], r["cum_v"])
+            for r in global_order_stats(
+                df, [F.asc("k"), F.asc("id")], cum_cols=["v"], npart=npart
+            ).collect()
+        }
+        want, cum = {}, 0
+        for rn, (i, k, v) in enumerate(
+            sorted(rows, key=lambda r: (r[1], r[0])), start=1
+        ):
+            cum += v
+            want[i] = (rn, cum)
+        assert got == want
+
+    run()
