@@ -542,6 +542,11 @@ def cosine_topk_arrow(
     import pandas as pd
 
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        # empty query set: a valid empty result, not a crash
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank int"
+        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     nq, dim = qm.shape

@@ -2238,7 +2238,10 @@ def ev_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click_1h",
             "n_purchase_1h",
-            F.expr("(1000000 * n_purchase_1h) DIV n_view")
+            # nullif: an EMPTY funnel (no views at all) reports NULL
+            # conversion, not a divide-by-zero crash; non-empty
+            # inputs are untouched (DIV by a non-zero count).
+            F.expr("(1000000 * n_purchase_1h) DIV nullif(n_view, 0)")
             .alias("conversion_ppm"),
         )
     )

@@ -1,0 +1,54 @@
+"""Every registered query must RUN on empty input tables.
+
+An empty partition of data is routine in production — a day with no
+events, a source that delivered nothing, a filter that matched zero
+rows upstream — and "crashes on empty" is the classic boundary bug
+in driver-side matrix collects (`.shape` unpacks) and scalar
+denominators. This sweep runs ALL registered queries against a
+schema-identical but zero-row mirror of the testdata and asserts
+none raises; results may legitimately be empty or NULL-valued.
+
+Found by the first run of this sweep (round 5) and fixed:
+  - cosine_topk_arrow unpacked `qm.shape` on a 0-row query matrix
+    (operators/similarity.py) — now returns a typed empty result,
+    matching the guard the LSH scorer already had;
+  - ev_funnel_bounded divided by a zero view count
+    (plans/events.py) — now NULL via nullif, non-empty unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    from metadata_wrangler_spark.catalog import load
+
+    dst = str(tmp_path_factory.mktemp("sf_empty"))
+    for t in TABLES:
+        load(spark, SRC, t).limit(0).write.mode("overwrite").parquet(
+            os.path.join(dst, t + ".parquet")
+        )
+    return dst
+
+
+def test_every_query_runs_on_empty_tables(spark, empty_dir):
+    from metadata_wrangler_spark.plans import QUERIES, load_all_plans
+
+    load_all_plans()
+    failures = {}
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, empty_dir).collect()
+        except Exception as e:  # noqa: BLE001 - we report them all
+            failures[name] = f"{type(e).__name__}: {str(e)[:140]}"
+    assert not failures, f"{len(failures)} queries crash on empty: {failures}"
