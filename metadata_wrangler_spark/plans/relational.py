@@ -2108,10 +2108,10 @@ def a_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float accumulation anywhere.
 
     Scale shape: one rank window per priority group (parallel
-    across groups; at 100 TB the same bit-length-bucketed
-    distributed prefix rank as a_abc_pareto substitutes for the
-    per-group sort) followed by one hash aggregate — the fact table
-    shuffles once, keyed by group.
+    across groups; at 100 TB the range-bucketed distributed prefix
+    rank — operators/prefix.py, as in a_abc_pareto — substitutes
+    for the per-group sort) followed by one hash aggregate — the
+    fact table shuffles once, keyed by group.
     """
     o = load(spark, sf_dir, "orders")
     q = o.select(
@@ -2185,8 +2185,8 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value, order key, line number), all in integer arithmetic.
 
     Scale shape: one cumulative window per group (partitioned by
-    flag — parallel across groups; the bit-length-bucketed prefix
-    sum of a_abc_pareto substitutes if one group outgrows a
+    flag — parallel across groups; the range-bucketed prefix sum of
+    operators/prefix.py substitutes if one group outgrows a
     partition's sort budget) and one hash aggregate.
     """
     li = load(spark, sf_dir, "lineitem")
