@@ -94,7 +94,11 @@ def image_features(
                 )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    # NULL payloads (no media delivered) are excluded, the same
+    # way SQL aggregates skip NULLs — never a worker crash.
+    return df.select(id_col, payload_col).where(
+        F.col(payload_col).isNotNull()
+    ).mapInPandas(
         work, schema=IMAGE_FEATURES_SCHEMA
     )
 
@@ -132,7 +136,11 @@ def sample_frames(
                     rows["frame_md5"].append(h)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    # NULL payloads (no media delivered) are excluded, the same
+    # way SQL aggregates skip NULLs — never a worker crash.
+    return df.select(id_col, payload_col).where(
+        F.col(payload_col).isNotNull()
+    ).mapInPandas(
         work, schema=FRAME_SAMPLE_SCHEMA
     )
 
@@ -194,6 +202,10 @@ def audio_window_features(
                     )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    # NULL payloads (no media delivered) are excluded, the same
+    # way SQL aggregates skip NULLs — never a worker crash.
+    return df.select(id_col, payload_col).where(
+        F.col(payload_col).isNotNull()
+    ).mapInPandas(
         work, schema=AUDIO_WINDOW_SCHEMA
     )

@@ -107,6 +107,11 @@ def cosine_topk(
     similarity then corpus id, so results are stable across
     partitionings and engines.
     """
+    # NULL vectors are excluded up front (pushed to the scan), the
+    # way SQL aggregates skip NULLs — same rule across every
+    # similarity entry point.
+    queries = queries.where(F.col(vec_col).isNotNull())
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     # Norms are precomputed per vector BEFORE the pair join — the
     # naive per-pair spelling recomputes each norm |corpus| (resp.
     # |queries|) times.
@@ -145,7 +150,7 @@ def hyperplane_buckets(
     caller (deterministic — derived from a seed, not Math.random, so
     plans are reproducible and resumable).
     """
-    return df.select(
+    return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col),
         F.expr(_bucket_sql(vec_col, planes)).cast("int").alias("bucket"),
     )
@@ -246,7 +251,7 @@ def ivf_assign(
             _dot_plane_sql(vec_col, c) for c in centroids
         ) + ")"
     )
-    return df.select(
+    return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.col(vec_col),
         scores.alias("cell_scores"),
@@ -418,7 +423,10 @@ def lsh_cosine_topk_multitable(
         gen, schema = multitable_bucket_pass(
             tables, id_col=id_col, vec_col=vec_col, out_id=out_id
         )
-        return df.mapInPandas(gen, schema=schema)
+        # NULL vectors never cross the Arrow boundary
+        return df.where(F.col(vec_col).isNotNull()).mapInPandas(
+            gen, schema=schema
+        )
 
     cb = bucketed(corpus, "corpus_id")
     if query_pred is not None:
@@ -433,6 +441,8 @@ def lsh_cosine_topk_multitable(
     else:
         qb = bucketed(queries, "query_id")
         qdf = queries
+    # the driver-side query matrix must hold only real vectors
+    qdf = qdf.where(F.col(vec_col).isNotNull())
     cand = (
         cb.join(F.broadcast(qb), ["table_no", "bucket"])
         .where(F.col("query_id") != F.col("corpus_id"))
@@ -541,6 +551,10 @@ def cosine_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    # NULL vectors are excluded JVM-side (both sides) before any
+    # matrix is built or crosses the Arrow boundary.
+    queries = queries.where(F.col(vec_col).isNotNull())
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
         # empty query set: a valid empty result, not a crash
@@ -621,6 +635,7 @@ def cosine_pairs_arrow(
     import pandas as pd
 
     out_schema = "id_a long, id_b long, cosine double"
+    bucketed = bucketed.where(F.col(vec_col).isNotNull())
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
@@ -748,6 +763,7 @@ def rp_project_arrow(
     import pandas as pd
 
     R = np.array(planes, dtype=np.float64).T  # dim × n_planes
+    df = df.where(F.col(vec_col).isNotNull())
 
     def project(batches):
         for pdf in batches:

@@ -799,7 +799,11 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return binary.mapInPandas(_extract_features, schema=_MM_SCHEMA)
+    # NULL payloads (no media) are excluded like every multimodal
+    # operator does — never a worker crash.
+    return binary.where(F.col("payload").isNotNull()).mapInPandas(
+        _extract_features, schema=_MM_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
