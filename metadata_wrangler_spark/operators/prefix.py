@@ -57,34 +57,59 @@ def global_order_stats(
     df: DataFrame,
     order: Sequence[Column],
     *,
+    group_cols: Sequence[str] = (),
     cum_cols: Sequence[str] = (),
     rank_col: str | None = "rn",
     npart: int | None = None,
 ) -> DataFrame:
-    """Add a global ``rank_col`` (1-based ``row_number`` over
+    """Add a ``rank_col`` (1-based ``row_number`` over
     ``ORDER BY *order``) and, for each name in ``cum_cols``, a
     running-total column ``cum_<name>`` (rows unbounded-preceding to
     current), computed with the range-bucketed prefix scheme above —
     no stage ever holds more than ~n/P rows.
 
+    ``group_cols`` (optional) makes every statistic PER GROUP —
+    the skew-proof replacement for ``Window.partitionBy(flag)``
+    over a LOW-CARDINALITY key, where "parallel across groups"
+    still means one task sorts ``n/|groups|`` rows (a third of the
+    fact table for a 3-value flag — the same serialization trap as
+    the global window, wearing a partition key). Groups lead the
+    range sort, so each group occupies a contiguous bucket range;
+    the offset join adds a group-equality conjunct and the totals
+    table stays ≤ P + |groups| rows.
+
     ``order`` are Column sort expressions with direction applied
-    (``F.asc(...)`` / ``F.desc(...)``); together they must be a
-    TOTAL order (add a unique tiebreak) and non-null — otherwise
-    ranks inside a tie group follow partition order and differ
-    between engines. Output values are independent of ``npart`` and
-    of where the sampled range boundaries fall: boundaries respect
-    the full order tuple, so every tie group is contiguous across
-    at most one partition edge and local ranks + offsets compose to
-    the same global numbers.
+    (``F.asc(...)`` / ``F.desc(...)``); together with the group
+    they must be a TOTAL order (add a unique tiebreak) and non-null
+    — otherwise ranks inside a tie group follow partition order and
+    differ between engines. Output values are independent of
+    ``npart`` and of where the sampled range boundaries fall:
+    boundaries respect the full (group, order) tuple, so every tie
+    group is contiguous across at most one partition edge and local
+    ranks + offsets compose to the same numbers.
     """
     if npart is None:
         npart = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    b = df.repartitionByRange(npart, *order).withColumn(
-        _B, F.spark_partition_id()
+    gcols = list(group_cols)
+    sort_exprs = [F.asc(g) for g in gcols] + list(order)
+    # localCheckpoint is LOAD-BEARING: the bucketed frame feeds two
+    # consumers (the windowed side and the offsets aggregate, which
+    # rides a broadcast build and therefore plans as a separate
+    # subtree). Without pinning, each consumer can re-execute the
+    # range exchange with its OWN sampled boundaries — bucket ids
+    # then disagree between the sides and offsets are added to the
+    # wrong rows (observed: per-group row counts flapping run to
+    # run in a_weighted_median before this line existed). One
+    # materialization of the projected input, same storage class as
+    # a shuffle write.
+    b = (
+        df.repartitionByRange(npart, *sort_exprs)
+        .withColumn(_B, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    w = W.partitionBy(_B).orderBy(*order)
+    w = W.partitionBy(_B, *gcols).orderBy(*order)
     wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     loc = b
     if rank_col is not None:
@@ -95,12 +120,18 @@ def global_order_stats(
     aggs = [F.count(F.lit(1)).alias("__gos_n")] + [
         F.sum(c).alias(f"__gos_s_{c}") for c in cum_cols
     ]
-    totals = b.groupBy(_B).agg(*aggs)
-    t1 = totals.select(F.col(_B).alias("__gos_a"))
+    totals = b.groupBy(_B, *gcols).agg(*aggs)
+    t1 = totals.select(
+        F.col(_B).alias("__gos_a"),
+        *[F.col(g).alias(f"__gos_g_{g}") for g in gcols],
+    ).distinct()
     t2 = totals.withColumnRenamed(_B, "__gos_b")
+    cond = F.col("__gos_b") < F.col("__gos_a")
+    for g in gcols:
+        cond = cond & (F.col(g) == F.col(f"__gos_g_{g}"))
     offsets = (
-        t1.join(F.broadcast(t2), F.col("__gos_b") < F.col("__gos_a"), "left")
-        .groupBy("__gos_a")
+        t1.join(F.broadcast(t2), cond, "left")
+        .groupBy("__gos_a", *[f"__gos_g_{g}" for g in gcols])
         .agg(
             F.coalesce(F.sum("__gos_n"), F.lit(0)).alias("__gos_off_n"),
             *[
@@ -112,7 +143,9 @@ def global_order_stats(
         )
         .withColumnRenamed("__gos_a", _B)
     )
-    out = loc.join(F.broadcast(offsets), _B)
+    for g in gcols:
+        offsets = offsets.withColumnRenamed(f"__gos_g_{g}", g)
+    out = loc.join(F.broadcast(offsets), [_B, *gcols])
     if rank_col is not None:
         out = out.withColumn(
             rank_col, F.col("__gos_off_n") + F.col(rank_col)

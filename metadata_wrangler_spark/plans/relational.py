@@ -2107,12 +2107,17 @@ def a_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT/DECIMAL integer arithmetic and emitted as exact ppm —
     no float accumulation anywhere.
 
-    Scale shape: one rank window per priority group (parallel
-    across groups; at 100 TB the range-bucketed distributed prefix
-    rank — operators/prefix.py, as in a_abc_pareto — substitutes
-    for the per-group sort) followed by one hash aggregate — the
-    fact table shuffles once, keyed by group.
+    Scale shape: the per-priority rank rides the GROUPED
+    range-bucketed prefix operator (operators/prefix.py,
+    group_cols=priority). A plain Window.partitionBy(priority) is
+    "parallel across groups" in name only — 5 priority classes over
+    the full fact table means one task sorts a fifth of the data;
+    the grouped prefix keeps every task at ~n/P rows regardless of
+    group cardinality. One balanced shuffle, then one hash
+    aggregate.
     """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
     o = load(spark, sf_dir, "orders")
     q = o.select(
         "o_orderkey",
@@ -2120,12 +2125,11 @@ def a_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
         .cast("bigint").alias("qv"),
     )
-    r = q.select(
-        "o_orderpriority",
-        "qv",
-        F.row_number().over(
-            W.partitionBy("o_orderpriority").orderBy("qv", "o_orderkey")
-        ).alias("rn"),
+    r = global_order_stats(
+        q,
+        [F.asc("qv"), F.asc("o_orderkey")],
+        group_cols=["o_orderpriority"],
+        rank_col="rn",
     )
     d20 = "decimal(20,0)"
     agg = r.groupBy(F.col("o_orderpriority").alias("priority")).agg(
@@ -2184,11 +2188,16 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses half the group total, with a deterministic tie order
     (value, order key, line number), all in integer arithmetic.
 
-    Scale shape: one cumulative window per group (partitioned by
-    flag — parallel across groups; the range-bucketed prefix sum of
-    operators/prefix.py substitutes if one group outgrows a
-    partition's sort budget) and one hash aggregate.
+    Scale shape: the per-flag running weight rides the GROUPED
+    range-bucketed prefix operator (operators/prefix.py,
+    group_cols=flag). l_returnflag has THREE values — a plain
+    Window.partitionBy(flag) would hand one task a third of the
+    fact table to sort; the grouped prefix keeps every task at
+    ~n/P rows. Group totals come from a 3-row broadcast aggregate,
+    then one hash aggregate finds the crossing value.
     """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
     li = load(spark, sf_dir, "lineitem")
     q = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -2198,17 +2207,15 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    wcum = (
-        W.partitionBy("flag")
-        .orderBy("qv", "l_orderkey", "l_linenumber")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    r = q.select(
-        "flag",
-        "qv",
-        "wt",
-        F.sum("wt").over(wcum).alias("cum"),
-        F.sum("wt").over(W.partitionBy("flag")).alias("tot"),
+    tot = q.groupBy("flag").agg(F.sum("wt").alias("tot"))
+    r = global_order_stats(
+        q,
+        [F.asc("qv"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        group_cols=["flag"],
+        cum_cols=["wt"],
+        rank_col=None,
+    ).join(F.broadcast(tot), "flag").select(
+        "flag", "qv", F.col("cum_wt").alias("cum"), "tot"
     )
     return r.groupBy("flag").agg(
         F.count(F.lit(1)).alias("n_rows"),

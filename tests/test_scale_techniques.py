@@ -177,3 +177,66 @@ def test_global_order_stats_plan_has_no_single_partition_window(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert not single_partition_windows(plan)
+
+
+def test_global_order_stats_grouped_matches_flat_window(spark):
+    """group_cols mode must equal Window.partitionBy(group) exactly
+    — rank and running sum — including groups that span range-bucket
+    boundaries (3 groups over 6 buckets guarantees it)."""
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    df = spark.range(0, 1200).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 31) % 97).alias("v"),
+    )
+    got = {
+        r["id"]: (r["rn"], r["cum_v"])
+        for r in global_order_stats(
+            df, [F.asc("v"), F.asc("id")], group_cols=["g"],
+            cum_cols=["v"], npart=6,
+        ).collect()
+    }
+    flat = W.partitionBy("g").orderBy("v", "id")
+    want = {
+        r["id"]: (r["rn"], r["cum_v"])
+        for r in df.select(
+            "id",
+            F.row_number().over(flat).cast("bigint").alias("rn"),
+            F.sum("v").over(
+                flat.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).alias("cum_v"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_order_stats_repeated_runs_are_stable(spark):
+    """The bucketed frame feeds two plan subtrees (windows + the
+    broadcast offsets build). Before the operator pinned it with
+    localCheckpoint, each subtree could re-sample its OWN range
+    boundaries — bucket ids disagreed between the sides and the
+    offset join attached wrong (or no) offsets: a_weighted_median's
+    per-group row counts FLAPPED across executions. Five runs must
+    produce identical full outputs."""
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    df = spark.range(0, 20000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 17) % 5000).alias("v"),
+    )
+    outs = set()
+    for _ in range(5):
+        rows = global_order_stats(
+            df, [F.asc("v"), F.asc("id")], group_cols=["g"],
+            cum_cols=["v"], npart=7,
+        ).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rn").alias("srn"),
+            F.sum("cum_v").alias("scum"),
+        ).collect()
+        outs.add(tuple(sorted(tuple(r) for r in rows)))
+    assert len(outs) == 1, f"unstable across runs: {len(outs)} variants"
