@@ -940,24 +940,29 @@ def txt_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count before the doc, integer-divided by the budget) — the
     deterministic greedy layout a pretraining loader consumes.
 
-    Scale shape: packing is inherently sequential, so it runs WITHIN
-    a shard key (source), never as one global window — each source's
-    window sorts inside its own partition, no single-partition
-    bottleneck; at 100 TB the shard key is (source, date) and the
-    window never sees more than a shard.
+    Scale shape: packing is inherently sequential WITHIN a shard
+    key (source), and a handful of sources cover the whole corpus —
+    a plain partitionBy(source) window would hand one task an
+    entire source to scan. The running token count rides the
+    GROUPED range-bucketed prefix operator instead
+    (operators/prefix.py): balanced tasks, same contiguous greedy
+    layout; cum_before = running total MINUS the row's own tokens.
+    At 100 TB the shard key becomes (source, date) and the same
+    plan applies unchanged.
     """
     from metadata_wrangler_spark.operators.dedup import normalize_text
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
     docs = load(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(normalize_text(F.col("text")), " "))
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    packed = docs.select(
-        "source", "doc_id", n_tokens.cast("bigint").alias("n_tokens")
+    packed = global_order_stats(
+        docs.select(
+            "source", "doc_id", n_tokens.cast("bigint").alias("n_tokens")
+        ),
+        [F.asc("doc_id")],
+        group_cols=["source"], cum_cols=["n_tokens"], rank_col=None,
     ).withColumn(
-        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        "cum_before", F.col("cum_n_tokens") - F.col("n_tokens")
     )
     return (
         packed.groupBy(
@@ -2435,23 +2440,26 @@ def txt_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     starve small strata — and stable under reruns and engine moves,
     the property a reproducible data recipe needs.
 
-    Scale shape: one window per stratum (partitioned by lang — no
-    global sort; strata sort in parallel). At 100 TB a stratum may
-    exceed one partition's sort budget; then the same two-phase
-    trick as a_abc_pareto applies (bucket by md5 prefix within the
-    stratum, broadcast bucket-count offsets) — the assignment rule
-    itself is unchanged since it only needs rank and stratum size.
+    Scale shape: the per-stratum rank rides the GROUPED
+    range-bucketed prefix operator (operators/prefix.py — strata
+    are a handful of languages over ALL documents, so a plain
+    partitionBy(lang) window would hand one task an entire
+    stratum to sort); stratum sizes come from a broadcast
+    aggregate. The assignment rule itself is unchanged — it only
+    needs rank and stratum size.
     """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
     docs = load(spark, sf_dir, "documents")
-    win = W.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
-    )
-    r = docs.select(
-        "doc_id",
-        "lang",
-        F.row_number().over(win).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
-    )
+    tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    r = global_order_stats(
+        docs.select(
+            "doc_id", "lang",
+            F.md5(F.col("doc_id").cast("string")).alias("__h"),
+        ),
+        [F.asc("__h"), F.asc("doc_id")],
+        group_cols=["lang"], rank_col="rn",
+    ).join(F.broadcast(tot), "lang")
     return r.select(
         "doc_id",
         "lang",

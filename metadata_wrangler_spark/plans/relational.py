@@ -1723,21 +1723,33 @@ def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization needed. The deterministic (c_acctbal, c_custkey)
     order makes tie handling hash-stable.
 
-    Scale design: one hash-partitioned window keyed on
-    c_mktsegment; the filter pushes to the scan. No global sort —
-    segments sort independently. Skewed segments would ride AQE's
-    skew-split; at 100 TB the same query phrases as the percentile
-    cut-point twin (`a_percentile_disc`) if a segment outgrows a
-    partition.
+    Scale design: the per-segment rank rides the GROUPED
+    range-bucketed prefix operator (operators/prefix.py) —
+    c_mktsegment has FIVE values, so a plain
+    partitionBy(c_mktsegment) window sorts a fifth of all customers
+    in one task. The filter pushes to the scan; per-segment totals
+    come from a broadcast aggregate. percent_rank = (rn−1)/(n−1)
+    and — because the order tuple ends in the unique c_custkey,
+    every row is its own peer group — cume_dist = rn/n, both single
+    exact IEEE divisions as before.
     """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
     c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    tot = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_order_stats(
+        c.select("c_mktsegment", "c_custkey", "c_acctbal"),
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        group_cols=["c_mktsegment"], rank_col="rn",
+    ).join(F.broadcast(tot), "c_mktsegment")
+    return ranked.select(
         "c_mktsegment",
         "c_custkey",
         "c_acctbal",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume_dist"),
+        F.when(F.col("n") > 1,
+               (F.col("rn") - 1) / (F.col("n") - 1))
+        .otherwise(F.lit(0.0)).alias("pct_rank"),
+        (F.col("rn") / F.col("n")).alias("cume_dist"),
     )
 
 
@@ -2011,13 +2023,18 @@ def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank floor((n-1)/2)+1, ties broken by event_id), so the result
     is engine-portable with no interpolation arithmetic.
 
-    Scale shape: two windowed passes, each partitioned by
-    event_type (parallel across groups; no global sort) with a
-    broadcast-size median table joined back between them. At 100 TB
-    a per-group pass over raw rows is the honest cost of an exact
+    Scale shape: two ranked passes, each on the GROUPED
+    range-bucketed prefix operator (operators/prefix.py — event_type
+    has a handful of values, so a plain partitionBy(event_type)
+    window would hand one task 1/|types| of all events to sort),
+    with a broadcast-size median table joined back between them and
+    per-type totals from broadcast aggregates. At 100 TB two
+    balanced passes over raw rows is the honest cost of an exact
     MAD; the approximate path is the KMV/t-digest family
     (a_kmv_distinct_sketch shows the sketch plumbing).
     """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
     ev = load(spark, sf_dir, "events")
     q = ev.select(
         "event_id",
@@ -2025,13 +2042,11 @@ def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 10000 + F.lit(0.5))
         .cast("bigint").alias("qv"),
     )
-    by_type = W.partitionBy("event_type")
-    r1 = q.select(
-        "event_type",
-        "qv",
-        F.row_number().over(by_type.orderBy("qv", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(by_type).alias("n"),
-    )
+    tot = q.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    r1 = global_order_stats(
+        q, [F.asc("qv"), F.asc("event_id")],
+        group_cols=["event_type"], rank_col="rn",
+    ).join(F.broadcast(tot), "event_type")
     med = r1.where(
         F.col("rn") == F.floor((F.col("n") - 1) * 0.5).cast("bigint") + 1
     ).select("event_type", F.col("qv").alias("med_qv"))
@@ -2040,13 +2055,10 @@ def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.abs(F.col("qv") - F.col("med_qv")).alias("adev"),
     )
-    r2 = dev.select(
-        "event_type",
-        "adev",
-        F.row_number().over(by_type.orderBy("adev", "event_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(by_type).alias("n"),
-    )
+    r2 = global_order_stats(
+        dev, [F.asc("adev"), F.asc("event_id")],
+        group_cols=["event_type"], rank_col="rn",
+    ).join(F.broadcast(tot), "event_type")
     return (
         r2.where(
             F.col("rn")
@@ -2277,10 +2289,15 @@ def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no fractional arithmetic exists anywhere — bit-stable by
     construction.
 
-    Scale shape: one rank window per type for the quartiles
-    (parallel across groups), a broadcast 5-row quartile table
-    joined back, fence test in codegen. Raw events shuffle once.
+    Scale shape: the quartile ranks ride the GROUPED range-bucketed
+    prefix operator (operators/prefix.py — a plain
+    partitionBy(event_type) window sorts 1/|types| of all events in
+    one task), per-type totals from a broadcast aggregate, then a
+    broadcast 5-row quartile table joined back with the fence test
+    in codegen. Raw events shuffle once, balanced.
     """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
     ev = load(spark, sf_dir, "events")
     q = ev.select(
         "event_id",
@@ -2288,13 +2305,11 @@ def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 10000 + F.lit(0.5))
         .cast("bigint").alias("qv"),
     )
-    by_type = W.partitionBy("event_type")
-    r = q.select(
-        "event_type",
-        "qv",
-        F.row_number().over(by_type.orderBy("qv", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(by_type).alias("n"),
-    )
+    tot = q.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    r = global_order_stats(
+        q, [F.asc("qv"), F.asc("event_id")],
+        group_cols=["event_type"], rank_col="rn",
+    ).join(F.broadcast(tot), "event_type")
     quart = r.groupBy("event_type").agg(
         F.min(
             F.when(
