@@ -128,7 +128,11 @@ def global_order_stats(
     t2 = totals.withColumnRenamed(_B, "__gos_b")
     cond = F.col("__gos_b") < F.col("__gos_a")
     for g in gcols:
-        cond = cond & (F.col(g) == F.col(f"__gos_g_{g}"))
+        # eqNullSafe: Window.partitionBy (the spelling this replaces)
+        # treats NULL as a normal partition; plain `=` would silently
+        # drop NULL-keyed groups from the offsets (and, below, from
+        # the output entirely).
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__gos_g_{g}"))
     offsets = (
         t1.join(F.broadcast(t2), cond, "left")
         .groupBy("__gos_a", *[f"__gos_g_{g}" for g in gcols])
@@ -143,9 +147,15 @@ def global_order_stats(
         )
         .withColumnRenamed("__gos_a", _B)
     )
+    # Keep offsets' group columns under their __gos_g_ aliases and
+    # join null-safely — a using-join on the group names would drop
+    # every NULL-keyed row (same trap as the triangular join above).
+    jcond = loc[_B] == offsets[_B]
     for g in gcols:
-        offsets = offsets.withColumnRenamed(f"__gos_g_{g}", g)
-    out = loc.join(F.broadcast(offsets), [_B, *gcols])
+        jcond = jcond & loc[g].eqNullSafe(offsets[f"__gos_g_{g}"])
+    out = loc.join(F.broadcast(offsets), jcond).drop(offsets[_B])
+    for g in gcols:
+        out = out.drop(offsets[f"__gos_g_{g}"])
     if rank_col is not None:
         out = out.withColumn(
             rank_col, F.col("__gos_off_n") + F.col(rank_col)

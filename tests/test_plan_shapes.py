@@ -11,6 +11,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 
@@ -156,6 +157,56 @@ def test_abc_pareto_has_no_single_partition_window(spark, queries):
     windows via the chain-walking detector in tools/plan_audit.py.)"""
     assert not _single_partition_windows(
         queries["a_abc_pareto"](spark, SF)
+    )
+
+
+def test_single_partition_window_detector_fires_on_flat_window(spark):
+    """POSITIVE control: the detector must FLAG a known-bad plan.
+    The round-4 detector's failure mode was a vacuous pass (its
+    same-line string match could never fire), so a sweep that only
+    asserts no-hits proves nothing if node-name parsing drifts with
+    a Spark upgrade. A flat row_number() over Window.orderBy is the
+    canonical offender — unexecuted, it plans straight to
+    `Window <- Exchange SinglePartition`."""
+    from pyspark.sql import Window as W
+
+    df = spark.range(0, 100).select(
+        "id", F.row_number().over(W.orderBy("id")).alias("rn")
+    )
+    hits = _single_partition_windows(df)
+    assert hits, "detector missed the canonical flat-window plan"
+    assert any("Window" in h for h in hits)
+
+
+def test_single_partition_window_detector_fires_through_aqe_wrappers(spark):
+    """POSITIVE control #2: after execution, AQE materializes the
+    chain as Window <- AQEShuffleRead <- ShuffleQueryStage <-
+    Exchange SinglePartition — 'SinglePartition' is NOT on the first
+    exchange-ish line. The walker must pass through the AQE wrappers
+    to the underlying Exchange (round-5 advice: the old walk broke
+    at the wrapper and missed the hit)."""
+    from pyspark.sql import Window as W
+
+    df = spark.range(0, 100).select(
+        "id", F.row_number().over(W.orderBy("id")).alias("rn")
+    )
+    df.count()  # force AQE to materialize the shuffle stages
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from plan_audit import single_partition_windows
+
+    assert single_partition_windows(plan), (
+        "detector missed the AQE-materialized single-partition window:\n"
+        + plan[:2000]
     )
 
 

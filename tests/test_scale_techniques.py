@@ -213,6 +213,44 @@ def test_global_order_stats_grouped_matches_flat_window(spark):
     assert got == want
 
 
+def test_global_order_stats_grouped_null_keys_match_flat_window(spark):
+    """NULL group keys are a normal partition under
+    Window.partitionBy; the bucketed spelling must keep them too.
+    Regression test for the round-5 defect: plain `=` in the offsets
+    triangular join and a using-join on the group names both drop
+    NULL-keyed rows from the output entirely (txt_split_assign /
+    txt_sequence_packing group on nullable documents columns)."""
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    df = spark.range(0, 900).select(
+        F.col("id"),
+        # ~a third of rows NULL-keyed, interleaved with two groups
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("id") % 3).cast("string")).alias("g"),
+        ((F.col("id") * 31) % 97).alias("v"),
+    )
+    out = global_order_stats(
+        df, [F.asc("v"), F.asc("id")], group_cols=["g"],
+        cum_cols=["v"], npart=6,
+    )
+    got = {r["id"]: (r["rn"], r["cum_v"]) for r in out.collect()}
+    assert len(got) == 900, "NULL-keyed rows vanished from the output"
+    flat = W.partitionBy("g").orderBy("v", "id")
+    want = {
+        r["id"]: (r["rn"], r["cum_v"])
+        for r in df.select(
+            "id",
+            F.row_number().over(flat).cast("bigint").alias("rn"),
+            F.sum("v").over(
+                flat.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).alias("cum_v"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_global_order_stats_repeated_runs_are_stable(spark):
     """The bucketed frame feeds two plan subtrees (windows + the
     broadcast offsets build). Before the operator pinned it with

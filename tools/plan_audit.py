@@ -49,7 +49,13 @@ _PASS_THROUGH = {
     "Sort", "Window", "WindowGroupLimit", "Project", "Filter",
     "ColumnarToRow", "InputAdapter", "WholeStageCodegen",
 }
-_EXCHANGE = {"Exchange", "ShuffleQueryStage", "AQEShuffleRead"}
+# AQE wraps a materialized shuffle as
+#   Window -> AQEShuffleRead -> ShuffleQueryStage -> Exchange SinglePartition
+# so the wrappers are PASS-THROUGH (keep walking to the underlying
+# Exchange line, where "SinglePartition" actually prints); only the
+# Exchange node itself decides.
+_EXCHANGE = {"Exchange"}
+_AQE_WRAPPERS = {"ShuffleQueryStage", "AQEShuffleRead", "BroadcastQueryStage"}
 _BOUNDING = {"GlobalLimit", "TakeOrderedAndProject", "CollectLimit",
              "LocalLimit"}
 
@@ -87,7 +93,7 @@ def single_partition_windows(plan_str: str) -> list[str]:
                 if "SinglePartition" in lines[j]:
                     hits.append(l.strip()[:90])
                 break
-            if nj not in _PASS_THROUGH:
+            if nj not in _PASS_THROUGH and nj not in _AQE_WRAPPERS:
                 break
     return hits
 
