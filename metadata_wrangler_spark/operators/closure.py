@@ -81,8 +81,13 @@ def equivalent_ids(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    if usable.count() <= local_solve_max_edges:
-        return _equivalent_ids_local(spark, usable, seeds, seed_col, levels)
+    # One bounded collect serves as BOTH the size probe and the local
+    # tier's edge materialization (the count-then-collect spelling
+    # paid two jobs). On the checkpointed edges the limit scan is
+    # cheap and stops early when the graph is big.
+    probe = usable.limit(local_solve_max_edges + 1).collect()
+    if len(probe) <= local_solve_max_edges:
+        return _equivalent_ids_local(spark, probe, seeds, seed_col, levels)
 
     frontier = seeds.select(
         F.col(seed_col).cast("bigint").alias("node"), F.lit(0).alias("level")
@@ -118,12 +123,12 @@ def equivalent_ids(
 
 
 def _equivalent_ids_local(
-    spark, usable: DataFrame, seeds: DataFrame, seed_col: str, levels: int
+    spark, edge_rows, seeds: DataFrame, seed_col: str, levels: int
 ) -> DataFrame:
-    """Driver-local BFS over the already-materialized edge set —
+    """Driver-local BFS over the already-collected edge rows —
     row-identical to the distributed loop."""
     adj: dict[int, list[int]] = {}
-    for r in usable.collect():
+    for r in edge_rows:
         if r._src is None or r._dst is None:
             continue
         adj.setdefault(int(r._src), []).append(int(r._dst))
@@ -194,8 +199,11 @@ def connected_components(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    if sym.count() <= local_solve_max_edges:
-        return _connected_components_local(spark, sym)
+    # Bounded collect = size probe + local-tier materialization in
+    # one job (see equivalent_ids).
+    probe = sym.limit(local_solve_max_edges + 1).collect()
+    if len(probe) <= local_solve_max_edges:
+        return _connected_components_local(spark, probe)
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -247,9 +255,9 @@ def connected_components(
     return labels
 
 
-def _connected_components_local(spark, sym: DataFrame) -> DataFrame:
-    """Driver-local union-find over the already-materialized
-    symmetrized edge set — row-identical to the distributed loop
+def _connected_components_local(spark, edge_rows) -> DataFrame:
+    """Driver-local union-find over the already-collected
+    symmetrized edge rows — row-identical to the distributed loop
     (component = min node id in the component)."""
     parent: dict[int, int] = {}
 
@@ -261,7 +269,7 @@ def _connected_components_local(spark, sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in sym.collect():
+    for r in edge_rows:
         a, b = r.a, r.b
         if a is None or b is None:
             continue

@@ -298,19 +298,27 @@ def ivf_cosine_topk(
         if query_pred is not None
         else ivf_assign(queries, centroids, id_col, vec_col)
     )
-    w_probe = W.partitionBy("query_id").orderBy(
-        F.desc("cell_score"), F.asc("cell")
+    # Probe-cell selection as a pure array expression (sort the
+    # (score, cell) structs with an ORDER BY cell_score DESC, cell
+    # ASC comparator, keep the first nprobe): map-side only. The
+    # posexplode + row_number spelling this replaces shuffled the
+    # exploded probe rows into a per-query window — a whole extra
+    # exchange + window stage for a ≤ n_centroids-element ranking
+    # that fits in one array.
+    n_cells = len(centroids)
+    probe_cells = F.expr(
+        f"transform(slice(array_sort("
+        f"zip_with(cell_scores, sequence(0, {n_cells - 1}), "
+        f"(s, c) -> struct(s AS s, c AS c)), "
+        f"(x, y) -> CASE WHEN x.s > y.s THEN -1 WHEN x.s < y.s THEN 1 "
+        f"WHEN x.c < y.c THEN -1 WHEN x.c > y.c THEN 1 ELSE 0 END), "
+        f"1, {nprobe}), x -> x.c)"
     )
-    qb = (
-        qs.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            norm(F.col(vec_col)).alias("qn"),
-            F.posexplode("cell_scores").alias("cell", "cell_score"),
-        )
-        .withColumn("probe_rank", F.row_number().over(w_probe))
-        .where(F.col("probe_rank") <= nprobe)
-        .select("query_id", "qvec", "qn", "cell")
+    qb = qs.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.explode(probe_cells).alias("cell"),
     )
     sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
     sim_r = round6(sim)
@@ -443,14 +451,16 @@ def lsh_cosine_topk_multitable(
         qdf = queries
     # the driver-side query matrix must hold only real vectors
     qdf = qdf.where(F.col(vec_col).isNotNull())
-    cand = (
+    # collect_set fuses pair-dedup into the per-corpus grouping:
+    # one shuffle on corpus_id with map-side partial sets, instead
+    # of dropDuplicates' extra exchange on the pair key followed by
+    # a second shuffle for collect_list. Set order is irrelevant —
+    # every (query, corpus) pair scores independently downstream.
+    per_corpus = (
         cb.join(F.broadcast(qb), ["table_no", "bucket"])
         .where(F.col("query_id") != F.col("corpus_id"))
-        .select("query_id", "corpus_id")
-        .dropDuplicates(["query_id", "corpus_id"])
-    )
-    per_corpus = cand.groupBy("corpus_id").agg(
-        F.collect_list("query_id").alias("qids")
+        .groupBy("corpus_id")
+        .agg(F.collect_set("query_id").alias("qids"))
     )
     corpus_vecs = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
