@@ -61,6 +61,7 @@ def global_order_stats(
     cum_cols: Sequence[str] = (),
     rank_col: str | None = "rn",
     npart: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Add a ``rank_col`` (1-based ``row_number`` over
     ``ORDER BY *order``) and, for each name in ``cum_cols``, a
@@ -87,6 +88,13 @@ def global_order_stats(
     boundaries respect the full (group, order) tuple, so every tie
     group is contiguous across at most one partition edge and local
     ranks + offsets compose to the same numbers.
+
+    ``total_col`` (optional) attaches the per-group TOTAL row count
+    under that name, plus ``tot_<c>`` with the per-group total of
+    every ``cum_cols`` entry — free-riding on the offsets table, so
+    callers that need "rank vs group size" or "running share of
+    group total" skip the separate COUNT/SUM aggregate and its
+    broadcast join.
     """
     if npart is None:
         npart = int(
@@ -121,35 +129,26 @@ def global_order_stats(
         F.sum(c).alias(f"__gos_s_{c}") for c in cum_cols
     ]
     totals = b.groupBy(_B, *gcols).agg(*aggs)
-    t1 = totals.select(
-        F.col(_B).alias("__gos_a"),
-        *[F.col(g).alias(f"__gos_g_{g}") for g in gcols],
-    ).distinct()
-    t2 = totals.withColumnRenamed(_B, "__gos_b")
-    cond = F.col("__gos_b") < F.col("__gos_a")
-    for g in gcols:
-        # eqNullSafe: Window.partitionBy (the spelling this replaces)
-        # treats NULL as a normal partition; plain `=` would silently
-        # drop NULL-keyed groups from the offsets (and, below, from
-        # the output entirely).
-        cond = cond & F.col(g).eqNullSafe(F.col(f"__gos_g_{g}"))
-    offsets = (
-        t1.join(F.broadcast(t2), cond, "left")
-        .groupBy("__gos_a", *[f"__gos_g_{g}" for g in gcols])
-        .agg(
-            F.coalesce(F.sum("__gos_n"), F.lit(0)).alias("__gos_off_n"),
-            *[
-                F.coalesce(F.sum(f"__gos_s_{c}"), F.lit(0)).alias(
-                    f"__gos_off_{c}"
-                )
-                for c in cum_cols
-            ],
+    # The totals table holds ≤ npart × |groups| rows. Two tiers:
+    # when it fits a bounded driver collect (grouped mode is
+    # documented for LOW-cardinality keys, so it almost always
+    # does), the running offsets are a trivial driver-side cumsum —
+    # one job instead of the triangular-join spelling's chain of
+    # broadcast builds (measured 28 jobs for a two-pass MAD plan,
+    # most of them offset plumbing). High-cardinality groups fall
+    # back to the distributed triangular join unchanged.
+    trows = totals.limit(_DRIVER_TOTALS_MAX + 1).collect()
+    if len(trows) <= _DRIVER_TOTALS_MAX:
+        offsets = _driver_offsets(
+            df.sparkSession, totals.schema, trows, gcols, cum_cols,
+            total_col,
         )
-        .withColumnRenamed("__gos_a", _B)
-    )
+    else:
+        offsets = _triangular_offsets(totals, gcols, cum_cols, total_col)
     # Keep offsets' group columns under their __gos_g_ aliases and
     # join null-safely — a using-join on the group names would drop
-    # every NULL-keyed row (same trap as the triangular join above).
+    # every NULL-keyed row (same trap as the triangular join the
+    # distributed tier uses).
     jcond = loc[_B] == offsets[_B]
     for g in gcols:
         jcond = jcond & loc[g].eqNullSafe(offsets[f"__gos_g_{g}"])
@@ -166,3 +165,151 @@ def global_order_stats(
         )
     drop = [_B, "__gos_off_n"] + [f"__gos_off_{c}" for c in cum_cols]
     return out.drop(*drop)
+
+
+# Above this many (bucket, group) total rows the offsets fall back to
+# the distributed triangular join. 64k rows on the driver is a few MB;
+# with npart≈shuffle.partitions this admits ~2k groups at P=32 —
+# far past "low-cardinality", the grouped mode's documented domain.
+_DRIVER_TOTALS_MAX = 65536
+
+
+def _null_last_key(row, gcols):
+    """Sort key over group values + bucket id, NULL-safe: None sorts
+    before any value (matching F.asc's nulls-first), bucket id last."""
+    parts = []
+    for g in gcols:
+        v = row[g]
+        parts.append((0, "") if v is None else (1, v))
+    parts.append(row[_B])
+    return tuple(parts)
+
+
+def _driver_offsets(spark, totals_schema, trows, gcols, cum_cols,
+                    total_col):
+    """Offsets as a driver-side running sum over the collected
+    per-(bucket, group) totals — bit-identical to the triangular
+    join (integer counts; cum sums add in bucket order, a fixed
+    order the distributed spelling does not even promise)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    by_type = {f.name: f.dataType for f in totals_schema.fields}
+    fields = [StructField(_B, by_type[_B], False)]
+    fields += [
+        StructField(f"__gos_g_{g}", by_type[g], True) for g in gcols
+    ]
+    fields.append(StructField("__gos_off_n", LongType(), False))
+    fields += [
+        StructField(f"__gos_off_{c}", by_type[f"__gos_s_{c}"], True)
+        for c in cum_cols
+    ]
+    if total_col is not None:
+        fields.append(StructField(total_col, LongType(), False))
+        fields += [
+            StructField(f"tot_{c}", by_type[f"__gos_s_{c}"], True)
+            for c in cum_cols
+        ]
+    import decimal
+
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    def _coerce(v, dt):
+        # createDataFrame type verification wants exact Python types:
+        # a plain int 0 offset must become Decimal/float for
+        # DECIMAL/DOUBLE sum columns.
+        if isinstance(dt, DecimalType) and not isinstance(
+            v, decimal.Decimal
+        ):
+            return decimal.Decimal(v)
+        if isinstance(dt, (DoubleType, FloatType)):
+            return float(v)
+        return v
+
+    sum_types = {c: by_type[f"__gos_s_{c}"] for c in cum_cols}
+    rows = sorted(trows, key=lambda r: _null_last_key(r, gcols))
+    out, group_of = [], {}
+    cur_key, run_n, run_s = object(), 0, {}
+    for r in rows:
+        key = tuple(r[g] for g in gcols)
+        if key != cur_key:
+            cur_key, run_n = key, 0
+            run_s = {c: 0 for c in cum_cols}
+        rec = [r[_B]] + [r[g] for g in gcols] + [run_n]
+        rec += [_coerce(run_s[c], sum_types[c]) for c in cum_cols]
+        out.append(rec)
+        group_of[len(out) - 1] = key
+        run_n += r["__gos_n"]
+        for c in cum_cols:
+            s = r[f"__gos_s_{c}"]
+            if s is not None:
+                run_s[c] += s
+    if total_col is not None:
+        gtot, gsum = {}, {}
+        for r in rows:
+            key = tuple(r[g] for g in gcols)
+            gtot[key] = gtot.get(key, 0) + r["__gos_n"]
+            sums = gsum.setdefault(key, {c: 0 for c in cum_cols})
+            for c in cum_cols:
+                s = r[f"__gos_s_{c}"]
+                if s is not None:
+                    sums[c] += s
+        for i, rec in enumerate(out):
+            key = group_of[i]
+            rec.append(gtot[key])
+            rec += [
+                _coerce(gsum[key][c], sum_types[c]) for c in cum_cols
+            ]
+    return spark.createDataFrame(out, StructType(fields))
+
+
+def _triangular_offsets(totals, gcols, cum_cols, total_col):
+    """Distributed offsets: broadcast triangular join over bucket
+    ids — the at-scale tier for high-cardinality groups. P² pairs;
+    P is a config constant, never a function of data size."""
+    t1 = totals.select(
+        F.col(_B).alias("__gos_a"),
+        *[F.col(g).alias(f"__gos_g_{g}") for g in gcols],
+    ).distinct()
+    t2 = totals.withColumnRenamed(_B, "__gos_b")
+    cond = F.col("__gos_b") < F.col("__gos_a")
+    for g in gcols:
+        # eqNullSafe: Window.partitionBy (the spelling this
+        # replaces) treats NULL as a normal partition; plain `=`
+        # would silently drop NULL-keyed groups.
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__gos_g_{g}"))
+    offsets = (
+        t1.join(F.broadcast(t2), cond, "left")
+        .groupBy("__gos_a", *[f"__gos_g_{g}" for g in gcols])
+        .agg(
+            F.coalesce(F.sum("__gos_n"), F.lit(0)).alias("__gos_off_n"),
+            *[
+                F.coalesce(F.sum(f"__gos_s_{c}"), F.lit(0)).alias(
+                    f"__gos_off_{c}"
+                )
+                for c in cum_cols
+            ],
+        )
+        .withColumnRenamed("__gos_a", _B)
+    )
+    if total_col is not None:
+        gt = totals.groupBy(
+            *[F.col(g).alias(f"__gos_t_{g}") for g in gcols]
+        ).agg(
+            F.sum("__gos_n").alias(total_col),
+            *[
+                F.sum(f"__gos_s_{c}").alias(f"tot_{c}")
+                for c in cum_cols
+            ],
+        )
+        if gcols:
+            tc = F.lit(True)
+            for g in gcols:
+                tc = tc & F.col(f"__gos_g_{g}").eqNullSafe(
+                    F.col(f"__gos_t_{g}")
+                )
+            offsets = offsets.join(F.broadcast(gt), tc).drop(
+                *[f"__gos_t_{g}" for g in gcols]
+            )
+        else:
+            offsets = offsets.crossJoin(F.broadcast(gt))
+    return offsets

@@ -62,77 +62,72 @@ VERIFICATION_WINDOW = 50
 # of VERIFICATION_PRIORITY in the same session that registers it, so
 # the never-driver-verified gap of rounds 3 (13 queries) and 4 (49)
 # cannot recur. When the never-verified set is smaller than the
-# window, remaining slots go to one previously-green representative
-# per SURVEY.md §2 family, rotating.
+# window, remaining slots go to the previously-green queries whose
+# last driver verification is OLDEST (stalest-first rotation), with
+# every SURVEY.md §2 family keeping at least one representative.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- round-5 window: ALL 49 queries added during round 4 that
-    # have never entered a driver correctness window (the round-4
-    # verdict's ask #4), plus one previously-green family rep for
-    # the p_ family (the only §2 family with no member below).
-    # After this round, zero never-driver-verified queries remain.
-    # Composed-pipeline integration proofs first (verdict ask #7):
-    "pipe_corpus_curation",
-    "pipe_semantic_search",
-    # Sketches / approximate tier:
-    "a_hll_sketch",
-    "a_kmv_set_ops",
-    "a_countmin_heavy_hitters",
-    # Robust / distributional statistics:
-    "a_abc_pareto",
-    "a_benford_digits",
-    "a_chi2_independence",
-    "a_gini_coefficient",
-    "a_iqr_outliers",
-    "a_mad_robust",
-    "a_simpson_diversity",
-    "a_weighted_median",
-    "a_assoc_rules",
-    # DML / deletion-compliance preview:
-    "d_forget_cascade_preview",
-    # Dedup tail:
-    "dd_cluster_keep",
-    "dd_source_overlap",
-    "dd_span_dedup",
-    # Event analytics:
-    "ev_concurrency_sweep",
-    "ev_cusum_changepoint",
-    "ev_decay_halflife",
-    "ev_funnel_bounded",
-    "ev_hopping_window",
-    "ev_json_props",
-    "ev_markov_transitions",
-    "ev_sliding_distinct",
-    "ev_time_to_convert",
-    # Graph analytics:
-    "g_bipartite_project",
-    "g_label_propagation",
-    "g_neighbor_jaccard",
-    # Joins / windows:
-    "j_scd2_pit",
-    "w_path_edit_similarity",
-    "w_session_path_topk",
-    # Multimodal / source:
-    "mm_audio_windows",
-    "s_opds_updates_page",
-    # Similarity retrieval tiers:
-    "sim_diversified_topk",
-    "sim_label_centroids",
-    "sim_pq_topk",
-    "sim_quantized_topk",
-    "sim_rp_topk",
-    # Text-analysis tail:
-    "txt_boilerplate_strip",
-    "txt_contamination_frac",
-    "txt_dsir_weight",
-    "txt_lang_confusion",
-    "txt_lm_surprisal",
-    "txt_pmi_bigrams",
-    "txt_split_assign",
-    "txt_unigram_entropy",
-    "txt_weighted_sample",
-    # Family rep (p_): previously green in r3, keeps every §2 family
-    # with at least one driver-green row this round.
-    "p_compound_predicates",
+    # --- round-6 window. After round 5 the never-driver-verified
+    # set is exactly the two r4 reds whose oracle-side CAST fix
+    # landed after the r5 window was frozen — plus, per the window
+    # policy, the four queries REGISTERED this round (front of the
+    # window in the same session that created them):
+    "w_ntile",
+    "so_schema_evolution",
+    "ev_attribution_credit",
+    "a_mutual_info",
+    "j_bloom_prune",
+    "ev_unpivot_long",
+    # Stalest-first rotation: every remaining slot goes to an r2-
+    # green query not re-verified by the driver since (pytest's
+    # all-oracle sweep covers them each run; this rotates them back
+    # under the driver's independent hash check), swapping in one
+    # r3-green rep for each family the r2 block lacks (f_, g_,
+    # pipe_, s_, sim_).
+    "a_group_count_distinct",
+    "a_mode_top1",
+    "a_percentile_cont",
+    "a_percentile_disc",
+    "a_pricing_summary",
+    "a_token_explode_sum",
+    "d_entity_merge_repoint",
+    "d_get_one_or_create",
+    "d_queue_lifecycle",
+    "d_register_anti_join",
+    "d_status_transitions",
+    "d_update_expression",
+    "dd_decontaminate",
+    "dd_exact_groups",
+    "dd_incremental_exact",
+    "dd_minhash_clusters",
+    "dd_minhash_lsh",
+    "dd_ngram_containment",
+    "dd_ngram_jaccard",
+    "dd_ngram_jaccard_pruned",
+    "j_anti_join_queue",
+    "j_dim_3way_broadcast",
+    "j_fk_inner_join",
+    "j_left_outer_null_split",
+    "j_semi_join",
+    "mm_frame_sample",
+    "mm_image_features",
+    "p_like_blacklist",
+    "p_projection_filter",
+    "so_except_intersect",
+    "txt_bpe_token_count",
+    "txt_fingerprint",
+    "txt_language_id",
+    "txt_mixture_sample",
+    "txt_pii_scrub",
+    "txt_repetition_filter",
+    "w_keyset_pagination",
+    "w_offset_pagination",
+    "w_topk_per_group",
+    # Family reps for the five families with no r2-green member:
+    "f_binary_prefix",
+    "g_connected_components",
+    "pipe_provider_end_to_end",
+    "s_cached_fetch",
+    "sim_cosine_topk",
 )
 
 

@@ -2451,15 +2451,14 @@ def txt_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metadata_wrangler_spark.operators.prefix import global_order_stats
 
     docs = load(spark, sf_dir, "documents")
-    tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     r = global_order_stats(
         docs.select(
             "doc_id", "lang",
             F.md5(F.col("doc_id").cast("string")).alias("__h"),
         ),
         [F.asc("__h"), F.asc("doc_id")],
-        group_cols=["lang"], rank_col="rn",
-    ).join(F.broadcast(tot), "lang")
+        group_cols=["lang"], rank_col="rn", total_col="n",
+    )
     return r.select(
         "doc_id",
         "lang",
@@ -2934,6 +2933,91 @@ def txt_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab",
             "sum_bits",
             "mean_bits_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mutual information between two metadata facets (feature dependence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_mutual_info",
+    oracle="""
+    WITH cxy AS (
+        SELECT lang, source, COUNT(*) AS c_xy
+        FROM documents GROUP BY lang, source
+    ),
+    cx AS (SELECT lang, SUM(c_xy) AS c_x FROM cxy GROUP BY lang),
+    cy AS (SELECT source, SUM(c_xy) AS c_y FROM cxy GROUP BY source),
+    n AS (SELECT SUM(c_xy) AS nt FROM cxy)
+    SELECT cxy.lang,
+           CAST(cx.c_x AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(c_xy * (length(bin(c_xy * nt))
+                            - length(bin(c_x * c_y)))) AS BIGINT)
+               AS sum_bits,
+           CAST((1000000 * CAST(SUM(c_xy * (length(bin(c_xy * nt))
+                                 - length(bin(c_x * c_y)))) AS BIGINT))
+                // cx.c_x AS BIGINT) AS mi_bits_ppm
+    FROM cxy
+    JOIN cx USING (lang)
+    JOIN cy USING (source)
+    CROSS JOIN n
+    GROUP BY cxy.lang, cx.c_x
+    """,
+)
+def a_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mutual-information contribution between the lang
+    and source facets — the information-theoretic dependence measure
+    next to a_chi2_independence's frequency test: bits of
+    information each language's source mix carries over the
+    corpus-wide source distribution (≈0 for a language drawn from
+    the global mix; large when a language is concentrated in a few
+    feeds — the training-mix imbalance a curriculum needs to know
+    about). Pointwise log2(c_xy·N / (c_x·c_y)) uses the INTEGER
+    bit-length surrogate (bitlen(a) − bitlen(b) is within ±1 bit of
+    log2(a/b)) — the repo's standing rule of never trusting two
+    libms to round alike.
+
+    Scale shape: one (lang, source) hash aggregate over the corpus
+    — cells bounded by |langs|×|sources|, map-side partials do the
+    heavy lifting — then marginals and the grand total derive from
+    the CELLS (tiny), broadcast back. No second pass over raw rows,
+    no window.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cxy = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    cx = cxy.groupBy("lang").agg(F.sum("c_xy").alias("c_x"))
+    cy = cxy.groupBy("source").agg(F.sum("c_xy").alias("c_y"))
+    n = cxy.agg(F.sum("c_xy").alias("nt"))
+    bits = F.col("c_xy") * (
+        F.length(F.bin(F.col("c_xy") * F.col("nt")))
+        - F.length(F.bin(F.col("c_x") * F.col("c_y")))
+    )
+    return (
+        cxy.join(F.broadcast(cx), "lang")
+        .join(F.broadcast(cy), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("lang", "c_x")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum(bits).cast("bigint").alias("sum_bits"),
+            F.expr(
+                "CAST((1000000 * CAST(SUM(c_xy * (length(bin(c_xy * nt))"
+                " - length(bin(c_x * c_y)))) AS BIGINT)) DIV c_x"
+                " AS BIGINT)"
+            ).alias("mi_bits_ppm"),
+        )
+        .select(
+            "lang",
+            F.col("c_x").cast("bigint").alias("n_docs"),
+            "n_sources",
+            "sum_bits",
+            "mi_bits_ppm",
         )
     )
 

@@ -2390,10 +2390,9 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank comes from the range-bucketed distributed prefix operator
     # and the total from a one-row broadcast, not from the flat
     # row_number()/count() global windows this plan shipped with.
-    tot = conv.agg(F.count(F.lit(1)).alias("n"))
     d = global_order_stats(
-        conv, [F.asc("delta_s"), F.asc("user_id")]
-    ).crossJoin(F.broadcast(tot)).select("delta_s", "rn", "n")
+        conv, [F.asc("delta_s"), F.asc("user_id")], total_col="n"
+    ).select("delta_s", "rn", "n")
     med = F.min(
         F.when(
             F.col("rn") == F.floor((F.col("n") - 1) * 0.5)
@@ -2414,4 +2413,87 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.cast("bigint").alias("median_s"),
         p90.cast("bigint").alias("p90_s"),
         F.max("delta_s").cast("bigint").alias("max_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# marketing attribution: first-touch vs last-touch channel credit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_attribution_credit",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        FROM events
+    ), conv AS (
+        SELECT user_id, MIN(ep) AS conv_t
+        FROM e WHERE event_type = 'purchase' GROUP BY user_id
+    ), touch AS (
+        SELECT e.user_id, e.event_type, e.ep, e.event_id,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ep, e.event_id) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ep DESC, e.event_id DESC)
+                   AS rn_last
+        FROM e JOIN conv USING (user_id)
+        WHERE e.event_type <> 'purchase' AND e.ep < conv.conv_t
+    )
+    SELECT event_type AS channel,
+           CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch,
+           CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch
+    FROM touch GROUP BY event_type
+    """,
+)
+def ev_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution: for every
+    converting user (first purchase = conversion moment), which
+    channel (event type) earned the FIRST pre-conversion touch and
+    which earned the LAST — the two bookend models every marketing
+    mix comparison starts from. Deterministic tie order
+    (second-resolution timestamp, then event id).
+
+    Scale shape: conversion times are a per-user conditional-min
+    hash aggregate; the touch table joins it back (user-keyed
+    equi-join) and the first/last picks ride ONE
+    Window.partitionBy(user_id) pass each — user_id is
+    high-cardinality, so the per-user window is the honest
+    distributed spelling here (the low-cardinality trap the grouped
+    prefix operator exists for does not apply), and both
+    row_numbers share the same partitioning so AQE plans a single
+    exchange. Credit rollup is a tiny per-channel aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ep"),
+    )
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.min("ep").alias("conv_t"))
+    )
+    touch = (
+        e.where(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .where(F.col("ep") < F.col("conv_t"))
+    )
+    by_user = W.partitionBy("user_id")
+    picked = touch.select(
+        "event_type",
+        F.row_number()
+        .over(by_user.orderBy(F.asc("ep"), F.asc("event_id")))
+        .alias("rn_first"),
+        F.row_number()
+        .over(by_user.orderBy(F.desc("ep"), F.desc("event_id")))
+        .alias("rn_last"),
+    )
+    return picked.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+        .cast("bigint").alias("first_touch"),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+        .cast("bigint").alias("last_touch"),
     )

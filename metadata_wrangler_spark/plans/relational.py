@@ -1736,12 +1736,11 @@ def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metadata_wrangler_spark.operators.prefix import global_order_stats
 
     c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
-    tot = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
     ranked = global_order_stats(
         c.select("c_mktsegment", "c_custkey", "c_acctbal"),
         [F.asc("c_acctbal"), F.asc("c_custkey")],
-        group_cols=["c_mktsegment"], rank_col="rn",
-    ).join(F.broadcast(tot), "c_mktsegment")
+        group_cols=["c_mktsegment"], rank_col="rn", total_col="n",
+    )
     return ranked.select(
         "c_mktsegment",
         "c_custkey",
@@ -1750,6 +1749,117 @@ def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
                (F.col("rn") - 1) / (F.col("n") - 1))
         .otherwise(F.lit(0.0)).alias("pct_rank"),
         (F.col("rn") / F.col("n")).alias("cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W8: NTILE quartile assignment (scale-safe spelling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey)
+                AS BIGINT) AS tile
+    FROM customer
+    """,
+)
+def w_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) balance quartiles per market segment — the
+    segmentation primitive behind ABC tiers, spend quartiles and
+    decile reports. ANSI NTILE semantics exactly: bucket sizes
+    differ by at most one, larger buckets first, deterministic tie
+    order (balance, then key).
+
+    Scale shape: NTILE is rank arithmetic, so it rides the GROUPED
+    range-bucketed prefix operator (operators/prefix.py) rather
+    than a Window.partitionBy(segment) — five segments over the
+    full customer table would serialize a fifth of it into one
+    task's sort. With rank rn and group size n (total_col, free
+    from the offsets table): q = n DIV 4, r = n % 4; the first r
+    tiles take q+1 rows. Pure integer CASE arithmetic, codegen'd.
+    """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    r = global_order_stats(
+        c,
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        group_cols=["c_mktsegment"],
+        rank_col="rn",
+        total_col="n",
+    )
+    tile = F.expr(
+        "CASE WHEN rn <= (n DIV 4 + 1) * (n % 4) "
+        "THEN (rn - 1) DIV (n DIV 4 + 1) + 1 "
+        "ELSE (n % 4) + (rn - 1 - (n DIV 4 + 1) * (n % 4)) "
+        "DIV (n DIV 4) + 1 END"
+    )
+    return r.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        tile.cast("bigint").alias("tile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SO5: schema evolution across snapshots (unionByName)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "so_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+    ), v2 AS (
+        SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source, n_chars
+        FROM documents WHERE doc_id % 2 = 1
+    ), u AS (
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           COUNT(source) AS with_source,
+           COUNT(n_chars) AS with_chars,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars
+    FROM u GROUP BY lang
+    """,
+)
+def so_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across two snapshot generations whose schemas drifted —
+    the v1 extract carries ``source`` but predates ``n_chars``; the
+    v2 extract added ``n_chars`` and dropped ``source``. The engine
+    aligns them by COLUMN NAME with null-fill for either side's
+    missing columns (``unionByName(allowMissingColumns=True)`` —
+    positional UNION would silently zip source against n_chars),
+    then audits per-language field coverage, the first question
+    after any schema migration.
+
+    Scale shape: two pruned scans of the same table (each reading
+    only its generation's columns — check ReadSchema), one hash
+    aggregate. The name-alignment is plan-time only; no runtime
+    cost over a plain union.
+    """
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "source"
+    )
+    v2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("source").alias("with_source"),
+        F.count("n_chars").alias("with_chars"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+        .cast("bigint").alias("total_chars"),
     )
 
 
@@ -2042,11 +2152,12 @@ def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 10000 + F.lit(0.5))
         .cast("bigint").alias("qv"),
     )
-    tot = q.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # total_col rides the prefix operator's offsets table — no
+    # separate per-type COUNT aggregate or broadcast join needed.
     r1 = global_order_stats(
         q, [F.asc("qv"), F.asc("event_id")],
-        group_cols=["event_type"], rank_col="rn",
-    ).join(F.broadcast(tot), "event_type")
+        group_cols=["event_type"], rank_col="rn", total_col="n",
+    )
     med = r1.where(
         F.col("rn") == F.floor((F.col("n") - 1) * 0.5).cast("bigint") + 1
     ).select("event_type", F.col("qv").alias("med_qv"))
@@ -2057,8 +2168,8 @@ def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r2 = global_order_stats(
         dev, [F.asc("adev"), F.asc("event_id")],
-        group_cols=["event_type"], rank_col="rn",
-    ).join(F.broadcast(tot), "event_type")
+        group_cols=["event_type"], rank_col="rn", total_col="n",
+    )
     return (
         r2.where(
             F.col("rn")
@@ -2219,15 +2330,18 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    tot = q.groupBy("flag").agg(F.sum("wt").alias("tot"))
+    # tot_wt rides the prefix operator's offsets table (total_col) —
+    # no separate per-flag SUM aggregate or broadcast join.
     r = global_order_stats(
         q,
         [F.asc("qv"), F.asc("l_orderkey"), F.asc("l_linenumber")],
         group_cols=["flag"],
         cum_cols=["wt"],
         rank_col=None,
-    ).join(F.broadcast(tot), "flag").select(
-        "flag", "qv", F.col("cum_wt").alias("cum"), "tot"
+        total_col="__n",
+    ).select(
+        "flag", "qv", F.col("cum_wt").alias("cum"),
+        F.col("tot_wt").alias("tot"),
     )
     return r.groupBy("flag").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -2305,11 +2419,10 @@ def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 10000 + F.lit(0.5))
         .cast("bigint").alias("qv"),
     )
-    tot = q.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     r = global_order_stats(
         q, [F.asc("qv"), F.asc("event_id")],
-        group_cols=["event_type"], rank_col="rn",
-    ).join(F.broadcast(tot), "event_type")
+        group_cols=["event_type"], rank_col="rn", total_col="n",
+    )
     quart = r.groupBy("event_type").agg(
         F.min(
             F.when(

@@ -251,6 +251,64 @@ def test_global_order_stats_grouped_null_keys_match_flat_window(spark):
     assert got == want
 
 
+def test_global_order_stats_distributed_tier_matches_driver_tier(spark):
+    """The triangular-join offsets tier (taken when the totals table
+    exceeds the driver bound) must produce the same output as the
+    driver-side cumsum tier that small runs take — including NULL
+    group keys and running sums. Forces the fallback by shrinking
+    the bound."""
+    from metadata_wrangler_spark.operators import prefix
+
+    df = spark.range(0, 600).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("id") % 4).cast("string")).alias("g"),
+        ((F.col("id") * 13) % 41).alias("v"),
+    )
+    kw = dict(group_cols=["g"], cum_cols=["v"], npart=5,
+              total_col="n_total")
+    small = {
+        r["id"]: (r["rn"], r["cum_v"], r["n_total"])
+        for r in prefix.global_order_stats(
+            df, [F.asc("v"), F.asc("id")], **kw
+        ).collect()
+    }
+    orig = prefix._DRIVER_TOTALS_MAX
+    prefix._DRIVER_TOTALS_MAX = 1  # totals has 5×4=20 rows > 1
+    try:
+        big = {
+            r["id"]: (r["rn"], r["cum_v"], r["n_total"])
+            for r in prefix.global_order_stats(
+                df, [F.asc("v"), F.asc("id")], **kw
+            ).collect()
+        }
+    finally:
+        prefix._DRIVER_TOTALS_MAX = orig
+    assert len(small) == 600
+    assert small == big
+
+
+def test_global_order_stats_total_col_matches_group_counts(spark):
+    """total_col attaches the per-group row count (the extra
+    aggregate callers used to pay a separate job for)."""
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = global_order_stats(
+        df, [F.asc("id")], group_cols=["g"], total_col="n_total",
+        npart=4,
+    )
+    got = {(r["g"], r["n_total"]) for r in out.collect()}
+    assert got == {("0", 100), ("1", 100), ("2", 100)}
+    # ungrouped: total = full row count on every row
+    out2 = global_order_stats(
+        df, [F.asc("id")], total_col="n_total", npart=4
+    )
+    assert {r["n_total"] for r in out2.collect()} == {300}
+
+
 def test_global_order_stats_repeated_runs_are_stable(spark):
     """The bucketed frame feeds two plan subtrees (windows + the
     broadcast offsets build). Before the operator pinned it with
