@@ -71,6 +71,10 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # landed after the r5 window was frozen — plus, per the window
     # policy, the four queries REGISTERED this round (front of the
     # window in the same session that created them):
+    "ev_activity_streaks",
+    "j_asof_nearest",
+    "s_compaction_plan",
+    "txt_idf_rarity",
     "w_ntile",
     "so_schema_evolution",
     "ev_attribution_credit",
@@ -83,19 +87,16 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # under the driver's independent hash check), swapping in one
     # r3-green rep for each family the r2 block lacks (f_, g_,
     # pipe_, s_, sim_).
-    "a_group_count_distinct",
     "a_mode_top1",
     "a_percentile_cont",
     "a_percentile_disc",
     "a_pricing_summary",
     "a_token_explode_sum",
-    "d_entity_merge_repoint",
     "d_get_one_or_create",
     "d_queue_lifecycle",
     "d_register_anti_join",
     "d_status_transitions",
     "d_update_expression",
-    "dd_decontaminate",
     "dd_exact_groups",
     "dd_incremental_exact",
     "dd_minhash_clusters",
@@ -113,7 +114,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "p_like_blacklist",
     "p_projection_filter",
     "so_except_intersect",
-    "txt_bpe_token_count",
     "txt_fingerprint",
     "txt_language_id",
     "txt_mixture_sample",

@@ -3081,3 +3081,69 @@ def txt_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IDF-rarity document scoring (quality-mix signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_idf_rarity",
+    oracle=f"""
+    WITH t AS (
+        SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+        ) x
+    ), df AS (SELECT w, COUNT(*) AS dfw FROM t GROUP BY w),
+    n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(length(bin(nd)) - length(bin(dfw))) AS BIGINT)
+               AS sum_bits,
+           CAST((1000000 * CAST(SUM(length(bin(nd)) - length(bin(dfw)))
+                                AS BIGINT)) // COUNT(*) AS BIGINT)
+               AS rarity_ppm
+    FROM t JOIN df USING (w) CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+)
+def txt_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-IDF rarity score per document: how far a document's
+    vocabulary sits from the corpus mainstream — high scorers are
+    specialist/long-tail content worth up-weighting in a training
+    mix, low scorers are boilerplate-adjacent (complements
+    txt_quality_score's surface features and txt_dsir_weight's
+    target-domain weighting with a corpus-relative signal). IDF is
+    the INTEGER bit-length surrogate bitlen(N) − bitlen(df_w)
+    (within ±1 bit of log2(N/df)) — no libm, bit-stable across
+    engines.
+
+    Scale shape: distinct (doc, term) explode → term document
+    frequencies (vocabulary-sized hash aggregate) → join back on
+    term (the one real shuffle; at web scale the df table is itself
+    large, so it stays an equi-join, not a broadcast) → per-doc
+    aggregate. The corpus-size scalar is a 1-row broadcast.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.split(dedup.normalize_text(F.col("text")), " "))
+        .alias("w"),
+    ).dropDuplicates()
+    df = t.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
+    n = docs.agg(F.count(F.lit(1)).alias("nd"))
+    bits = F.length(F.bin("nd")) - F.length(F.bin("dfw"))
+    return (
+        t.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum(bits).cast("bigint").alias("sum_bits"),
+            F.expr(
+                "CAST((1000000 * CAST(SUM(length(bin(nd))"
+                " - length(bin(dfw))) AS BIGINT)) DIV COUNT(*)"
+                " AS BIGINT)"
+            ).alias("rarity_ppm"),
+        )
+    )

@@ -2497,3 +2497,155 @@ def ev_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
         .cast("bigint").alias("last_touch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: per-user daily activity streaks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_activity_streaks",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), r AS (
+        SELECT user_id, day,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM d
+    ), island AS (
+        SELECT user_id, day - rn * INTERVAL 1 DAY AS anchor,
+               COUNT(*) AS len
+        FROM r GROUP BY user_id, day - rn * INTERVAL 1 DAY
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM island GROUP BY user_id
+    """,
+)
+def ev_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-day activity streaks — the canonical
+    gaps-and-islands operator (retention dashboards, achievement
+    systems, data-freshness SLAs all reduce to it): consecutive
+    dates share one island because date minus per-user day-rank is
+    constant within a run and jumps at every gap.
+
+    Scale shape: one distinct over (user, day) — map-side partials
+    collapse the per-day event fan-in before the shuffle — then a
+    per-user window (user_id is high-cardinality; the honest
+    distributed partitioning) and two hash aggregates on
+    user-cardinality rows. No joins.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).dropDuplicates()
+    r = d.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("user_id").orderBy("day")),
+    )
+    island = r.groupBy(
+        "user_id", F.date_sub(F.col("day"), F.col("rn")).alias("anchor")
+    ).agg(F.count(F.lit(1)).alias("len"))
+    return island.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# nearest-event as-of join (bidirectional)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_asof_nearest",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep, ts
+        FROM events
+    ), o AS (
+        SELECT user_id, event_id, event_type, ep,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ep END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS back_ep,
+               FIRST_VALUE(CASE WHEN event_type = 'click' THEN ep END
+                           IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS fwd_ep
+        FROM e
+    )
+    SELECT user_id, event_id, ep AS purchase_ep,
+           CASE WHEN back_ep IS NULL THEN fwd_ep
+                WHEN fwd_ep IS NULL THEN back_ep
+                WHEN ep - back_ep <= fwd_ep - ep THEN back_ep
+                ELSE fwd_ep END AS nearest_click_ep,
+           abs(ep - CASE WHEN back_ep IS NULL THEN fwd_ep
+                         WHEN fwd_ep IS NULL THEN back_ep
+                         WHEN ep - back_ep <= fwd_ep - ep THEN back_ep
+                         ELSE fwd_ep END) AS gap_seconds
+    FROM o
+    WHERE event_type = 'purchase'
+      AND (back_ep IS NOT NULL OR fwd_ep IS NOT NULL)
+    """,
+)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional NEAREST as-of join: each purchase pairs with
+    its closest click in time, looking both backward and forward
+    (ties go backward) — the sensor-alignment semantics
+    (pandas merge_asof direction='nearest') that the backward-only
+    ev_asof_join can't express: a purchase one second before its
+    triggering click's log arrival would otherwise match a click
+    hours earlier.
+
+    Scale shape: both candidate directions come from ONE sort per
+    user partition — last_value(IGNORE NULLS) unbounded-preceding
+    and first_value unbounded-following share the same window
+    ordering, so Catalyst plans a single exchange + sort; the
+    nearest pick is a codegen CASE. No self-join of events against
+    events, which is the naive nearest-neighbour spelling and
+    quadratic per user.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ep"),
+    )
+    click_ep = F.when(F.col("event_type") == "click", F.col("ep"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id", "event_id", "event_type", "ep",
+        F.last(click_ep, ignorenulls=True)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("back_ep"),
+        F.first(click_ep, ignorenulls=True)
+        .over(w.rowsBetween(W.currentRow, W.unboundedFollowing))
+        .alias("fwd_ep"),
+    )
+    nearest = (
+        F.when(F.col("back_ep").isNull(), F.col("fwd_ep"))
+        .when(F.col("fwd_ep").isNull(), F.col("back_ep"))
+        .when(
+            F.col("ep") - F.col("back_ep")
+            <= F.col("fwd_ep") - F.col("ep"),
+            F.col("back_ep"),
+        )
+        .otherwise(F.col("fwd_ep"))
+    )
+    return (
+        o.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("back_ep").isNotNull() | F.col("fwd_ep").isNotNull())
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ep").alias("purchase_ep"),
+            nearest.alias("nearest_click_ep"),
+            F.abs(F.col("ep") - nearest).alias("gap_seconds"),
+        )
+    )

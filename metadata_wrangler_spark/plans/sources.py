@@ -1033,3 +1033,73 @@ def s_opds_updates_page(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('"/></feed>'),
         ).alias("feed_xml"),
     )
+
+
+# ---------------------------------------------------------------------------
+# compaction planning: bin-pack small files into target-size groups
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 65536  # target bytes per output file (test-scale)
+
+
+@register(
+    "s_compaction_plan",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n_chars,
+               (cum - n_chars) // {_COMPACT_TARGET} AS bin_id
+        FROM r
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+           MIN(doc_id) AS first_file,
+           MAX(doc_id) AS last_file
+    FROM b GROUP BY bin_id
+    """,
+)
+def s_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the OPTIMIZE/bin-packing step
+    every lake table needs once streaming ingest has sprayed
+    thousands of under-sized files: order the manifest largest-first
+    (classic first-fit-decreasing flavour), take the running byte
+    total, and cut a new output bin every TARGET bytes. The
+    documents table stands in for the file manifest (doc_id = file,
+    n_chars = bytes); the plan is the deterministic assignment a
+    rewrite job would execute.
+
+    Scale shape: the running total over the manifest — rows scale
+    with FILE COUNT, which is exactly the thing being fixed, so it
+    can be millions — rides the range-bucketed distributed prefix
+    sum (operators/prefix.py), never an Exchange SinglePartition;
+    then one hash aggregate per bin. The whole plan is two balanced
+    shuffles of id+size rows.
+    """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    r = global_order_stats(
+        docs,
+        [F.desc("n_chars"), F.asc("doc_id")],
+        cum_cols=["n_chars"],
+        rank_col=None,
+    )
+    # integer DIV, not float division: a manifest's cumulative bytes
+    # pass 2^53 long before 100 TB and double division would round.
+    b = r.select(
+        "doc_id", "n_chars",
+        F.expr(
+            f"(cum_n_chars - n_chars) DIV {_COMPACT_TARGET}"
+        ).cast("bigint").alias("bin_id"),
+    )
+    return b.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("bin_bytes"),
+        F.min("doc_id").alias("first_file"),
+        F.max("doc_id").alias("last_file"),
+    )
