@@ -163,6 +163,15 @@ EXTENDED = [
     "a_iqr_outliers",
     "pipe_semantic_search",
     "ev_time_to_convert",
+    # round-6 additions
+    "w_ntile",
+    "so_schema_evolution",
+    "ev_attribution_credit",
+    "a_mutual_info",
+    "ev_activity_streaks",
+    "j_asof_nearest",
+    "s_compaction_plan",
+    "txt_idf_rarity",
 ]
 
 
