@@ -329,3 +329,59 @@ def test_global_order_stats_property(spark):
         assert got == want
 
     run()
+
+
+def test_global_order_stats_property_random_groups(spark):
+    """Randomized grouped prefix-stat parity: for arbitrary
+    (group, value) data — duplicate values, NULL group keys, single-
+    row groups — both offset tiers of global_order_stats reproduce
+    the flat Window.partitionBy exactly (rank + running sum)."""
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators import prefix
+
+    @settings(max_examples=1, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 4),                      # group id
+                st.booleans(),                          # NULL the group?
+                st.integers(-50, 50),                   # value (dup-heavy)
+            ),
+            min_size=40,
+            max_size=120,
+        )
+    )
+    def run(samples):
+        rows = [
+            (i, None if null_g else str(g), v)
+            for i, (g, null_g, v) in enumerate(samples)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        flat = W.partitionBy("g").orderBy("v", "id")
+        want = {
+            r["id"]: (r["rn"], r["cum_v"])
+            for r in df.select(
+                "id",
+                F.row_number().over(flat).cast("bigint").alias("rn"),
+                F.sum("v").over(
+                    flat.rowsBetween(W.unboundedPreceding, W.currentRow)
+                ).alias("cum_v"),
+            ).collect()
+        }
+        for tier_max in (prefix._DRIVER_TOTALS_MAX, 1):
+            orig = prefix._DRIVER_TOTALS_MAX
+            prefix._DRIVER_TOTALS_MAX = tier_max
+            try:
+                got = {
+                    r["id"]: (r["rn"], r["cum_v"])
+                    for r in prefix.global_order_stats(
+                        df, [F.asc("v"), F.asc("id")],
+                        group_cols=["g"], cum_cols=["v"], npart=5,
+                    ).collect()
+                }
+            finally:
+                prefix._DRIVER_TOTALS_MAX = orig
+            assert got == want
+
+    run()
