@@ -172,6 +172,8 @@ EXTENDED = [
     "j_asof_nearest",
     "s_compaction_plan",
     "txt_idf_rarity",
+    "a_ks_drift",
+    "sim_recall_eval",
 ]
 
 

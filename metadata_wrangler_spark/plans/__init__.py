@@ -71,6 +71,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # landed after the r5 window was frozen — plus, per the window
     # policy, the four queries REGISTERED this round (front of the
     # window in the same session that created them):
+    "a_ks_drift",
+    "sim_recall_eval",
     "ev_activity_streaks",
     "j_asof_nearest",
     "s_compaction_plan",
@@ -92,12 +94,10 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "a_percentile_disc",
     "a_pricing_summary",
     "a_token_explode_sum",
-    "d_get_one_or_create",
     "d_queue_lifecycle",
     "d_register_anti_join",
     "d_status_transitions",
     "d_update_expression",
-    "dd_exact_groups",
     "dd_incremental_exact",
     "dd_minhash_clusters",
     "dd_minhash_lsh",

@@ -2649,3 +2649,102 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("ep") - nearest).alias("gap_seconds"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov drift statistic (exact integer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_ks_drift",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(floor(value * 10000 + 0.5) AS BIGINT) AS qv,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+        FROM events WHERE event_type IN ('click', 'view')
+    ), c AS (
+        SELECT qv, SUM(a) AS a_cnt, SUM(b) AS b_cnt
+        FROM q GROUP BY qv
+    ), r AS (
+        SELECT qv,
+               SUM(a_cnt) OVER (ORDER BY qv
+                                ROWS UNBOUNDED PRECEDING) AS cum_a,
+               SUM(b_cnt) OVER (ORDER BY qv
+                                ROWS UNBOUNDED PRECEDING) AS cum_b,
+               SUM(a_cnt) OVER () AS na, SUM(b_cnt) OVER () AS nb
+        FROM c
+    ), d AS (
+        SELECT qv, na, nb, abs(cum_a * nb - cum_b * na) AS cross_diff
+        FROM r
+    ), m AS (SELECT MAX(cross_diff) AS max_diff FROM d)
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST((1000000 * MAX(max_diff)) // (MAX(na) * MAX(nb))
+                AS BIGINT) AS d_ppm,
+           CAST(MIN(CASE WHEN cross_diff = max_diff THEN qv END)
+                AS BIGINT) / 10000.0 AS d_at_value
+    FROM d CROSS JOIN m
+    """,
+)
+def a_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types — THE distribution-drift gate a
+    training pipeline runs between data snapshots (feature drift,
+    label shift, corrupted feeds) where mean/variance checks
+    (a_anomaly_zscore) miss shape changes. D = max |ECDF_a − ECDF_b|
+    evaluated exactly: the ECDF difference at each distinct value is
+    the INTEGER cross-difference |cum_a·n_b − cum_b·n_a| over the
+    common denominator n_a·n_b — no float division until the final
+    reported ppm, so the argmax (and its deterministic min-value tie
+    break) is bit-stable across engines.
+
+    Scale shape: one hash aggregate to distinct values (bounded by
+    value cardinality, not rows), then the running counts ride the
+    range-bucketed distributed prefix sum (operators/prefix.py,
+    cum_cols over both indicator counts in ONE pass, totals free via
+    total_col) — never an Exchange SinglePartition — then a 1-row
+    max broadcast back for the argmax row. The oracle's flat windows
+    are the semantic spec.
+    """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    ev = load(spark, sf_dir, "events")
+    q = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("bigint").alias("qv"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("b"),
+    )
+    c = q.groupBy("qv").agg(
+        F.sum("a").alias("a_cnt"), F.sum("b").alias("b_cnt")
+    )
+    r = global_order_stats(
+        c, [F.asc("qv")], cum_cols=["a_cnt", "b_cnt"], rank_col=None,
+        total_col="__n",
+    )
+    d = r.select(
+        "qv",
+        F.col("tot_a_cnt").alias("na"),
+        F.col("tot_b_cnt").alias("nb"),
+        F.abs(
+            F.col("cum_a_cnt") * F.col("tot_b_cnt")
+            - F.col("cum_b_cnt") * F.col("tot_a_cnt")
+        ).alias("cross_diff"),
+    )
+    m = d.agg(F.max("cross_diff").alias("max_diff"))
+    return d.crossJoin(F.broadcast(m)).agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.expr(
+            "CAST((1000000 * MAX(max_diff)) DIV (MAX(na) * MAX(nb))"
+            " AS BIGINT)"
+        ).alias("d_ppm"),
+        (
+            F.min(
+                F.when(F.col("cross_diff") == F.col("max_diff"),
+                       F.col("qv"))
+            ).cast("bigint") / 10000.0
+        ).alias("d_at_value"),
+    )

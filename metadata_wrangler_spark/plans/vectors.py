@@ -1258,3 +1258,69 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "n_vectors", "intra_cos_ppm",
         "nearest_label", "inter_cos_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation harness (approx tier vs exact tier, as a query)
+# ---------------------------------------------------------------------------
+
+
+def _recall_eval_oracle_sql() -> str:
+    """Exact-tier and LSH-tier top-k CTEs (the same SQL the two
+    standalone oracles run) joined into per-query recall counts."""
+    from metadata_wrangler_spark.plans import ORACLES
+
+    exact_sql = ORACLES["sim_cosine_topk"]
+    approx_sql = ORACLES["sim_lsh_topk"]
+    return f"""
+    WITH exact AS ({exact_sql}),
+    approx AS ({approx_sql})
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.rank) AS BIGINT) AS n_hit,
+           CAST((1000000 * COUNT(a.rank)) // COUNT(*) AS BIGINT)
+               AS recall_ppm
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+    GROUP BY e.query_id
+    """
+
+
+@register("sim_recall_eval", oracle=_recall_eval_oracle_sql())
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH tier against the exact tier, per query —
+    the evaluation loop an ANN deployment runs continuously (recall
+    regression = silently worse retrieval, invisible to any
+    per-tier hash check). Both tiers are the PRODUCTION operators
+    (cosine_topk_arrow, lsh_cosine_topk), so this measures the code
+    that serves, not a copy; the oracle composes the two standalone
+    oracle SQLs verbatim, so the comparison itself is hash-checked.
+
+    Scale shape: both tiers already bound their own cost (broadcast
+    query set; bucketed candidates); the eval join is top-k-sized
+    (|queries|·k rows a side) — negligible against either tier.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr(_QUERY_PRED))
+    exact = similarity.cosine_topk_arrow(emb, queries, k=_K).select(
+        "query_id", "corpus_id"
+    )
+    approx = similarity.lsh_cosine_topk(
+        emb, None, _PLANES, k=_K, query_pred=lambda c: c % 101 == 0,
+    ).select("query_id", "corpus_id", F.col("rank").alias("a_rank"))
+    return (
+        exact.join(
+            approx,
+            ["query_id", "corpus_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("a_rank").cast("bigint").alias("n_hit"),
+            F.expr(
+                "CAST((1000000 * COUNT(a_rank)) DIV COUNT(*) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
