@@ -174,6 +174,8 @@ EXTENDED = [
     "txt_idf_rarity",
     "a_ks_drift",
     "sim_recall_eval",
+    "dd_est_vs_exact",
+    "txt_tokenizer_fertility",
 ]
 
 

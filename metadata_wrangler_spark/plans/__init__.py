@@ -71,6 +71,8 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # landed after the r5 window was frozen — plus, per the window
     # policy, the four queries REGISTERED this round (front of the
     # window in the same session that created them):
+    "dd_est_vs_exact",
+    "txt_tokenizer_fertility",
     "a_ks_drift",
     "sim_recall_eval",
     "ev_activity_streaks",
@@ -98,7 +100,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "d_register_anti_join",
     "d_status_transitions",
     "d_update_expression",
-    "dd_incremental_exact",
     "dd_minhash_clusters",
     "dd_minhash_lsh",
     "dd_ngram_containment",
@@ -114,7 +115,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "p_like_blacklist",
     "p_projection_filter",
     "so_except_intersect",
-    "txt_fingerprint",
     "txt_language_id",
     "txt_mixture_sample",
     "txt_pii_scrub",

@@ -3147,3 +3147,181 @@ def txt_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rarity_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup estimation-error harness: MinHash estimate vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _est_vs_exact_oracle_sql() -> str:
+    """LSH candidate pairs scored twice — MinHash slot agreement and
+    exact shingle Jaccard — and the estimation error between them."""
+    n_eq = " + ".join(
+        f"(CASE WHEN sa.mh_{k} = sb.mh_{k} THEN 1 ELSE 0 END)"
+        for k in range(_NUM_HASHES)
+    )
+    return f"""
+    WITH {_lsh_pairs_ctes()},
+    sh AS (
+        SELECT DISTINCT id, sh FROM (
+            SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS sh
+            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) t0
+        ) t1
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shared AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_shared
+        FROM lsh_pairs p
+        JOIN sh a ON a.id = p.id_a
+        JOIN sh b ON b.id = p.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.id_a, p.id_b, {n_eq} AS n_eq
+        FROM lsh_pairs p
+        JOIN sig sa ON sa.id = p.id_a
+        JOIN sig sb ON sb.id = p.id_b
+    ),
+    scored AS (
+        SELECT e.id_a, e.id_b,
+               CAST((1000000 * e.n_eq) // {_NUM_HASHES} AS BIGINT)
+                   AS est_ppm,
+               CAST((1000000 * COALESCE(s.n_shared, 0))
+                    // (za.n_sh + zb.n_sh - COALESCE(s.n_shared, 0))
+                    AS BIGINT) AS exact_ppm
+        FROM est e
+        LEFT JOIN shared s ON s.id_a = e.id_a AND s.id_b = e.id_b
+        JOIN sizes za ON za.id = e.id_a
+        JOIN sizes zb ON zb.id = e.id_b
+    )
+    SELECT id_a, id_b, est_ppm, exact_ppm,
+           abs(est_ppm - exact_ppm) AS abs_err_ppm
+    FROM scored
+    """
+
+
+@register("dd_est_vs_exact", oracle=_est_vs_exact_oracle_sql())
+def dd_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimated vs exact Jaccard on every LSH candidate
+    pair — the dedup twin of sim_recall_eval: an approximate tier is
+    only trustworthy with its estimation error measured on the pairs
+    it actually surfaces (a biased estimator quietly drops true
+    dups / keeps false ones at whatever threshold ops picked). Both
+    scores come from the PRODUCTION operators (minhash_signatures,
+    the hashed shingle table); error is exact integer ppm.
+
+    Scale shape: candidate pairs are linear in true duplicates (the
+    LSH contract); the signature join is pair-keyed against a
+    16-column signature table, and the exact score reuses the
+    candidate-bounded shingle join (never all-pairs). At 100 TB this
+    runs as a SAMPLED audit (add a pair-hash gate) — the plan shape
+    is unchanged.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    sig = dedup.minhash_signatures(docs, num_hashes=_NUM_HASHES)
+    sh, sizes = dedup._shingle_tables(docs, "doc_id", "text", 3)
+    shared = (
+        pairs.join(sh.alias("a"), pairs.id_a == F.col("a.id"))
+        .join(
+            sh.alias("b"),
+            (F.col("b.id") == pairs.id_b)
+            & (F.col("a.hp") == F.col("b.hp")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    n_eq = sum(
+        F.when(
+            F.col(f"sa.mh_{k}") == F.col(f"sb.mh_{k}"), 1
+        ).otherwise(0)
+        for k in range(_NUM_HASHES)
+    )
+    est = (
+        pairs.join(sig.alias("sa"), pairs.id_a == F.col("sa.id"))
+        .join(sig.alias("sb"), pairs.id_b == F.col("sb.id"))
+        .select("id_a", "id_b", n_eq.alias("n_eq"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sh_b"))
+    scored = (
+        est.join(shared, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.expr(f"CAST((1000000 * n_eq) DIV {_NUM_HASHES} AS BIGINT)")
+            .alias("est_ppm"),
+            F.expr(
+                "CAST((1000000 * COALESCE(n_shared, 0))"
+                " DIV (sh_a + sh_b - COALESCE(n_shared, 0)) AS BIGINT)"
+            ).alias("exact_ppm"),
+        )
+    )
+    return scored.withColumn(
+        "abs_err_ppm", F.abs(F.col("est_ppm") - F.col("exact_ppm"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility audit (BPE-ish tokens per whitespace word, per lang)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+               len(string_split(trim(regexp_replace(lower(text),
+                   '\s+', ' ', 'g')), ' ')) AS n_ws
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws,
+           CAST((1000000 * CAST(SUM(n_bpe) AS BIGINT))
+                // CAST(SUM(n_ws) AS BIGINT) AS BIGINT)
+               AS fertility_ppm
+    FROM t GROUP BY lang
+    """,
+)
+def txt_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens emitted per
+    whitespace word — the compute-cost / vocabulary-fairness audit a
+    multilingual training mix runs before fixing a token budget
+    (high-fertility languages consume budget faster and are
+    systematically under-trained if the mix is sized in raw tokens).
+    Same pretokenizer regex as txt_bpe_token_count, aggregated per
+    language in exact integer ppm.
+
+    Scale shape: pure map-side regex counting into one
+    language-keyed hash aggregate — map-side partials collapse the
+    corpus before the shuffle; |langs| rows out.
+    """
+    from metadata_wrangler_spark.operators.dedup import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all(
+            F.col("text"),
+            F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0),
+        )).alias("n_bpe"),
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_ws"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe"),
+        F.sum("n_ws").cast("bigint").alias("total_ws"),
+        F.expr(
+            "CAST((1000000 * CAST(SUM(n_bpe) AS BIGINT))"
+            " DIV CAST(SUM(n_ws) AS BIGINT) AS BIGINT)"
+        ).alias("fertility_ppm"),
+    )
