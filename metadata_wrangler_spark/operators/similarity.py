@@ -438,19 +438,46 @@ def lsh_cosine_topk_multitable(
 
     cb = bucketed(corpus, "corpus_id")
     if query_pred is not None:
-        # Query slice of the corpus: reuse the L-table bucket
-        # projection (cached so the L×dot projection runs once, not
-        # once per join side).
-        cb = cb.cache()
-        qb = cb.withColumnRenamed("corpus_id", "query_id").where(
-            query_pred(F.col("query_id"))
-        )
         qdf = corpus.where(query_pred(F.col(id_col)))
     else:
-        qb = bucketed(queries, "query_id")
         qdf = queries
     # the driver-side query matrix must hold only real vectors
     qdf = qdf.where(F.col(vec_col).isNotNull())
+
+    # Bounded query matrix — the broadcast side by contract. It is
+    # collected ANYWAY for the scoring kernel, so the query-side
+    # bucket rows are computed here on the driver with the SAME
+    # Arrow kernel (multitable_bucket_pass — identical fold order,
+    # identical buckets) instead of a second Spark branch; the old
+    # spelling cached the corpus bucket table just so the query
+    # slice could reuse it, paying a cache materialization plus an
+    # extra broadcast-build job every run.
+    qrows = qdf.select(id_col, vec_col).collect()
+    if not qrows:
+        # empty query set: a valid empty result, not a crash
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank int"
+        )
+    qgen, _ = multitable_bucket_pass(
+        tables, id_col=id_col, vec_col=vec_col, out_id="query_id"
+    )
+    qb_pdf = pd.concat(
+        list(
+            qgen(
+                [
+                    pd.DataFrame(
+                        {
+                            id_col: [r[0] for r in qrows],
+                            vec_col: [list(r[1]) for r in qrows],
+                        }
+                    )
+                ]
+            )
+        )
+    )
+    qb = corpus.sparkSession.createDataFrame(
+        qb_pdf, schema="query_id long, table_no int, bucket int"
+    )
     # collect_set fuses pair-dedup into the per-corpus grouping:
     # one shuffle on corpus_id with map-side partial sets, instead
     # of dropDuplicates' extra exchange on the pair key followed by
@@ -467,13 +494,6 @@ def lsh_cosine_topk_multitable(
     )
     withvec = per_corpus.join(corpus_vecs, "corpus_id")
 
-    # Bounded query matrix — the broadcast side by contract.
-    qrows = qdf.select(id_col, vec_col).collect()
-    if not qrows:
-        # empty query set: a valid empty result, not a crash
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, corpus_id long, cosine double, rank int"
-        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qindex = {int(i): j for j, i in enumerate(q_ids)}
