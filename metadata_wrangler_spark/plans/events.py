@@ -838,11 +838,15 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`monitor.py:65-106`); gap-fill is the same aligned-spine idea
     as a relational operator.
 
-    Scale design: the spine is generated per-user with
-    ``sequence(min_hr, max_hr)`` + explode — rows stay on the
-    user's shuffle partition, no driver-side calendar, no cross
-    join. The fill is ``last(ignorenulls)`` over a per-user ROWS
-    window (partitioned, never global). Spine size is bounded by
+    Scale design: one linear chain — hourly aggregate, a per-user
+    ``lead(hr)`` window, then a MAP-SIDE ``sequence(hr, next-1)``
+    explode that emits every observed hour followed by its gap
+    hours, already carrying the forward-filled value. The spine
+    never exists as a separate frame, so there is no spine⋈hourly
+    shuffle join, no bounds aggregate, and the hourly subtree is
+    computed once instead of feeding two consumers. The fill is
+    definitionally LOCF: a gap hour's last observation IS the
+    observed row that generated it. Spine size is bounded by
     span/granularity per key; at 100 TB pick the granularity so
     span/grain stays O(10^4) per key or pre-split long-lived keys
     by coarse epoch before the window.
@@ -854,25 +858,24 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "hr")
         .agg(F.max("value").alias("vmax"))
     )
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("hr").alias("mn"), F.max("hr").alias("mx")
-    )
-    spine = bounds.select(
-        "user_id", F.explode(F.sequence("mn", "mx")).alias("hr")
-    )
-    win = (
-        W.partitionBy("user_id")
-        .orderBy("hr")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    nxt = F.lead("hr").over(W.partitionBy("user_id").orderBy("hr"))
     return (
-        spine.join(hourly, ["user_id", "hr"], "left")
+        hourly.withColumn("nxt", nxt)
+        .withColumn(
+            "hr_out",
+            F.explode(
+                F.sequence(
+                    F.col("hr"),
+                    F.coalesce(F.col("nxt") - F.lit(1), F.col("hr")),
+                )
+            ),
+        )
         .select(
             "user_id",
-            "hr",
-            F.last("vmax", ignorenulls=True).over(win).alias("filled_vmax"),
-            F.when(F.col("vmax").isNull(), F.lit(0))
-            .otherwise(F.lit(1))
+            F.col("hr_out").alias("hr"),
+            F.col("vmax").alias("filled_vmax"),
+            F.when(F.col("hr_out") == F.col("hr"), F.lit(1))
+            .otherwise(F.lit(0))
             .alias("observed"),
         )
     )

@@ -362,11 +362,17 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design — the Schank/Wagner degree-ordered node iterator:
     orient every undirected edge from its lower-(degree, id)
     endpoint to the higher one, so each triangle is counted exactly
-    once from its lowest-degree corner and the wedge join's fan-out
-    per node is bounded by its ORIENTED out-degree (O(sqrt(m)) on
+    once from its lowest-degree corner and the wedge fan-out per
+    node is bounded by its ORIENTED out-degree (O(sqrt(m)) on
     skewed graphs, vs O(max_degree^2) for naive wedge counting).
-    Three equi-joins, all shuffle-partitioned on node keys; no
-    cross join, no driver materialization.
+    Wedges come from ONE groupBy(u) into a sorted oriented
+    adjacency array expanded map-side into ordered pairs (the same
+    exchange-fusion as dd_ngram_jaccard's _shared_counts — the
+    array is exactly the rows a wedge self-join's SMJ would buffer
+    for the key group, so memory is bounded by the oriented degree);
+    the closing probe is the single remaining equi-join, and corner
+    counting explodes the 3-node array map-side so the triangle
+    frame is computed once, not three times.
     """
     edges = build_edges(spark, sf_dir)
     # und feeds deg AND both endpoint joins; ord_e feeds the two
@@ -400,19 +406,30 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    e1 = ord_e.select(F.col("u"), F.col("v").alias("x"), F.col("vd").alias("xd"))
-    e2 = ord_e.select(F.col("u"), F.col("v").alias("y"), F.col("vd").alias("yd"))
-    wedges = e1.join(e2, "u").where(
-        F.struct("xd", "x") < F.struct("yd", "y")
+    adj = ord_e.groupBy("u").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("vd"), F.col("v")))
+        ).alias("nbrs")
     )
+    # ordered wedge pairs (x < y in (degree, id) order) expanded
+    # map-side from the sorted adjacency array.
+    wedges = adj.select(
+        "u",
+        F.explode(
+            F.expr(
+                "flatten(transform(nbrs, (lhs, i) ->"
+                " transform(slice(nbrs, i + 2, size(nbrs) - i - 1),"
+                "           rhs -> struct(lhs.v AS x, rhs.v AS y))))"
+            )
+        ).alias("p"),
+    ).select("u", "p.x", "p.y")
     closing = ord_e.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tri = wedges.join(closing, ["x", "y"])
-    corners = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("u").alias("node")))
+    return (
+        tri.select(F.explode(F.array("x", "y", "u")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
     )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
 
 
 # ---------------------------------------------------------------------------

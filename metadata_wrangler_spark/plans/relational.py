@@ -2133,17 +2133,21 @@ def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank floor((n-1)/2)+1, ties broken by event_id), so the result
     is engine-portable with no interpolation arithmetic.
 
-    Scale shape: two ranked passes, each on the GROUPED
-    range-bucketed prefix operator (operators/prefix.py — event_type
-    has a handful of values, so a plain partitionBy(event_type)
-    window would hand one task 1/|types| of all events to sort),
-    with a broadcast-size median table joined back between them and
-    per-type totals from broadcast aggregates. At 100 TB two
-    balanced passes over raw rows is the honest cost of an exact
-    MAD; the approximate path is the KMV/t-digest family
-    (a_kmv_distinct_sketch shows the sketch plumbing).
+    Scale shape: both medians are SELECTION problems (one value per
+    type, not a rank per row), so they ride the histogram-refinement
+    selection operator (operators/selection.py): per pass, one
+    map-side bounds aggregate plus ~2 bounded-histogram aggregates —
+    raw events are never shuffled, sorted, or windowed; the only
+    thing that moves is ≤65k integer counters per round. The
+    deviation pass re-scans under the broadcast median map. At
+    100 TB that is 4-5 column-pruned scans and zero data shuffles —
+    strictly cheaper than any ranking pass (the grouped prefix
+    operator remains the tool when every row needs its rank, e.g.
+    a_gini_coefficient's Σi·x_i).
     """
-    from metadata_wrangler_spark.operators.prefix import global_order_stats
+    import math
+
+    from metadata_wrangler_spark.operators.selection import grouped_select
 
     ev = load(spark, sf_dir, "events")
     q = ev.select(
@@ -2152,36 +2156,51 @@ def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 10000 + F.lit(0.5))
         .cast("bigint").alias("qv"),
     )
-    # total_col rides the prefix operator's offsets table — no
-    # separate per-type COUNT aggregate or broadcast join needed.
-    r1 = global_order_stats(
-        q, [F.asc("qv"), F.asc("event_id")],
-        group_cols=["event_type"], rank_col="rn", total_col="n",
-    )
-    med = r1.where(
-        F.col("rn") == F.floor((F.col("n") - 1) * 0.5).cast("bigint") + 1
-    ).select("event_type", F.col("qv").alias("med_qv"))
-    dev = q.join(F.broadcast(med), "event_type").select(
-        "event_id",
+
+    def med_rank(st):
+        return {"med": int(math.floor((st.n - 1) * 0.5)) + 1}
+
+    med = grouped_select(q, "qv", med_rank, group_cols=["event_type"])
+    # literal per-type median map (≤ |event types| branches) — pure
+    # codegen; a broadcast join against a driver-built 5-row frame
+    # measures ~1.5 s of fixed cost on local[32].
+    med_expr = F.lit(None).cast("bigint")
+    for m in med:
+        cond = (
+            F.col("event_type").isNull()
+            if m["event_type"] is None
+            else F.col("event_type") == F.lit(m["event_type"])
+        )
+        med_expr = F.when(cond, F.lit(m["med"])).otherwise(med_expr)
+    dev = q.select(
         "event_type",
-        F.abs(F.col("qv") - F.col("med_qv")).alias("adev"),
-    )
-    r2 = global_order_stats(
-        dev, [F.asc("adev"), F.asc("event_id")],
-        group_cols=["event_type"], rank_col="rn", total_col="n",
-    )
-    return (
-        r2.where(
-            F.col("rn")
-            == F.floor((F.col("n") - 1) * 0.5).cast("bigint") + 1
+        F.abs(F.col("qv") - med_expr).alias("adev"),
+    ).where(F.col("adev").isNotNull())
+    # Pass-2 bounds derive from pass 1 (the median is a data value,
+    # so min deviation is 0; max is the farther extreme) — no
+    # second bounds job.
+    from metadata_wrangler_spark.operators.selection import GroupStats
+
+    dev_stats = [
+        GroupStats(
+            (m["event_type"],), m["n"], m["total_weight"], 0,
+            max(m["med"] - m["vmin"], m["vmax"] - m["med"]),
         )
-        .join(F.broadcast(med), "event_type")
-        .select(
-            "event_type",
-            (F.col("med_qv").cast("bigint") / 10000.0)
-            .alias("median_value"),
-            (F.col("adev").cast("bigint") / 10000.0).alias("mad"),
-        )
+        for m in med
+    ]
+    mad = grouped_select(
+        dev, "adev", med_rank, group_cols=["event_type"],
+        known_stats=dev_stats,
+    )
+    med_by_type = {m["event_type"]: m["med"] for m in med}
+    return spark.createDataFrame(
+        [
+            (m["event_type"],
+             med_by_type[m["event_type"]] / 10000.0,
+             m["med"] / 10000.0)
+            for m in mad
+        ],
+        "event_type string, median_value double, mad double",
     )
 
 
@@ -2311,15 +2330,17 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses half the group total, with a deterministic tie order
     (value, order key, line number), all in integer arithmetic.
 
-    Scale shape: the per-flag running weight rides the GROUPED
-    range-bucketed prefix operator (operators/prefix.py,
-    group_cols=flag). l_returnflag has THREE values — a plain
-    Window.partitionBy(flag) would hand one task a third of the
-    fact table to sort; the grouped prefix keeps every task at
-    ~n/P rows. Group totals come from a 3-row broadcast aggregate,
-    then one hash aggregate finds the crossing value.
+    Scale shape: "first value whose running weight reaches half the
+    total" is a weighted SELECTION — min v with W(≤v) ≥ ⌈total/2⌉ —
+    so it rides the histogram-refinement selection operator
+    (operators/selection.py, weight_col=quantity): one map-side
+    bounds/total aggregate plus ~2 bounded weighted-histogram
+    aggregates. No running sum over raw rows exists anywhere; the
+    row-level cumulative in the oracle is definitionally equivalent
+    because ties share a value (the crossing row's value IS the
+    minimal value whose ≤-cumulative reaches half).
     """
-    from metadata_wrangler_spark.operators.prefix import global_order_stats
+    from metadata_wrangler_spark.operators.selection import grouped_select
 
     li = load(spark, sf_dir, "lineitem")
     q = li.select(
@@ -2327,29 +2348,19 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5))
         .cast("bigint").alias("qv"),
         F.floor(F.col("l_quantity")).cast("bigint").alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    # tot_wt rides the prefix operator's offsets table (total_col) —
-    # no separate per-flag SUM aggregate or broadcast join.
-    r = global_order_stats(
-        q,
-        [F.asc("qv"), F.asc("l_orderkey"), F.asc("l_linenumber")],
-        group_cols=["flag"],
-        cum_cols=["wt"],
-        rank_col=None,
-        total_col="__n",
-    ).select(
-        "flag", "qv", F.col("cum_wt").alias("cum"),
-        F.col("tot_wt").alias("tot"),
+    sel = grouped_select(
+        q, "qv",
+        lambda st: {"wmed": (st.total_weight + 1) // 2},
+        group_cols=["flag"], weight_col="wt",
     )
-    return r.groupBy("flag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.max("tot").cast("bigint").alias("total_weight"),
-        (
-            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("qv")))
-            .cast("bigint") / 10000.0
-        ).alias("weighted_median"),
+    return spark.createDataFrame(
+        [
+            (m["flag"], m["n"], m["total_weight"], m["wmed"] / 10000.0)
+            for m in sel
+        ],
+        "flag string, n_rows bigint, total_weight bigint,"
+        " weighted_median double",
     )
 
 
@@ -2403,14 +2414,17 @@ def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no fractional arithmetic exists anywhere — bit-stable by
     construction.
 
-    Scale shape: the quartile ranks ride the GROUPED range-bucketed
-    prefix operator (operators/prefix.py — a plain
-    partitionBy(event_type) window sorts 1/|types| of all events in
-    one task), per-type totals from a broadcast aggregate, then a
-    broadcast 5-row quartile table joined back with the fence test
-    in codegen. Raw events shuffle once, balanced.
+    Scale shape: the two quartiles per type are a SELECTION problem,
+    so they ride the histogram-refinement selection operator
+    (operators/selection.py) — both targets resolve from the SAME
+    bounded histograms (one bounds aggregate + ~2 histogram rounds;
+    raw events never shuffle). The fence test is then one
+    column-pruned scan against the broadcast 5-row quartile table,
+    entirely in codegen.
     """
-    from metadata_wrangler_spark.operators.prefix import global_order_stats
+    import math
+
+    from metadata_wrangler_spark.operators.selection import grouped_select
 
     ev = load(spark, sf_dir, "events")
     q = ev.select(
@@ -2419,31 +2433,35 @@ def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 10000 + F.lit(0.5))
         .cast("bigint").alias("qv"),
     )
-    r = global_order_stats(
-        q, [F.asc("qv"), F.asc("event_id")],
-        group_cols=["event_type"], rank_col="rn", total_col="n",
+    sel = grouped_select(
+        q, "qv",
+        lambda st: {
+            "q1": int(math.floor((st.n - 1) * 0.25)) + 1,
+            "q3": int(math.floor((st.n - 1) * 0.75)) + 1,
+        },
+        group_cols=["event_type"],
     )
-    quart = r.groupBy("event_type").agg(
-        F.min(
-            F.when(
-                F.col("rn")
-                == F.floor((F.col("n") - 1) * 0.25).cast("bigint") + 1,
-                F.col("qv"),
+    # literal per-type quartile maps — codegen CASE chains instead of
+    # a broadcast join against a driver-built 5-row frame (~1.5 s
+    # fixed cost on local[32]).
+    def _case_map(field):
+        e = F.lit(None).cast("bigint")
+        for m in sel:
+            cond = (
+                F.col("event_type").isNull()
+                if m["event_type"] is None
+                else F.col("event_type") == F.lit(m["event_type"])
             )
-        ).alias("q1"),
-        F.min(
-            F.when(
-                F.col("rn")
-                == F.floor((F.col("n") - 1) * 0.75).cast("bigint") + 1,
-                F.col("qv"),
-            )
-        ).alias("q3"),
-    )
+            e = F.when(cond, F.lit(m[field])).otherwise(e)
+        return e
+
+    q = q.select("*", _case_map("q1").alias("q1"),
+                 _case_map("q3").alias("q3"))
     iqr = F.col("q3") - F.col("q1")
     high = 2 * F.col("qv") > 2 * F.col("q3") + 3 * iqr
     low = 2 * F.col("qv") < 2 * F.col("q1") - 3 * iqr
     return (
-        q.join(F.broadcast(quart), "event_type")
+        q.where(F.col("q1").isNotNull())
         .where(high | low)
         .select(
             "event_id",

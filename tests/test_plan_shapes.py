@@ -29,6 +29,9 @@ ARROW_STAGES = {
     # Arrow-vectorized random projection + projected-space scorer
     # (rp_project_arrow / cosine_topk_arrow, fold-order-identical)
     "sim_rp_topk",
+    # recall harness: ground truth comes from the same Arrow exact
+    # scorer the retrieval tiers are audited against
+    "sim_recall_eval",
 }
 
 

@@ -1,0 +1,154 @@
+"""operators/selection.py — exact histogram-refinement selection vs
+a brute-force pandas oracle, over ties, weights, NULL group keys,
+negative values, and ranges wide enough to force multiple
+refinement rounds."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_wrangler_spark.operators.selection import (GroupStats,
+                                                         grouped_select)
+
+
+def _brute(rows, gcols, tfn):
+    """min v with cumulative weight ≥ target, per group/target."""
+    groups = {}
+    for rec in rows:
+        key = tuple(rec[c] for c in gcols)
+        groups.setdefault(key, []).append((rec["v"], rec.get("w", 1)))
+    out = {}
+    for key, vw in groups.items():
+        vw.sort()
+        n = len(vw)
+        tot = sum(w for _v, w in vw)
+        st = GroupStats(key, n, tot, vw[0][0], vw[-1][0])
+        want = tfn(st)
+        sel = {}
+        for name, tgt in want.items():
+            run = 0
+            for v, w in vw:
+                run += w
+                if run >= tgt:
+                    sel[name] = v
+                    break
+        out[key] = (n, tot, sel)
+    return out
+
+
+def _check(spark, rows, gcols, tfn, weight_col=None):
+    sdf = spark.createDataFrame(rows)
+    got = grouped_select(
+        sdf, "v", tfn, group_cols=gcols, weight_col=weight_col
+    )
+    exp = _brute(rows, gcols, tfn)
+    assert len(got) == len(exp)
+    for rec in got:
+        key = tuple(rec[c] for c in gcols)
+        n, tot, sel = exp[key]
+        assert rec["n"] == n
+        assert rec["total_weight"] == tot
+        for name, v in sel.items():
+            assert rec[name] == v, (key, name, rec[name], v)
+
+
+def test_median_with_ties_and_groups(spark):
+    rng = random.Random(7)
+    rows = [
+        {"g": rng.choice(["a", "b", "c", None]),
+         "v": rng.randrange(-50, 50)}
+        for _ in range(2000)
+    ]
+    _check(
+        spark, rows, ["g"],
+        lambda st: {"med": (st.n - 1) // 2 + 1,
+                    "q1": (st.n - 1) // 4 + 1,
+                    "q3": (st.n - 1) * 3 // 4 + 1,
+                    "min": 1, "max": st.total_weight},
+    )
+
+
+def test_weighted_median_matches_running_weight_definition(spark):
+    rng = random.Random(11)
+    rows = [
+        {"g": rng.choice(["x", "y"]),
+         "v": rng.randrange(0, 1000) * 10,
+         "w": rng.randrange(1, 9)}
+        for _ in range(3000)
+    ]
+    _check(
+        spark, rows, ["g"],
+        lambda st: {"wmed": (st.total_weight + 1) // 2},
+        weight_col="w",
+    )
+
+
+def test_wide_range_forces_multiple_rounds(spark):
+    # values spread over ~2^40 → round shifts 24, 8, 0.
+    rng = random.Random(13)
+    rows = [{"g": "only", "v": rng.randrange(-(2 ** 40), 2 ** 40)}
+            for _ in range(500)]
+    _check(spark, rows, ["g"],
+           lambda st: {"med": (st.n - 1) // 2 + 1})
+
+
+def test_global_no_group_cols(spark):
+    rows = [{"v": i % 17} for i in range(101)]
+    got = grouped_select(
+        spark.createDataFrame(rows), "v",
+        lambda st: {"p50": (st.n - 1) // 2 + 1},
+    )
+    assert len(got) == 1
+    vals = sorted(r["v"] for r in rows)
+    assert got[0]["p50"] == vals[(101 - 1) // 2]
+
+
+def test_single_value_group_resolves_without_scan(spark):
+    rows = [{"g": "s", "v": 42}] * 5 + [{"g": "t", "v": -7}]
+    _check(spark, rows, ["g"],
+           lambda st: {"med": (st.n - 1) // 2 + 1})
+
+
+def test_null_values_excluded(spark):
+    sdf = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3), ("a", None)],
+        "g string, v int",
+    )
+    got = grouped_select(sdf, "v", lambda st: {"med": 1},
+                         group_cols=["g"])
+    assert got[0]["n"] == 2 and got[0]["med"] == 1
+
+
+def test_target_out_of_range_raises(spark):
+    sdf = spark.createDataFrame([("a", 1)], "g string, v int")
+    with pytest.raises(ValueError):
+        grouped_select(sdf, "v", lambda st: {"bad": 2},
+                       group_cols=["g"])
+
+
+def test_matches_window_spelling_on_skewed_data(spark):
+    """99% of mass on one value, the rest spread over a huge range —
+    the hot-bucket case the refinement loop must narrow through."""
+    rng = random.Random(17)
+    rows = [{"g": "h", "v": 0} for _ in range(990)] + [
+        {"g": "h", "v": rng.randrange(1, 2 ** 35)} for _ in range(10)
+    ]
+    sdf = spark.createDataFrame(rows)
+    got = grouped_select(
+        sdf, "v",
+        lambda st: {"p99": (st.n - 1) * 99 // 100 + 1},
+        group_cols=["g"],
+    )
+    from pyspark.sql import Window as W
+
+    exp = (
+        sdf.withColumn(
+            "rn", F.row_number().over(W.partitionBy("g").orderBy("v"))
+        )
+        .where(F.col("rn") == (1000 - 1) * 99 // 100 + 1)
+        .collect()[0]["v"]
+    )
+    assert got[0]["p99"] == exp
