@@ -176,6 +176,10 @@ EXTENDED = [
     "sim_recall_eval",
     "dd_est_vs_exact",
     "txt_tokenizer_fertility",
+    "sim_knn_graph",
+    "a_moments_skew_kurt",
+    "g_degree_distribution",
+    "txt_ngram_novelty",
 ]
 
 

@@ -69,8 +69,12 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # --- round-6 window. After round 5 the never-driver-verified
     # set is exactly the two r4 reds whose oracle-side CAST fix
     # landed after the r5 window was frozen — plus, per the window
-    # policy, the four queries REGISTERED this round (front of the
-    # window in the same session that created them):
+    # policy, every query REGISTERED this round (front of the
+    # window in the same session that created it):
+    "sim_knn_graph",
+    "a_moments_skew_kurt",
+    "g_degree_distribution",
+    "txt_ngram_novelty",
     "dd_est_vs_exact",
     "txt_tokenizer_fertility",
     "a_ks_drift",
@@ -112,15 +116,14 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "j_semi_join",
     "mm_frame_sample",
     "mm_image_features",
-    "p_like_blacklist",
+    # (four rotation slots ceded to the queries registered this
+    # session — p_/w_/txt_ keep reps via p_projection_filter,
+    # w_topk_per_group, txt_language_id/pii_scrub/repetition_filter)
     "p_projection_filter",
     "so_except_intersect",
     "txt_language_id",
-    "txt_mixture_sample",
     "txt_pii_scrub",
     "txt_repetition_filter",
-    "w_keyset_pagination",
-    "w_offset_pagination",
     "w_topk_per_group",
     # Family reps for the five families with no r2-green member:
     "f_binary_prefix",

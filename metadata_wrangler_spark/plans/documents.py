@@ -3325,3 +3325,81 @@ def txt_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV CAST(SUM(n_ws) AS BIGINT) AS BIGINT)"
         ).alias("fertility_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: how much of each document is first-seen content?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT id, sh FROM (
+            SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS sh
+            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) t0
+        ) t1
+    ), fo AS (SELECT sh, MIN(id) AS first_id FROM sh GROUP BY sh)
+    SELECT sh.id AS doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN fo.first_id = sh.id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((1000000 * SUM(CASE WHEN fo.first_id = sh.id
+                                    THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN fo USING (sh)
+    GROUP BY sh.id
+    """,
+)
+def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct 3-gram shingles whose FIRST corpus occurrence (min
+    doc id — in an ingest-ordered corpus, the earliest arrival) is
+    this document. The diversity dial a data-mixing pipeline reads:
+    near-1 novelty = fresh content worth keeping; near-0 = the
+    document restates what the corpus already holds, the soft
+    complement of the hard dedup tiers (dd_* report duplicate PAIRS;
+    novelty grades every document on a continuous scale even when no
+    single pair crosses a threshold).
+
+    Scale design: shingle → hashed-shingle rows (map-side explode of
+    the distinct-shingle array), ONE aggregate for the per-shingle
+    first-occurrence id, and a join back on the hashed key that
+    reuses the aggregate's partitioning — two exchanges total on
+    counter-sized rows, no window, no self-join. The same
+    `max_doc_freq` stop-shingle lever as the Jaccard tier applies if
+    a boilerplate shingle ever dominates a hash partition (it only
+    shifts work, never correctness: min-id is insensitive to bucket
+    balance). Internal equality classes ride xxhash64 exactly like
+    the pairwise scorers (operators/dedup.py:114-118).
+
+    Reference: the wranglers' "have we already covered this
+    identifier" freshness checks (`coverage_provider.py:79-92`)
+    generalized from identifiers to content.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = dedup.with_words(docs, "doc_id", "text").select(
+        "id", F.array_distinct(dedup.shingles(3)).alias("shs")
+    )
+    sh = base.select("id", F.explode("shs").alias("s")).select(
+        "id", F.xxhash64(F.col("s")).alias("hp")
+    )
+    first = sh.groupBy("hp").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(first, "hp")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("CAST((1000000 * n_novel) DIV n_shingles AS BIGINT)")
+            .alias("novelty_ppm"),
+        )
+    )

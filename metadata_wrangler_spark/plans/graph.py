@@ -982,3 +982,82 @@ def a_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * w) DIV n_orders").alias("support_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# degree distribution: the graph's shape profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_degree_distribution",
+    oracle=f"""
+    WITH edges AS ({EDGES_SQL}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node
+    ),
+    hist AS (SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d),
+    tot AS (SELECT SUM(n_nodes) AS t FROM hist)
+    SELECT degree, n_nodes,
+           CAST((1000000 * SUM(n_nodes) OVER (
+                    ORDER BY degree ROWS UNBOUNDED PRECEDING))
+                // (SELECT t FROM tot) AS BIGINT) AS cum_nodes_ppm
+    FROM hist
+    """,
+)
+def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the undirected equivalency graph with the
+    cumulative node share in exact ppm — the shape profile (how
+    heavy is the tail?) a graph pipeline reads before choosing skew
+    strategies: a hot node that would blow up the wedge join in
+    g_triangle_count or the label shuffle in g_label_propagation
+    shows up here first, as mass far right of cum ≈ 99%.
+
+    Reference: cluster-size sanity checks before merges
+    (`viaf.py:777-798` picks among candidate clusters; degree shape
+    is the aggregate version of that per-cluster signal).
+
+    Scale design: distinct-edge dedup and per-node degree count are
+    the usual hash aggregates; the HISTOGRAM is bounded by the
+    number of DISTINCT degrees (≤ max degree, in practice O(100)
+    buckets for power-law graphs), so everything after the degree
+    count is counter-sized. The cumulative share rides the
+    range-bucketed prefix operator over that bounded table — no
+    global single-partition window even in the worst case.
+    """
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    edges = build_edges(spark, sf_dir)
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    cum = global_order_stats(
+        hist, [F.asc("degree")], cum_cols=["n_nodes"], rank_col=None,
+        total_col="__nb",
+    )
+    return cum.select(
+        "degree",
+        "n_nodes",
+        F.expr("CAST((1000000 * cum_n_nodes) DIV tot_n_nodes AS BIGINT)")
+        .alias("cum_nodes_ppm"),
+    )

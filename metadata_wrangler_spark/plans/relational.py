@@ -2485,3 +2485,134 @@ def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(high, "high").otherwise("low").alias("side"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A17: grouped skewness / kurtosis from exact integer power sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_moments_skew_kurt",
+    oracle="""
+    WITH q AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice) AS BIGINT) AS qv
+        FROM orders
+    ), s AS (
+        SELECT priority,
+               COUNT(*) AS n,
+               SUM(CAST(qv AS HUGEINT)) AS s1,
+               SUM(CAST(qv AS HUGEINT) * qv) AS s2,
+               SUM(CAST(qv AS HUGEINT) * qv * qv) AS s3,
+               SUM(CAST(qv AS HUGEINT) * qv * qv * qv) AS s4
+        FROM q GROUP BY priority
+    ), m AS (
+        SELECT priority, n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS v2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS v3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS v4
+        FROM s
+    ), c AS (
+        SELECT priority, n, mean,
+               v2 - mean * mean AS m2,
+               v3 - 3.0 * mean * v2 + 2.0 * mean * mean * mean AS m3,
+               v4 - 4.0 * mean * v3 + 6.0 * mean * mean * v2
+                  - 3.0 * mean * mean * mean * mean AS m4
+        FROM m
+    )
+    SELECT priority, n,
+           (CASE WHEN mean < 0 THEN -1.0 ELSE 1.0 END)
+             * CAST(floor(abs(mean) * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS mean,
+           (CASE WHEN m3 / sqrt(m2 * m2 * m2) < 0 THEN -1.0 ELSE 1.0 END)
+             * CAST(floor(abs(m3 / sqrt(m2 * m2 * m2)) * 1000000 + 0.5)
+                    AS BIGINT) / 1000000.0 AS skewness,
+           (CASE WHEN m4 / (m2 * m2) - 3.0 < 0 THEN -1.0 ELSE 1.0 END)
+             * CAST(floor(abs(m4 / (m2 * m2) - 3.0) * 1000000 + 0.5)
+                    AS BIGINT) / 1000000.0 AS excess_kurtosis
+    FROM c
+    """,
+)
+def a_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority skewness and excess kurtosis of order value —
+    the 3rd/4th-moment shape statistics a data-profiling sweep
+    reports next to mean/stddev (a_anomaly_zscore) and the robust
+    quartet (MAD/IQR/Gini): is the distribution lopsided, and how
+    heavy are its tails?
+
+    Bit-stability discipline: raw power sums accumulate EXACTLY in
+    DECIMAL(38,0)/HUGEINT over integer-quantized values (whole
+    currency units — the 4th power of a 2^20-scale value times any
+    realistic row count stays far under 10^38), and the closed-form
+    central-moment arithmetic is the IDENTICAL left-associated IEEE
+    chain in both engines, using only +,-,*,/ and sqrt (correctly
+    rounded everywhere) — no pow(), no libm discrepancy surface —
+    before the family's standard sign*floor(|x|*1e6+0.5)/1e6 round.
+
+    Reference: distribution reports over measurement values
+    (`measurement.py` quantile normalization; `bin/util/
+    calculate_percentile`) — the moment profile is the natural
+    companion statistic.
+
+    Scale design: one map-side-partial hash aggregate carrying five
+    moments per group, then 5 rows of driver-free closed-form
+    arithmetic — the textbook single-pass parallel moments; no
+    second scan, no window, no selection pass.
+    """
+    o = load(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    q = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("qv"),
+    )
+    # row-level powers in decimal — qv^4 exceeds int64 (the oracle's
+    # per-row spelling is HUGEINT for the same reason)
+    qv = F.col("qv")
+    qd = qv.cast("decimal(10,0)")
+    s = q.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qv.cast(d38)).alias("s1"),
+        F.sum((qd * qv).cast(d38)).alias("s2"),
+        F.sum((qd * qv * qv).cast(d38)).alias("s3"),
+        F.sum((qd * qv * qv * qv).cast(d38)).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    v2 = F.col("s2").cast("double") / nd
+    v3 = F.col("s3").cast("double") / nd
+    v4 = F.col("s4").cast("double") / nd
+    m = s.select(
+        "priority", "n", mean.alias("mean"), v2.alias("v2"),
+        v3.alias("v3"), v4.alias("v4"),
+    )
+    mu = F.col("mean")
+    m2 = F.col("v2") - mu * mu
+    m3 = F.col("v3") - 3.0 * mu * F.col("v2") + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("v4") - 4.0 * mu * F.col("v3")
+        + 6.0 * mu * mu * F.col("v2") - 3.0 * mu * mu * mu * mu
+    )
+    c = m.select(
+        "priority", "n", "mean",
+        m2.alias("m2"), m3.alias("m3"), m4.alias("m4"),
+    )
+
+    def r6(col):
+        sign = F.when(col < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        return (
+            sign
+            * F.floor(F.abs(col) * 1000000 + F.lit(0.5)).cast("bigint")
+            / F.lit(1000000.0)
+        )
+
+    skew = F.col("m3") / F.sqrt(F.col("m2") * F.col("m2") * F.col("m2"))
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)
+    return c.select(
+        "priority",
+        "n",
+        r6(F.col("mean")).alias("mean"),
+        r6(skew).alias("skewness"),
+        r6(kurt).alias("excess_kurtosis"),
+    )

@@ -1324,3 +1324,101 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph: every vector's top-k neighbors among its LSH co-occupants
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def _knn_graph_oracle_sql() -> str:
+    plane_lits = [
+        "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        for row in _PLANES
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {_DOT.format(a='embedding', b=p)} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(plane_lits)
+    )
+    cos = (
+        f"((CASE WHEN {_DOT.format(a='a.embedding', b='c.embedding')}"
+        f" / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='c.embedding')})"
+        f" < 0 THEN -1.0 ELSE 1.0 END)"
+        f" * CAST(floor(abs({_DOT.format(a='a.embedding', b='c.embedding')}"
+        f" / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='c.embedding')}))"
+        f" * 1000000 + 0.5) AS BIGINT) / 1000000.0)"
+    )
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ), scored AS (
+        SELECT a.vec_id AS vec_id, c.vec_id AS nbr_id, {cos} AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    )
+    SELECT vec_id, nbr_id, cosine, rank FROM (
+        SELECT vec_id, nbr_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, nbr_id ASC) AS rank
+        FROM scored
+    ) t
+    WHERE rank <= {_KNN_K}
+    """
+
+
+@register("sim_knn_graph", oracle=_knn_graph_oracle_sql())
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide k-NN GRAPH: every vector's top-{_KNN_K}
+    cosine neighbors among its LSH-bucket co-occupants — the edge
+    set semantic-dedup (SemDeDup), density-based pruning, and graph
+    clustering all consume. Unlike sim_cosine_topk (a bounded QUERY
+    set against the corpus), every vector is a query, so the exact
+    all-pairs spelling is quadratic and the bucketed candidate
+    graph IS the scale path, not an approximation bolted on later.
+
+    Scale design: one bucket hash per vector (map-side), one shuffle
+    on the bucket key, per-bucket pairwise scoring in the Arrow
+    kernel (cost = occupancy² — the LSH design bound; more planes /
+    multi-table unioning tighten it exactly as in
+    sim_lsh_multitable_topk), then a per-vector top-k window whose
+    partition key is the vector id — maximal parallelism, no global
+    order anywhere. Each unordered pair is scored ONCE and emitted
+    in both directions.
+
+    Reference: `viaf.py:777-798` picks the best candidate cluster
+    per contributor; the k-NN graph is the all-at-once version the
+    batch pipeline wants.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(similarity._bucket_sql("embedding", _PLANES))
+        .alias("bucket"),
+    )
+    pairs = similarity.cosine_pairs_arrow(
+        b, threshold=-1.01, bucket_col="bucket"
+    )
+    both = pairs.select(
+        F.col("id_a").alias("vec_id"),
+        F.col("id_b").alias("nbr_id"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("vec_id"),
+            F.col("id_a").alias("nbr_id"),
+            "cosine",
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("vec_id", "nbr_id", "cosine", "rank")
+    )

@@ -32,6 +32,8 @@ ARROW_STAGES = {
     # recall harness: ground truth comes from the same Arrow exact
     # scorer the retrieval tiers are audited against
     "sim_recall_eval",
+    # per-bucket pairwise Arrow scorer (cosine_pairs_arrow)
+    "sim_knn_graph",
 }
 
 
