@@ -152,3 +152,37 @@ def test_matches_window_spelling_on_skewed_data(spark):
         .collect()[0]["v"]
     )
     assert got[0]["p99"] == exp
+
+
+def test_property_random_weighted_selection(spark):
+    """Hypothesis property: for random grouped weighted multisets —
+    including huge-magnitude values that force multi-round
+    refinement and heavy ties — every requested quantile target
+    matches the brute-force cumulative-weight walk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.one_of(
+        st.integers(-50, 50),                      # tie-heavy
+        st.integers(-(2 ** 45), 2 ** 45),          # multi-round
+    )
+    rows_strategy = st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", None]), vals,
+                  st.integers(1, 7)),
+        min_size=5, max_size=120,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows_strategy)
+    def run(tuples):
+        rows = [{"g": g, "v": v, "w": w} for g, v, w in tuples]
+        _check(
+            spark, rows, ["g"],
+            lambda stt: {
+                "p25": max(1, stt.total_weight // 4),
+                "p50": (stt.total_weight + 1) // 2,
+                "p100": stt.total_weight,
+            },
+            weight_col="w",
+        )
+    run()
