@@ -180,6 +180,10 @@ EXTENDED = [
     "a_moments_skew_kurt",
     "g_degree_distribution",
     "txt_ngram_novelty",
+    "sim_label_outliers",
+    "d_cdc_apply",
+    "ev_seasonal_anomaly",
+    "j_band_join",
 ]
 
 

@@ -75,6 +75,10 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "a_moments_skew_kurt",
     "g_degree_distribution",
     "txt_ngram_novelty",
+    "sim_label_outliers",
+    "d_cdc_apply",
+    "ev_seasonal_anomaly",
+    "j_band_join",
     "dd_est_vs_exact",
     "txt_tokenizer_fertility",
     "a_ks_drift",
@@ -95,18 +99,14 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # under the driver's independent hash check), swapping in one
     # r3-green rep for each family the r2 block lacks (f_, g_,
     # pipe_, s_, sim_).
-    "a_mode_top1",
-    "a_percentile_cont",
     "a_percentile_disc",
     "a_pricing_summary",
     "a_token_explode_sum",
     "d_queue_lifecycle",
-    "d_register_anti_join",
     "d_status_transitions",
     "d_update_expression",
     "dd_minhash_clusters",
     "dd_minhash_lsh",
-    "dd_ngram_containment",
     "dd_ngram_jaccard",
     "dd_ngram_jaccard_pruned",
     "j_anti_join_queue",

@@ -730,3 +730,77 @@ def d_forget_cascade_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_rows_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: compact a change feed to latest-wins state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d_cdc_apply",
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey AS key,
+               o_orderkey AS version,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS qv
+        FROM orders
+    ),
+    latest AS (
+        SELECT key,
+               COUNT(*) AS n_changes,
+               MAX(version) AS last_version,
+               max_by(op, version) AS last_op,
+               max_by(qv, version) AS last_qv
+        FROM feed GROUP BY key
+    )
+    SELECT key, n_changes, last_version,
+           last_qv / 100.0 AS last_value
+    FROM latest
+    WHERE last_op <> 'D'
+    """,
+)
+def d_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture APPLY: compact an upsert/delete change
+    feed into latest-wins state — the log-to-snapshot operator every
+    CDC sink (and every incremental ingest job) runs. The feed is
+    derived deterministically from orders (sequence number = order
+    key — unique, so latest-wins is total; every 13th change is a
+    tombstone); keys whose newest change is a delete vanish from the
+    state, everything else lands with its newest value and a change
+    count.
+
+    Scale design: ONE hash aggregate — ``max_by(payload, version)``
+    is partial-aggregable (each partition keeps its champion, merge
+    keeps the winner), so the whole apply is a single map-side-
+    combining shuffle on the key. No window, no self-join, no sort;
+    the classic rank-per-key spelling pays a per-key sort for the
+    same answer. Tombstones filter AFTER compaction, so a delete
+    followed by a re-insert survives correctly.
+
+    Reference: `coverage_provider.py:82-118` replays per-identifier
+    coverage transitions to a current-state row; the CDC apply is
+    that replay as one aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    feed = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("qv"),
+    )
+    latest = feed.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.max("version").alias("last_version"),
+        F.max_by("op", "version").alias("last_op"),
+        F.max_by("qv", "version").alias("last_qv"),
+    )
+    return latest.where(F.col("last_op") != "D").select(
+        "key",
+        "n_changes",
+        "last_version",
+        (F.col("last_qv") / 100.0).alias("last_value"),
+    )

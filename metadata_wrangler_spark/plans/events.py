@@ -2751,3 +2751,89 @@ def a_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint") / 10000.0
         ).alias("d_at_value"),
     )
+
+
+# --- seasonality-aware anomaly: z-test against the (type, hour) cell ------
+
+
+@register(
+    "ev_seasonal_anomaly",
+    oracle="""
+    WITH q AS (
+        SELECT event_id, event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS qv
+        FROM events
+    ),
+    base AS (
+        SELECT event_type, hod,
+               COUNT(*) AS n,
+               SUM(CAST(qv AS HUGEINT)) AS s1,
+               SUM(CAST(qv AS HUGEINT) * qv) AS s2
+        FROM q GROUP BY event_type, hod
+    )
+    SELECT q.event_id, q.event_type, q.hod,
+           CAST(q.qv AS BIGINT) / 10000.0 AS value,
+           b.n AS cell_n,
+           CASE WHEN b.n * q.qv > b.s1 THEN 'high' ELSE 'low' END AS side
+    FROM q JOIN base b USING (event_type, hod)
+    WHERE b.n >= 30
+      AND (b.n * CAST(q.qv AS HUGEINT) - b.s1)
+          * (b.n * CAST(q.qv AS HUGEINT) - b.s1)
+          > 9 * (b.n * b.s2 - b.s1 * b.s1)
+    """,
+)
+def ev_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomalies: events more than 3 sigma from
+    the mean OF THEIR OWN (type, hour-of-day) cell — the alarm that
+    doesn't fire every evening because traffic is always high in the
+    evening, which is exactly what the global z-score
+    (a_anomaly_zscore) gets wrong on diurnal data.
+
+    The 3-sigma test is evaluated ENTIRELY in exact integer
+    arithmetic: z² > 9 rewrites to (n·x − S1)² > 9·(n·S2 − S1²),
+    every term a HUGEINT/DECIMAL(38,0) product of quantized sums —
+    no sqrt, no division, no float anywhere, so the flag set is
+    bit-identical cross-engine (same trick family as the Gini and
+    PMI integer surrogates).
+
+    Scale design: one map-side-partial aggregate to the ≤ |types|×24
+    baseline cells, broadcast back, flag test in codegen on a second
+    column-pruned scan. At 100 TB the baseline table is still 120
+    rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600).cast("bigint") % 24)
+        .alias("hod"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("bigint").alias("qv"),
+    )
+    d38 = "decimal(38,0)"
+    base = q.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qv").cast(d38)).alias("s1"),
+        F.sum((F.col("qv").cast("decimal(19,0)") * F.col("qv"))
+              .cast(d38)).alias("s2"),
+    )
+    j = q.join(F.broadcast(base), ["event_type", "hod"])
+    dev = F.col("n").cast(d38) * F.col("qv") - F.col("s1")
+    var_n3 = F.lit(9).cast(d38) * (
+        F.col("n").cast(d38) * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    return (
+        j.where(F.col("n") >= 30)
+        .where(dev * dev > var_n3)
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            (F.col("qv").cast("bigint") / 10000.0).alias("value"),
+            F.col("n").alias("cell_n"),
+            F.when(
+                F.col("n").cast(d38) * F.col("qv") > F.col("s1"), "high"
+            ).otherwise("low").alias("side"),
+        )
+    )

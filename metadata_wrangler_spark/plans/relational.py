@@ -2616,3 +2616,88 @@ def a_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(skew).alias("skewness"),
         r6(kurt).alias("excess_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J11: banded numeric join (|a - b| <= delta) via bucket + neighbor probe
+# ---------------------------------------------------------------------------
+
+_BAND_DELTA_Q = 5  # |balance difference| <= 0.05, in 1e-2 quanta
+
+
+@register(
+    "j_band_join",
+    oracle=f"""
+    WITH s AS (
+        SELECT s_suppkey,
+               CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS qb
+        FROM supplier
+    ), c AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS qb
+        FROM customer
+    )
+    SELECT s.s_suppkey, c.c_custkey,
+           s.qb / 100.0 AS supp_bal,
+           c.qb / 100.0 AS cust_bal,
+           abs(s.qb - c.qb) AS diff_q
+    FROM s JOIN c ON abs(s.qb - c.qb) <= {_BAND_DELTA_Q}
+    """,
+)
+def j_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded numeric join: supplier–customer pairs whose account
+    balances agree within 0.05 — the |a−b| ≤ δ join class (sensor
+    alignment, fuzzy reconciliation, near-equal amount matching)
+    that naive engines evaluate as a cartesian product with a
+    filter.
+
+    Scale design — the classic band-bucket decomposition: quantize,
+    bucket both sides at width δ (bucket = qb div δ), EXPLODE the
+    smaller side into its bucket and both neighbors (3 rows each;
+    |a−b| ≤ δ implies the pair shares a bucket or sits in adjacent
+    ones), then an EQUI-join on the bucket key with the exact band
+    predicate as a codegen post-filter. One shuffle on a dense
+    integer key, fan-out exactly 3, no range-join fallback, no
+    cartesian anywhere — the plan shape survives any scale where the
+    per-bucket occupancy product stays bounded (δ controls it).
+
+    Reference: fuzzy measurement reconciliation across sources
+    (`content_cafe.py:298-306` popularity vs holdings cross-checks).
+    """
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint").alias("qb_s"),
+    )
+    cus = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint").alias("qb_c"),
+    )
+    d = _BAND_DELTA_Q
+    # floor-div bucketing (negative balances included); supplier is
+    # the smaller side -> it carries the 3x neighbor fan-out.
+    sup_b = sup.select(
+        "s_suppkey", "qb_s",
+        F.explode(
+            F.array(
+                F.floor(F.col("qb_s") / d).cast("bigint") - 1,
+                F.floor(F.col("qb_s") / d).cast("bigint"),
+                F.floor(F.col("qb_s") / d).cast("bigint") + 1,
+            )
+        ).alias("bkt"),
+    )
+    cus_b = cus.withColumn(
+        "bkt", F.floor(F.col("qb_c") / d).cast("bigint")
+    )
+    return (
+        sup_b.join(cus_b, "bkt")
+        .where(F.abs(F.col("qb_s") - F.col("qb_c")) <= d)
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            (F.col("qb_s") / 100.0).alias("supp_bal"),
+            (F.col("qb_c") / 100.0).alias("cust_bal"),
+            F.abs(F.col("qb_s") - F.col("qb_c")).alias("diff_q"),
+        )
+    )

@@ -1422,3 +1422,126 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _KNN_K)
         .select("vec_id", "nbr_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# label outliers: mislabeled / out-of-distribution candidates
+# ---------------------------------------------------------------------------
+
+
+def _label_outliers_oracle_sql() -> str:
+    vc = (f"{_DOT.format(a='e.embedding', b='c.cent')}"
+          f" / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='c.cent')})")
+    qc = (f"(CASE WHEN {vc} < 0 THEN -1 ELSE 1 END)"
+          f" * CAST(floor(abs({vc}) * 1000000 + 0.5) AS BIGINT)")
+    return f"""
+    WITH dims AS (
+        SELECT label, i,
+               SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                              * {_CENT_Q} + 0.5) AS BIGINT)) AS s
+        FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+        GROUP BY label, i
+    ),
+    cents AS (
+        SELECT label, list(CAST(s AS DOUBLE) ORDER BY i) AS cent
+        FROM dims GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, {qc} AS qcos
+        FROM embeddings e JOIN cents c USING (label)
+    ),
+    ranked AS (
+        SELECT label, qcos,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY qcos, vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY label) AS n
+        FROM scored
+    ),
+    thr AS (
+        SELECT label,
+               MIN(CASE WHEN rn = CAST(floor((n - 1) * 0.1) AS BIGINT) + 1
+                        THEN qcos END) AS q10
+        FROM ranked GROUP BY label
+    )
+    SELECT s.vec_id, s.label,
+           s.qcos / 1000000.0 AS centroid_cos,
+           t.q10 / 1000000.0 AS label_p10
+    FROM scored s JOIN thr t USING (label)
+    WHERE s.qcos < t.q10
+    """
+
+
+@register("sim_label_outliers", oracle=_label_outliers_oracle_sql())
+def sim_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled / out-of-distribution candidates: vectors whose
+    cosine to their OWN label centroid falls below the label's 10th
+    percentile — the label-noise sweep a training-data pipeline runs
+    before trusting classifier labels for filtering or mixing
+    (complements sim_label_centroids' per-label health report with a
+    per-VECTOR verdict).
+
+    Scale design: centroid = exact integer component sums (one
+    dimension explode + hash aggregate, |labels|×64 rows); scoring
+    is one corpus scan against the broadcast centroid table; the
+    per-label p10 threshold is a SELECTION (value at rank, not a
+    rank per row), so it rides operators/selection.py — no
+    partitionBy(label) window handing one task a tenth of the corpus
+    — and comes back as a literal codegen CASE for the final filter
+    scan. Everything integer-quantized (1e-7 centroid sums, 1e-6
+    scores) so the flag set is bit-identical cross-engine.
+
+    Reference: `viaf.py:777-798` scores cluster membership before a
+    merge; this is the embedding-space generalization.
+    """
+    import math
+
+    from metadata_wrangler_spark.operators.selection import grouped_select
+    from metadata_wrangler_spark.operators.similarity import dot, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(
+            F.sum(
+                F.floor(F.col("v").cast("double") * _CENT_Q + F.lit(0.5))
+                .cast("bigint")
+            ).alias("s")
+        )
+    )
+    cents = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))),
+            lambda x: x["s"].cast("double"),
+        ).alias("cent")
+    )
+    vc = dot(F.col("embedding"), F.col("cent")) / (
+        norm(F.col("embedding")) * norm(F.col("cent"))
+    )
+    qc = (
+        F.when(vc < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.floor(F.abs(vc) * 1000000 + F.lit(0.5)).cast("bigint")
+    )
+    scored = emb.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", qc.alias("qcos")
+    )
+    sel = grouped_select(
+        scored, "qcos",
+        lambda st: {"q10": int(math.floor((st.n - 1) * 0.1)) + 1},
+        group_cols=["label"],
+    )
+    thr = F.lit(None).cast("bigint")
+    for m in sel:
+        thr = F.when(
+            F.col("label") == F.lit(m["label"]), F.lit(m["q10"])
+        ).otherwise(thr)
+    return (
+        scored.select("vec_id", "label", "qcos", thr.alias("q10"))
+        .where(F.col("qcos") < F.col("q10"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("qcos") / 1000000.0).alias("centroid_cos"),
+            (F.col("q10") / 1000000.0).alias("label_p10"),
+        )
+    )
