@@ -1051,6 +1051,25 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = deg.groupBy(F.col("d").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+    # Two-tier finish (same policy as operators/prefix.py offsets):
+    # the histogram is the OUTPUT and is bounded by the distinct
+    # degree count — when it fits a bounded driver collect, the
+    # cumulative share is a driver cumsum (one job); the
+    # sqrt(2m)-degrees pathological case falls back to the
+    # distributed prefix operator.
+    rows = hist.limit(65537).collect()
+    if len(rows) <= 65536:
+        rows.sort(key=lambda r: r["degree"])
+        total = sum(r["n_nodes"] for r in rows)
+        out, run = [], 0
+        for r in rows:
+            run += r["n_nodes"]
+            out.append(
+                (r["degree"], r["n_nodes"], (1000000 * run) // total)
+            )
+        return spark.createDataFrame(
+            out, "degree bigint, n_nodes bigint, cum_nodes_ppm bigint"
+        )
     cum = global_order_stats(
         hist, [F.asc("degree")], cum_cols=["n_nodes"], rank_col=None,
         total_col="__nb",

@@ -1522,9 +1522,13 @@ def sim_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(vc < 0, F.lit(-1)).otherwise(F.lit(1))
         * F.floor(F.abs(vc) * 1000000 + F.lit(0.5)).cast("bigint")
     )
+    # scored feeds BOTH the percentile selection and the final
+    # filter; cache it so the centroid subtree + per-vector HOF dot
+    # run once (3 narrow columns — at extreme scale trade the cache
+    # for a recompute by dropping this line, correctness unchanged).
     scored = emb.join(F.broadcast(cents), "label").select(
         "vec_id", "label", qc.alias("qcos")
-    )
+    ).cache()
     sel = grouped_select(
         scored, "qcos",
         lambda st: {"q10": int(math.floor((st.n - 1) * 0.1)) + 1},
