@@ -184,6 +184,7 @@ EXTENDED = [
     "d_cdc_apply",
     "ev_seasonal_anomaly",
     "j_band_join",
+    "txt_bpe_merge_step",
 ]
 
 

@@ -79,6 +79,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "d_cdc_apply",
     "ev_seasonal_anomaly",
     "j_band_join",
+    "txt_bpe_merge_step",
     "dd_est_vs_exact",
     "txt_tokenizer_fertility",
     "a_ks_drift",
@@ -99,7 +100,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # under the driver's independent hash check), swapping in one
     # r3-green rep for each family the r2 block lacks (f_, g_,
     # pipe_, s_, sim_).
-    "a_percentile_disc",
     "a_pricing_summary",
     "a_token_explode_sum",
     "d_queue_lifecycle",

@@ -3403,3 +3403,71 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge step: the tokenizer-vocabulary induction primitive
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_bpe_merge_step",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS wd
+        FROM documents
+    ),
+    p AS (
+        SELECT substr(wd, i, 2) AS pair
+        FROM w, unnest(generate_series(1, len(wd) - 1)) AS t(i)
+        WHERE len(wd) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def txt_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE (byte-pair encoding) MERGE STEP over the corpus: the
+    frequency of every adjacent symbol pair inside word tokens, top
+    20 by count with a deterministic tie order — the argmax of this
+    table is exactly the pair a Sennrich-style tokenizer trainer
+    merges next. txt_bpe_token_count APPLIES a tokenizer; this is
+    the induction side: run it, merge the winner into one symbol,
+    re-tokenize, repeat (the loop is a bounded driver iteration like
+    operators/similarity.ivf_train — each step is one job and only
+    the merged pair comes back to the driver).
+
+    Scale design: two map-side explodes (words, then in-word
+    character pairs via ``substring`` over an index sequence — no
+    per-pair string concat) into ONE hash aggregate with map-side
+    combine; the pair-vocabulary is bounded by |alphabet|², so the
+    shuffle carries counters, never text. Top-k is
+    TakeOrderedAndProject — no global sort, no single-partition
+    window.
+
+    Reference: the reference normalizes author/title tokens before
+    matching (`oclc/classify.py:640-754`); subword induction is the
+    modern continuation of that normalization stack.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(dedup.normalize_text(F.col("text")), " ")
+        ).alias("wd")
+    ).where(F.length("wd") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(wd) - 1),"
+                " i -> substring(wd, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
