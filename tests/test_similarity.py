@@ -235,3 +235,42 @@ def test_multitable_arrow_buckets_match_expression_spelling(spark):
     sgot = sorted(tuple(r) for r in arrow.collect())
     sexp = sorted(tuple(r) for r in expr.collect())
     assert sgot == sexp
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_knn_graph_edges_subset_of_bucket_pairs(spark, sf_dir):
+    """sim_knn_graph invariants: every vector with ≥1 co-occupant
+    gets 1..k ranked edges; every edge's endpoints share a bucket;
+    edge cosines match the exact pairwise score; and the graph's
+    per-vector top-1 agrees with exact top-1 whenever the exact
+    nearest neighbour shares the query's bucket (the LSH contract —
+    candidates can only miss CROSS-bucket neighbours)."""
+    from metadata_wrangler_spark.catalog import load
+    from metadata_wrangler_spark.plans.vectors import (_KNN_K, _PLANES,
+                                                       sim_knn_graph)
+
+    emb = load(spark, sf_dir, "embeddings")
+    graph = sim_knn_graph(spark, sf_dir).collect()
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.hyperplane_buckets(emb, _PLANES).collect()
+    }
+    per_vec = {}
+    for r in graph:
+        per_vec.setdefault(r["vec_id"], []).append(r)
+        assert buckets[r["vec_id"]] == buckets[r["nbr_id"]]
+    for vid, rows in per_vec.items():
+        ranks = sorted(x["rank"] for x in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= _KNN_K
+        # ranked by (cosine desc, nbr asc)
+        ordered = sorted(rows, key=lambda x: (-x["cosine"], x["nbr_id"]))
+        assert [x["rank"] for x in ordered] == ranks
+    # exact agreement whenever the true NN is bucket-local
+    exact = similarity.cosine_topk(
+        emb, emb.where(F.expr("vec_id % 37 = 0")), k=1
+    ).collect()
+    for r in exact:
+        q, nn = r["query_id"], r["corpus_id"]
+        if buckets.get(q) == buckets.get(nn) and q in per_vec:
+            top1 = min(per_vec[q], key=lambda x: x["rank"])
+            assert top1["nbr_id"] == nn and top1["cosine"] == r["cosine"]
