@@ -474,42 +474,53 @@ def a_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     — engine-portable by construction).
 
     Reference: `bin/util/calculate_percentile:11-36`. Plan shape:
-    groupBy(value) count → cumulative sum over the (much smaller)
-    distinct-value table → rank-range probe. No row-level global
-    sort; the single ordered pass sees |distinct values| rows after
-    map-side partial aggregation. `a_percentile_cont` is the
-    single-pass aggregate variant.
+    all four percentiles are a SELECTION problem, so they ride the
+    histogram-refinement operator (operators/selection.py) over the
+    exact 1e-2 quantization of the 2-decimal currency (injective,
+    so the quantized rank order IS the value order): one coarse
+    bounds histogram + one endgame round, raw rows never shuffled —
+    the previous distinct-value prefix-cumsum spelling shuffled
+    |distinct values| rows, which scales WITH the data on a
+    near-continuous column. The original doubles come back from one
+    pushdown-filtered probe on the four selected quanta.
+    `a_percentile_cont` is the single-pass aggregate variant.
     """
-    from metadata_wrangler_spark.operators.prefix import global_order_stats
+    import math
+
+    from metadata_wrangler_spark.operators.selection import grouped_select
 
     c = load(spark, sf_dir, "customer")
-    # Pre-aggregate to per-value counts first (map-side partial agg
-    # shrinks the shuffle), then take the cumulative count with the
-    # range-bucketed distributed prefix sum — |distinct values| is
-    # NOT bounded (acctbal is near-continuous, distincts scale with
-    # customers), so a flat Window.orderBy here would be the
-    # SinglePartition trap operators/prefix.py exists to kill.
-    counts = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("cnt"))
-    cum = global_order_stats(
-        counts, [F.asc("c_acctbal")], cum_cols=["cnt"], rank_col=None
-    ).select(
+    q = c.select(
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint").alias("qb"),
         "c_acctbal",
-        F.col("cum_cnt").alias("cum"),
-        (F.col("cum_cnt") - F.col("cnt")).alias("prev"),
     )
-    total = c.agg(F.count(F.lit(1)).alias("n"))
-    pcts = spark.createDataFrame([(0.25,), (0.50,), (0.75,), (0.90,)], "p double")
-    targets = pcts.crossJoin(F.broadcast(total)).select(
-        "p", (F.floor((F.col("n") - 1) * F.col("p")) + 1).alias("rn")
-    )
-    # The percentile value is the one whose cumulative range covers
-    # the target rank.
-    return (
-        cum.join(
-            F.broadcast(targets),
-            (F.col("prev") < F.col("rn")) & (F.col("cum") >= F.col("rn")),
+
+    def pct_ranks(st):
+        return {
+            str(p): int(math.floor((st.n - 1) * p)) + 1
+            for p in (0.25, 0.50, 0.75, 0.90)
+        }
+
+    sel = grouped_select(q, "qb", pct_ranks)
+    if not sel:
+        return spark.createDataFrame([], "p double, value double")
+    picked = {str(p): sel[0][str(p)] for p in (0.25, 0.50, 0.75, 0.90)}
+    # recover the exact source doubles (quantization is injective on
+    # 2-decimal currency): one probe filtered to the four quanta —
+    # a pushed-down IN over a derived column, ≤4 result rows.
+    vals = {
+        r["qb"]: r["value"]
+        for r in q.where(
+            F.col("qb").isin(*{int(v) for v in picked.values()})
         )
-        .select("p", F.col("c_acctbal").alias("value"))
+        .groupBy("qb")
+        .agg(F.min("c_acctbal").alias("value"))
+        .collect()
+    }
+    return spark.createDataFrame(
+        [(float(p), vals[picked[str(p)]]) for p in (0.25, 0.50, 0.75, 0.90)],
+        "p double, value double",
     )
 
 

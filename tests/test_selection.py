@@ -186,3 +186,27 @@ def test_property_random_weighted_selection(spark):
             weight_col="w",
         )
     run()
+
+
+def test_forced_multi_round_path_matches(spark, monkeypatch):
+    """Force the worst-case refinement path (tiny BITS, no direct
+    tier, no early finish) — every window must narrow bit by bit
+    and still land on the brute-force answers."""
+    import metadata_wrangler_spark.operators.selection as S
+
+    monkeypatch.setattr(S, "BITS", 3)
+    monkeypatch.setattr(S, "FINAL_BITS", 2)
+    monkeypatch.setattr(S, "ROWS_DIRECT", 0)
+    rng = random.Random(23)
+    rows = [
+        {"g": rng.choice(["a", "b"]),
+         "v": rng.randrange(-(2 ** 21), 2 ** 21),
+         "w": rng.randrange(1, 5)}
+        for _ in range(300)
+    ]
+    _check(
+        spark, rows, ["g"],
+        lambda st: {"med": (st.total_weight + 1) // 2,
+                    "p90": (st.total_weight * 9) // 10 or 1},
+        weight_col="w",
+    )
