@@ -185,6 +185,10 @@ EXTENDED = [
     "ev_seasonal_anomaly",
     "j_band_join",
     "txt_bpe_merge_step",
+    "ev_burstiness",
+    "ev_gap_percentiles",
+    "g_assortativity",
+    "sim_centroid_drift",
 ]
 
 

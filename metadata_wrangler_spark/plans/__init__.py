@@ -80,6 +80,10 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "ev_seasonal_anomaly",
     "j_band_join",
     "txt_bpe_merge_step",
+    "ev_burstiness",
+    "ev_gap_percentiles",
+    "g_assortativity",
+    "sim_centroid_drift",
     "dd_est_vs_exact",
     "txt_tokenizer_fertility",
     "a_ks_drift",
@@ -101,13 +105,9 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # r3-green rep for each family the r2 block lacks (f_, g_,
     # pipe_, s_, sim_).
     "a_pricing_summary",
-    "a_token_explode_sum",
     "d_queue_lifecycle",
     "d_status_transitions",
-    "d_update_expression",
     "dd_minhash_clusters",
-    "dd_minhash_lsh",
-    "dd_ngram_jaccard",
     "dd_ngram_jaccard_pruned",
     "j_anti_join_queue",
     "j_dim_3way_broadcast",

@@ -2837,3 +2837,158 @@ def ev_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise("low").alias("side"),
         )
     )
+
+
+# --- burstiness: Fano factor of hourly arrival counts per type -----------
+
+
+@register(
+    "ev_burstiness",
+    oracle="""
+    WITH hc AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               COUNT(*) AS c
+        FROM events GROUP BY event_type, hr
+    ),
+    m AS (
+        SELECT event_type,
+               COUNT(*) AS n_hours,
+               SUM(CAST(c AS HUGEINT)) AS s1,
+               SUM(CAST(c AS HUGEINT) * c) AS s2
+        FROM hc GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+           CAST(s1 AS BIGINT) AS n_events,
+           CAST((1000000 * (n_hours * s2 - s1 * s1))
+                // (n_hours * s1) AS BIGINT) AS fano_ppm
+    FROM m
+    """,
+)
+def ev_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of arrivals per event type: the Fano factor
+    (index of dispersion, variance/mean of hourly counts) in exact
+    ppm — 1.0 ≈ Poisson, >1 bursty, <1 regular. The shape statistic
+    capacity planning reads next to the hourly matrix
+    (ev_pivot_daily_matrix): a type with fano 5x another needs 5x
+    the headroom at equal volume.
+
+    Exactness: variance/mean rewrites to (n·S2 − S1²) / (n·S1) over
+    HUGEINT hourly-count sums — one integer division at the end,
+    no float accumulation (same family as ev_seasonal_anomaly's
+    integer z-test).
+
+    Scale design: two stacked map-side-combining hash aggregates —
+    (type, hour) counts then per-type moments; the second input is
+    |types|×|hours| counters. Nothing row-sized shuffles twice.
+    """
+    ev = load(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d38 = "decimal(38,0)"
+    m = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("c").cast(d38)).alias("s1"),
+        F.sum((F.col("c").cast("decimal(19,0)") * F.col("c"))
+              .cast(d38)).alias("s2"),
+    )
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.col("s1").cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST((1000000 * (n_hours * s2 - s1 * s1))"
+            " DIV (n_hours * s1) AS BIGINT)"
+        ).alias("fano_ppm"),
+    )
+
+
+# --- inter-event-time percentiles: selection over arrival gaps -----------
+
+
+@register(
+    "ev_gap_percentiles",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               event_id
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_type,
+               sec - LAG(sec) OVER (
+                   PARTITION BY user_id ORDER BY sec, event_id
+               ) AS gap
+        FROM e
+    ),
+    g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
+    r AS (
+        SELECT event_type, gap,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY gap) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM g
+    )
+    SELECT event_type,
+           MAX(n) AS n_gaps,
+           CAST(MIN(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+                    THEN gap END) AS BIGINT) AS p50_gap_s,
+           CAST(MIN(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+                    THEN gap END) AS BIGINT) AS p90_gap_s
+    FROM r GROUP BY event_type
+    """,
+)
+def ev_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time percentiles per event type (median and p90
+    of the gap between a user's consecutive events, seconds) — the
+    statistic that picks the sessionization GAP
+    (ev_sessionized_gaps hardcodes 1800 s; this query is where that
+    number should come from) and sizes stream watermarks.
+
+    Scale design: the per-user lag is a window over a
+    HIGH-cardinality key (users — honest parallelism); the two
+    per-TYPE percentiles are then SELECTIONS, so they ride
+    operators/selection.py — no partitionBy(event_type) window ever
+    sees the gap rows, and both targets resolve from the same
+    bounded histograms. The oracle's ranked spelling is
+    definitionally equal (value at rank is tie-invariant).
+    """
+    import math
+
+    from metadata_wrangler_spark.operators.selection import grouped_select
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+        )
+        .withColumn("gap", (F.col("sec") - F.lag("sec").over(w))
+                    .cast("bigint"))
+        .where(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    sel = grouped_select(
+        gaps, "gap",
+        lambda st: {
+            "p50": int(math.floor((st.n - 1) * 0.5)) + 1,
+            "p90": int(math.floor((st.n - 1) * 0.9)) + 1,
+        },
+        group_cols=["event_type"],
+    )
+    return spark.createDataFrame(
+        [(m["event_type"], m["n"], m["p50"], m["p90"]) for m in sel],
+        "event_type string, n_gaps bigint, p50_gap_s bigint,"
+        " p90_gap_s bigint",
+    )

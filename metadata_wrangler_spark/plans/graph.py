@@ -1080,3 +1080,112 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000000 * cum_n_nodes) DIV tot_n_nodes AS BIGINT)")
         .alias("cum_nodes_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity: do hubs link to hubs?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_assortativity",
+    oracle=f"""
+    WITH edges AS ({EDGES_SQL}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node
+    ),
+    de AS (
+        SELECT da.d AS x, db.d AS y
+        FROM und
+        JOIN deg da ON da.node = und.a
+        JOIN deg db ON db.node = und.b
+    ),
+    sym AS (
+        SELECT x, y FROM de UNION ALL SELECT y AS x, x AS y FROM de
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM sym
+    )
+    SELECT n AS n_edge_ends,
+           CAST((1000000 * (n * sxy - sx * sy))
+                // NULLIF(CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS HUGEINT), 0) AS BIGINT) AS assortativity_ppm
+    FROM s
+    """,
+)
+def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the equivalency graph: the Pearson
+    correlation between the degrees at the two ends of every edge
+    (Newman's r) in ppm — positive means hubs prefer hubs (social
+    shape), negative means hubs fan out to leaves (star/broadcast
+    shape). Together with g_degree_distribution this pins the
+    graph's shape class before choosing skew strategies for the
+    closure and propagation plans.
+
+    Exactness: all five moments accumulate in HUGEINT over the
+    symmetrized edge-end pairs; the single irrational step
+    (√ of the two variance products) runs on the exact integer
+    moments in one correctly-rounded double sqrt, floored back to
+    integer before the ppm division — both engines execute the
+    identical chain.
+
+    Scale design: distinct-edge dedup, degree count, two node-key
+    joins to annotate edge ends, one 6-moment aggregate — every
+    stage a hash join/aggregate on node keys, counters only after
+    the joins.
+    """
+    edges = build_edges(spark, sf_dir)
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("y"))
+    de = und.join(da, "a").join(db, "b").select("x", "y")
+    sym = de.unionAll(de.select(F.col("y").alias("x"),
+                                F.col("x").alias("y")))
+    d38 = "decimal(38,0)"
+    s = sym.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("y"))
+              .cast(d38)).alias("sxy"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("x"))
+              .cast(d38)).alias("sxx"),
+        F.sum((F.col("y").cast("decimal(19,0)") * F.col("y"))
+              .cast(d38)).alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        F.expr(
+            "CAST((1000000 * (n * sxy - sx * sy))"
+            " DIV NULLIF(CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            "            * CAST(n * syy - sy * sy AS DOUBLE)))"
+            "      AS DECIMAL(38,0)), 0) AS BIGINT)"
+        ).alias("assortativity_ppm"),
+    )

@@ -1549,3 +1549,104 @@ def sim_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q10") / 1000000.0).alias("label_p10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# centroid drift: does each label mean the same thing in both halves?
+# ---------------------------------------------------------------------------
+
+
+def _centroid_drift_oracle_sql() -> str:
+    cc = (f"{_DOT.format(a='a.cent', b='b.cent')}"
+          f" / ({_NORM.format(a='a.cent')} * {_NORM.format(a='b.cent')})")
+    return f"""
+    WITH dims AS (
+        SELECT label, vec_id % 2 AS half, i,
+               COUNT(*) AS n_half,
+               SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                              * {_CENT_Q} + 0.5) AS BIGINT)) AS s
+        FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+        GROUP BY label, half, i
+    ),
+    cents AS (
+        SELECT label, half,
+               MAX(n_half) AS n_vecs,
+               list(CAST(s AS DOUBLE) ORDER BY i) AS cent
+        FROM dims GROUP BY label, half
+    )
+    SELECT a.label,
+           a.n_vecs AS n_even, b.n_vecs AS n_odd,
+           ((CASE WHEN {cc} < 0 THEN -1.0 ELSE 1.0 END)
+            * CAST(floor(abs({cc}) * 1000000 + 0.5) AS BIGINT)
+            / 1000000.0) AS drift_cos
+    FROM cents a JOIN cents b
+      ON a.label = b.label AND a.half = 0 AND b.half = 1
+    """
+
+
+@register("sim_centroid_drift", oracle=_centroid_drift_oracle_sql())
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT check: split the corpus into two deterministic
+    halves (even/odd vector id — in an ingest-ordered corpus, two
+    time slices) and report, per label, the cosine between the two
+    half-centroids. drift_cos ≈ 1 means the label occupies the same
+    region in both halves; a low value is the classic symptom of an
+    upstream embedding-model or schema change silently shifting the
+    space — caught HERE, before a dedup threshold or an ANN index
+    trained on the old half misfires on the new one.
+
+    Scale design: one dimension explode + hash aggregate keyed
+    (label, half, dim) — |labels|×2×64 counter rows — then a
+    |labels|-row self-join and one exact fold per pair. The corpus
+    is scanned once; nothing else is data-sized. Exactness: integer
+    component sums (1e-7) and the family's sign*floor(|x|·1e6+0.5)
+    rounding, bit-stable cross-engine.
+
+    Reference: re-validation sweeps when a source changes format
+    (`coverage_provider.py:119-150` re-registers coverage on policy
+    change); drift detection is the embedding-space analogue.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    from metadata_wrangler_spark.operators.similarity import dot, norm
+
+    dims = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("i", "v"),
+        )
+        .groupBy("label", "half", "i")
+        .agg(
+            F.count(F.lit(1)).alias("n_half"),
+            F.sum(
+                F.floor(F.col("v").cast("double") * _CENT_Q + F.lit(0.5))
+                .cast("bigint")
+            ).alias("s"),
+        )
+    )
+    cents = dims.groupBy("label", "half").agg(
+        F.max("n_half").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))),
+            lambda x: x["s"].cast("double"),
+        ).alias("cent"),
+    )
+    a = cents.where(F.col("half") == 0).select(
+        "label", F.col("n_vecs").alias("n_even"),
+        F.col("cent").alias("cent_a"),
+    )
+    b = cents.where(F.col("half") == 1).select(
+        "label", F.col("n_vecs").alias("n_odd"),
+        F.col("cent").alias("cent_b"),
+    )
+    cc = dot(F.col("cent_a"), F.col("cent_b")) / (
+        norm(F.col("cent_a")) * norm(F.col("cent_b"))
+    )
+    r6 = (
+        F.when(cc < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.floor(F.abs(cc) * 1000000 + F.lit(0.5)).cast("bigint")
+        / F.lit(1000000.0)
+    )
+    return a.join(b, "label").select(
+        "label", "n_even", "n_odd", r6.alias("drift_cos")
+    )
