@@ -3382,9 +3382,11 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = dedup.with_words(docs, "doc_id", "text").select(
         "id", F.array_distinct(dedup.shingles(3)).alias("shs")
     )
+    # sh feeds the first-occurrence aggregate AND the join back —
+    # cache it like the pairwise scorers' shingle table.
     sh = base.select("id", F.explode("shs").alias("s")).select(
         "id", F.xxhash64(F.col("s")).alias("hp")
-    )
+    ).cache()
     first = sh.groupBy("hp").agg(F.min("id").alias("first_id"))
     return (
         sh.join(first, "hp")

@@ -2979,6 +2979,9 @@ def ev_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gap").isNotNull())
         .select("event_type", "gap")
     )
+    # gaps is a DERIVED frame (full per-user window) — exactly the
+    # cache_input case: materialize once, let both histogram rounds
+    # read the 2-column cache instead of re-running the window.
     sel = grouped_select(
         gaps, "gap",
         lambda st: {
@@ -2986,6 +2989,7 @@ def ev_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90": int(math.floor((st.n - 1) * 0.9)) + 1,
         },
         group_cols=["event_type"],
+        cache_input=True,
     )
     return spark.createDataFrame(
         [(m["event_type"], m["n"], m["p50"], m["p90"]) for m in sel],

@@ -1106,17 +1106,18 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN deg da ON da.node = und.a
         JOIN deg db ON db.node = und.b
     ),
-    sym AS (
-        SELECT x, y FROM de UNION ALL SELECT y AS x, x AS y FROM de
-    ),
     s AS (
-        SELECT COUNT(*) AS n,
-               SUM(CAST(x AS HUGEINT)) AS sx,
-               SUM(CAST(y AS HUGEINT)) AS sy,
-               SUM(CAST(x AS HUGEINT) * y) AS sxy,
-               SUM(CAST(x AS HUGEINT) * x) AS sxx,
-               SUM(CAST(y AS HUGEINT) * y) AS syy
-        FROM sym
+        -- symmetrized moments derived from ONE pass over the edge
+        -- list: adding the mirrored pair (y,x) for every (x,y)
+        -- gives sx = sy = SUM(x + y), sxy = 2*SUM(x*y),
+        -- sxx = syy = SUM(x^2 + y^2), and n doubles.
+        SELECT 2 * COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT) + y) AS sx,
+               SUM(CAST(x AS HUGEINT) + y) AS sy,
+               2 * SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x + CAST(y AS HUGEINT) * y) AS sxx,
+               SUM(CAST(x AS HUGEINT) * x + CAST(y AS HUGEINT) * y) AS syy
+        FROM de
     )
     SELECT n AS n_edge_ends,
            CAST((1000000 * (n * sxy - sx * sy))
@@ -1166,19 +1167,19 @@ def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("x"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("y"))
     de = und.join(da, "a").join(db, "b").select("x", "y")
-    sym = de.unionAll(de.select(F.col("y").alias("x"),
-                                F.col("x").alias("y")))
+    # symmetrized moments from ONE pass (no union): over the
+    # implicit {(x,y)} U {(y,x)} multiset, sx = sy = SUM(x+y),
+    # sxy = 2*SUM(xy), sxx = syy = SUM(x^2 + y^2), n doubles.
     d38 = "decimal(38,0)"
-    s = sym.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast(d38)).alias("sx"),
-        F.sum(F.col("y").cast(d38)).alias("sy"),
-        F.sum((F.col("x").cast("decimal(19,0)") * F.col("y"))
-              .cast(d38)).alias("sxy"),
-        F.sum((F.col("x").cast("decimal(19,0)") * F.col("x"))
-              .cast(d38)).alias("sxx"),
-        F.sum((F.col("y").cast("decimal(19,0)") * F.col("y"))
-              .cast(d38)).alias("syy"),
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    s = de.agg(
+        (2 * F.count(F.lit(1))).alias("n"),
+        F.sum((xd + yd).cast(d38)).alias("sx"),
+        F.sum((xd + yd).cast(d38)).alias("sy"),
+        (F.lit(2).cast(d38) * F.sum((xd * yd).cast(d38))).alias("sxy"),
+        F.sum((xd * xd + yd * yd).cast(d38)).alias("sxx"),
+        F.sum((xd * xd + yd * yd).cast(d38)).alias("syy"),
     )
     return s.select(
         F.col("n").alias("n_edge_ends"),
