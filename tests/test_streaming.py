@@ -449,3 +449,61 @@ def test_dedup_within_watermark_bounds_state_and_drops_dupes(
     assert sorted(
         r["event_id"] for r in got.select("event_id").collect()
     ) == sorted(r["event_id"] for r in ev.select("event_id").collect())
+
+
+def test_cdc_apply_stream_equals_batch(spark, tmp_path):
+    """Stream/batch equivalence for the CDC apply: the change feed
+    split into out-of-order micro-batch files converges, through
+    foreachBatch latest-wins merges, to exactly the snapshot the
+    one-shot batch operator (d_cdc_apply semantics) computes over
+    the full feed."""
+    import random
+
+    from metadata_wrangler_spark.streaming import cdc_apply
+
+    rng = random.Random(31)
+    # versions unique; every 13th change is a tombstone; some keys'
+    # LATEST change is a delete, some get deleted then re-inserted.
+    feed = [
+        (k, v, "D" if v % 13 == 0 else "U", rng.randrange(100, 99999))
+        for v, k in enumerate(
+            [rng.randrange(0, 40) for _ in range(400)], start=1
+        )
+    ]
+    # out-of-order micro-batches: shuffle, then slice into 5 files
+    rng.shuffle(feed)
+    src = tmp_path / "changes"
+    src.mkdir()
+    for i in range(5):
+        spark.createDataFrame(
+            feed[i * 80:(i + 1) * 80], cdc_apply.CHANGES_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}.parquet")
+        )
+
+    table = ParquetStateTable(spark, str(tmp_path / "cdc_state"))
+    table.init(cdc_apply.empty_state(spark))
+    cdc_apply.run_cdc_stream(
+        spark, str(src) + "/*", table, str(tmp_path / "cdc_cp")
+    )
+    got = {
+        r["key"]: (r["n_changes"], r["last_version"], r["last_value"])
+        for r in cdc_apply.current_view(table.read()).collect()
+    }
+
+    # batch reference over the full feed
+    full = spark.createDataFrame(feed, cdc_apply.CHANGES_SCHEMA)
+    exp = {
+        r["key"]: (r["n_changes"], r["last_version"], r["last_value"])
+        for r in cdc_apply.current_view(
+            cdc_apply.apply_changes(cdc_apply.empty_state(spark), full)
+        ).collect()
+    }
+    assert got == exp
+    # sanity: tombstoned keys really are hidden, and at least one
+    # delete-then-reinsert key survived
+    state = {r["key"]: r["last_op"] for r in table.read().collect()}
+    assert any(op == "D" for op in state.values())
+    assert all(
+        state[k] != "D" for k in got
+    )
