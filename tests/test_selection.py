@@ -210,3 +210,26 @@ def test_forced_multi_round_path_matches(spark, monkeypatch):
                     "p90": (st.total_weight * 9) // 10 or 1},
         weight_col="w",
     )
+
+
+def test_decimal_weight_buffers_when_total_overflows_int64(spark):
+    """Weights large enough that the group total exceeds 2^62 must
+    route the histogram sums through DECIMAL buffers and still
+    produce exact selections."""
+    w = 1 << 60
+    rows = [
+        {"g": "big", "v": v, "w": w + v} for v in range(8)
+    ]  # total ≈ 2^63 — int64 sum would overflow
+    got = grouped_select(
+        spark.createDataFrame(rows), "v",
+        lambda st: {"half": (st.total_weight + 1) // 2},
+        group_cols=["g"], weight_col="w",
+    )
+    tot = sum(w + v for v in range(8))
+    assert got[0]["total_weight"] == tot
+    run, tgt = 0, (tot + 1) // 2
+    for v in range(8):
+        run += w + v
+        if run >= tgt:
+            assert got[0]["half"] == v
+            break
