@@ -189,6 +189,7 @@ EXTENDED = [
     "ev_gap_percentiles",
     "g_assortativity",
     "sim_centroid_drift",
+    "d_snapshot_diff",
 ]
 
 

@@ -71,6 +71,7 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # landed after the r5 window was frozen — plus, per the window
     # policy, every query REGISTERED this round (front of the
     # window in the same session that created it):
+    "d_snapshot_diff",
     "sim_knn_graph",
     "a_moments_skew_kurt",
     "g_degree_distribution",
@@ -104,7 +105,6 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # under the driver's independent hash check), swapping in one
     # r3-green rep for each family the r2 block lacks (f_, g_,
     # pipe_, s_, sim_).
-    "a_pricing_summary",
     "d_queue_lifecycle",
     "d_status_transitions",
     "dd_minhash_clusters",

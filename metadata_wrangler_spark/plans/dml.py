@@ -804,3 +804,103 @@ def d_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_version",
         (F.col("last_qv") / 100.0).alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff: what changed between two versions of the state?
+# ---------------------------------------------------------------------------
+
+_DIFF_V1 = 3000  # version horizon of the "old" snapshot
+
+
+@register(
+    "d_snapshot_diff",
+    oracle=f"""
+    WITH feed AS (
+        SELECT o_custkey AS key,
+               o_orderkey AS version,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS qv
+        FROM orders
+    ),
+    snap_a AS (
+        SELECT key, max_by(op, version) AS op, max_by(qv, version) AS qv
+        FROM feed WHERE version <= {_DIFF_V1} GROUP BY key
+    ),
+    snap_b AS (
+        SELECT key, max_by(op, version) AS op, max_by(qv, version) AS qv
+        FROM feed GROUP BY key
+    ),
+    a AS (SELECT key, qv FROM snap_a WHERE op <> 'D'),
+    b AS (SELECT key, qv FROM snap_b WHERE op <> 'D')
+    SELECT COALESCE(a.key, b.key) AS key,
+           CASE WHEN a.key IS NULL THEN 'added'
+                WHEN b.key IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           a.qv / 100.0 AS old_value,
+           b.qv / 100.0 AS new_value
+    FROM a FULL OUTER JOIN b ON a.key = b.key
+    WHERE a.key IS NULL OR b.key IS NULL OR a.qv <> b.qv
+    """,
+)
+def d_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: the added / removed / changed key
+    set between two versions of the CDC state (d_cdc_apply's
+    compaction at version horizon V1 vs the full feed) — the diff
+    report every migration, backfill, and audit job runs before
+    trusting a rebuilt table, and the inverse question to the CDC
+    apply (apply turns a log into state; diff recovers the net
+    change between states).
+
+    Scale design: two latest-wins compactions (one hash aggregate
+    each — the horizon filter pushes into the scan) and ONE
+    full-outer join on the key, with the unchanged majority dropped
+    by a codegen filter. No window, no sort; the join is
+    shuffle-on-key with map-side-compacted inputs.
+
+    Reference: the reference's coverage backfill scripts compare
+    "what should be covered" against "what is"
+    (`scripts.py:226-233`, `migration/20181220-register-isbns-…​.sql`);
+    this is that comparison as a general operator.
+    """
+    o = load(spark, sf_dir, "orders")
+    feed = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("qv"),
+    )
+
+    def snap(df):
+        return (
+            df.groupBy("key")
+            .agg(
+                F.max_by("op", "version").alias("op"),
+                F.max_by("qv", "version").alias("qv"),
+            )
+            .where(F.col("op") != "D")
+            .select("key", "qv")
+        )
+
+    a = snap(feed.where(F.col("version") <= _DIFF_V1)).withColumnRenamed(
+        "qv", "qv_a"
+    )
+    b = snap(feed).withColumnRenamed("qv", "qv_b")
+    j = a.join(b, "key", "full_outer")
+    return (
+        j.where(
+            F.col("qv_a").isNull()
+            | F.col("qv_b").isNull()
+            | (F.col("qv_a") != F.col("qv_b"))
+        )
+        .select(
+            "key",
+            F.when(F.col("qv_a").isNull(), "added")
+            .when(F.col("qv_b").isNull(), "removed")
+            .otherwise("changed").alias("change"),
+            (F.col("qv_a") / 100.0).alias("old_value"),
+            (F.col("qv_b") / 100.0).alias("new_value"),
+        )
+    )
