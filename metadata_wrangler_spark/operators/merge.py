@@ -242,11 +242,23 @@ class VersionedParquetTable:
         if not self.try_commit(-1, df):
             raise CommitConflict(f"{self.path}: version 0 already exists")
 
-    def try_commit(self, base_version: int, post_state: DataFrame) -> bool:
+    def try_commit(
+        self,
+        base_version: int,
+        post_state: DataFrame,
+        meta: dict | None = None,
+    ) -> bool:
         """Write ``post_state`` as version ``base_version + 1``.
         Returns False (leaving an orphaned-but-unreferenced data dir,
         cleaned up by vacuum) if another writer claimed that version
-        first. The manifest claim is the linearization point."""
+        first. The manifest claim is the linearization point.
+
+        ``meta`` (optional, JSON-serializable) rides IN the manifest,
+        so it commits atomically with the snapshot — the hook
+        exactly-once sinks use to record their stream progress (e.g.
+        the applied micro-batch id) in the same linearization point
+        as the state itself. Mirrors Delta's ``txn`` action /
+        Iceberg's snapshot summary properties."""
         import json
         import os
         import uuid
@@ -267,7 +279,14 @@ class VersionedParquetTable:
         # leave v{N}.json empty/truncated.
         tmp = manifest + f".{uuid.uuid4().hex[:12]}.tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": target, "data_dir": data_dir}, f)
+            json.dump(
+                {
+                    "version": target,
+                    "data_dir": data_dir,
+                    "meta": meta or {},
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -278,18 +297,27 @@ class VersionedParquetTable:
             os.unlink(tmp)
         return True
 
-    def merge(self, fn, max_retries: int = 10) -> int:
+    def merge(self, fn, max_retries: int = 10, meta: dict | None = None) -> int:
         """Optimistic MERGE: ``fn(current_state) -> post_state``,
         retried against the latest snapshot on conflict. Returns the
-        committed version number."""
+        committed version number. ``meta`` commits atomically in the
+        winning manifest (see try_commit)."""
         for _ in range(max_retries):
             base = self.current_version()
             post = fn(self.read(base))
-            if self.try_commit(base, post):
+            if self.try_commit(base, post, meta=meta):
                 return base + 1
         raise CommitConflict(
             f"{self.path}: lost {max_retries} optimistic races"
         )
+
+    def meta(self, version: int | None = None) -> dict:
+        """The ``meta`` dict committed with a version's manifest
+        (empty for versions committed without one)."""
+        v = self.current_version() if version is None else version
+        if v < 0:
+            return {}
+        return self._manifest(v).get("meta") or {}
 
     def changes(
         self, from_version: int, to_version: int | None = None

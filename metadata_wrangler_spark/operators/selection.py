@@ -164,6 +164,19 @@ def grouped_select(
         base = base.persist()
         cached = True
 
+    # The coarse round caps every window at 2^44 wide, so the later
+    # codegen arithmetic (`__sel_v - lit(lo)`, the `(hi - lo)` shift
+    # math) stays far inside bigint. A caller-provided known_stats
+    # window gets no such cap: a domain spanning >= 2^63 (vmin near
+    # -2^63, vmax positive) would overflow the JVM-side subtraction.
+    # Fall back to the coarse round for those — it recomputes the
+    # stats the caller offered, trading one bounded aggregate for
+    # overflow safety.
+    if known_stats is not None and any(
+        st.vmax - st.vmin >= (1 << 63) for st in known_stats
+    ):
+        known_stats = None
+
     try:
         if known_stats is None:
             # Round 0: a COARSE histogram (2^44-wide buckets over the

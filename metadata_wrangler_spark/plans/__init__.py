@@ -66,71 +66,75 @@ VERIFICATION_WINDOW = 50
 # last driver verification is OLDEST (stalest-first rotation), with
 # every SURVEY.md §2 family keeping at least one representative.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- round-6 window. After round 5 the never-driver-verified
-    # set is exactly the two r4 reds whose oracle-side CAST fix
-    # landed after the r5 window was frozen — plus, per the window
-    # policy, every query REGISTERED this round (front of the
-    # window in the same session that created it):
-    "d_snapshot_diff",
-    "sim_knn_graph",
-    "a_moments_skew_kurt",
-    "g_degree_distribution",
-    "txt_ngram_novelty",
-    "sim_label_outliers",
-    "d_cdc_apply",
-    "ev_seasonal_anomaly",
-    "j_band_join",
-    "txt_bpe_merge_step",
-    "ev_burstiness",
-    "ev_gap_percentiles",
-    "g_assortativity",
-    "sim_centroid_drift",
-    "dd_est_vs_exact",
-    "txt_tokenizer_fertility",
-    "a_ks_drift",
-    "sim_recall_eval",
-    "ev_activity_streaks",
-    "j_asof_nearest",
-    "s_compaction_plan",
-    "txt_idf_rarity",
-    "w_ntile",
-    "so_schema_evolution",
-    "ev_attribution_credit",
-    "a_mutual_info",
-    "j_bloom_prune",
-    "ev_unpivot_long",
-    # Stalest-first rotation: every remaining slot goes to an r2-
-    # green query not re-verified by the driver since (pytest's
-    # all-oracle sweep covers them each run; this rotates them back
-    # under the driver's independent hash check), swapping in one
-    # r3-green rep for each family the r2 block lacks (f_, g_,
-    # pipe_, s_, sim_).
-    "d_queue_lifecycle",
-    "d_status_transitions",
-    "dd_minhash_clusters",
-    "dd_ngram_jaccard_pruned",
-    "j_anti_join_queue",
-    "j_dim_3way_broadcast",
-    "j_fk_inner_join",
-    "j_left_outer_null_split",
-    "j_semi_join",
-    "mm_frame_sample",
-    "mm_image_features",
-    # (four rotation slots ceded to the queries registered this
-    # session — p_/w_/txt_ keep reps via p_projection_filter,
-    # w_topk_per_group, txt_language_id/pii_scrub/repetition_filter)
-    "p_projection_filter",
-    "so_except_intersect",
-    "txt_language_id",
-    "txt_pii_scrub",
-    "txt_repetition_filter",
-    "w_topk_per_group",
-    # Family reps for the five families with no r2-green member:
-    "f_binary_prefix",
-    "g_connected_components",
-    "pipe_provider_end_to_end",
-    "s_cached_fetch",
-    "sim_cosine_topk",
+    # --- round-7 window: STALENESS PAYDOWN. No new queries were
+    # registered this round (construction froze at 221), so every
+    # slot re-certifies existing plans under the driver's
+    # independent gate, stalest first.
+    #
+    # Block 1 — plans REWRITTEN this session (window policy: a
+    # rewritten plan is treated like a new registration — front of
+    # the window in the same session that rewrites it):
+    "txt_ngram_novelty",     # first-occurrence key: hash → raw shingle
+    "a_mad_robust",          # oracle NULL alignment (value filter + NULL-safe joins)
+    "g_shortest_path",       # pointer-jump relaxation (log rounds)
+    "g_bipartite_project",   # shared deduped basket table
+    "a_assoc_rules",         # shared deduped basket table
+    # Block 2 — the other plans rewritten in ROUND 6 onto the new
+    # selection/plan shapes, whose rewritten spellings the r6 window
+    # never covered (round-6 advice, medium):
+    "a_percentile_disc",     # also r2-stale
+    "a_weighted_median",
+    "a_iqr_outliers",
+    "a_regr_trend",
+    "ev_gap_fill",
+    "g_triangle_count",
+    # Block 3 — the ENTIRE remaining r2-stale block (28; 29th is
+    # a_percentile_disc above): last driver-verified in round 2,
+    # covered since only by the pytest all-oracle sweep.
+    "a_conditional_max",
+    "a_daily_buckets",
+    "a_group_count_distinct",
+    "a_mode_top1",
+    "a_percentile_cont",
+    "a_pricing_summary",
+    "a_token_explode_sum",
+    "d_bulk_delete",
+    "d_entity_merge_repoint",
+    "d_get_one_or_create",
+    "d_register_anti_join",
+    "d_update_expression",
+    "dd_decontaminate",
+    "dd_exact_groups",
+    "dd_incremental_exact",
+    "dd_minhash_lsh",
+    "dd_ngram_containment",
+    "dd_ngram_jaccard",
+    "dd_simhash",
+    "dd_simhash_pairs",
+    "p_like_blacklist",
+    "txt_bpe_token_count",
+    "txt_corpus_report",
+    "txt_fingerprint",
+    "txt_mixture_sample",
+    "txt_token_stats",
+    "w_keyset_pagination",
+    "w_offset_pagination",
+    # Block 4 — oldest r3-stale picks: one rep for each SURVEY §2
+    # family the blocks above lack (f_, j_, mm_, pipe_, so_, sim_)
+    # plus the stalest source parsers (S2–S11 family). After this
+    # round no registered query's last driver check is older than
+    # round 3.
+    "f_title_token_jaccard",
+    "j_first_match",
+    "mm_binary_features",
+    "pipe_lookup_urn",
+    "so_drop_duplicates",
+    "sim_ivf_topk",
+    "s_soap_demand",
+    "s_xml_classify",
+    "s_viaf_cluster",
+    "s_marc_json",
+    "s_opds_feed",
 )
 
 

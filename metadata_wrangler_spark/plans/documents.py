@@ -3363,16 +3363,21 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty grades every document on a continuous scale even when no
     single pair crosses a threshold).
 
-    Scale design: shingle → hashed-shingle rows (map-side explode of
-    the distinct-shingle array), ONE aggregate for the per-shingle
-    first-occurrence id, and a join back on the hashed key that
+    Scale design: shingle rows (map-side explode of the
+    distinct-shingle array), ONE aggregate for the per-shingle
+    first-occurrence id, and a join back on the shingle key that
     reuses the aggregate's partitioning — two exchanges total on
     counter-sized rows, no window, no self-join. The same
     `max_doc_freq` stop-shingle lever as the Jaccard tier applies if
     a boilerplate shingle ever dominates a hash partition (it only
     shifts work, never correctness: min-id is insensitive to bucket
-    balance). Internal equality classes ride xxhash64 exactly like
-    the pairwise scorers (operators/dedup.py:114-118).
+    balance). Unlike the pairwise dedup tiers — where xxhash64 only
+    gates CANDIDATES that are then re-scored exactly — here the
+    equality class IS the result, so the key stays the raw shingle
+    string: a hash collision would silently merge two shingles'
+    min-id classes and shift n_novel. The rows are already
+    distinct-per-doc and counter-sized, so the string key costs
+    bytes, not an extra exchange.
 
     Reference: the wranglers' "have we already covered this
     identifier" freshness checks (`coverage_provider.py:79-92`)
@@ -3384,12 +3389,10 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sh feeds the first-occurrence aggregate AND the join back —
     # cache it like the pairwise scorers' shingle table.
-    sh = base.select("id", F.explode("shs").alias("s")).select(
-        "id", F.xxhash64(F.col("s")).alias("hp")
-    ).cache()
-    first = sh.groupBy("hp").agg(F.min("id").alias("first_id"))
+    sh = base.select("id", F.explode("shs").alias("s")).cache()
+    first = sh.groupBy("s").agg(F.min("id").alias("first_id"))
     return (
-        sh.join(first, "hp")
+        sh.join(first, "s")
         .groupBy(F.col("id").alias("doc_id"))
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -2115,10 +2115,16 @@ def a_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_mad_robust",
     oracle="""
+    -- NULL alignment with the plan: the selection operator counts
+    -- only non-NULL values (value IS NOT NULL below), and a NULL
+    -- event_type is a real group (NULL-safe joins, not USING,
+    -- which would drop it) — so the equivalence does not depend on
+    -- the data generator never producing NULLs here.
     WITH q AS (
         SELECT event_id, event_type,
                CAST(floor(value * 10000 + 0.5) AS BIGINT) AS qv
         FROM events
+        WHERE value IS NOT NULL
     ),
     r1 AS (
         SELECT event_type, qv,
@@ -2133,7 +2139,8 @@ def a_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dev AS (
         SELECT q.event_id, q.event_type, abs(q.qv - m.med_qv) AS adev
-        FROM q JOIN med m USING (event_type)
+        FROM q JOIN med m
+          ON q.event_type IS NOT DISTINCT FROM m.event_type
     ),
     r2 AS (
         SELECT event_type, adev,
@@ -2145,7 +2152,8 @@ def a_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r2.event_type,
            CAST(m.med_qv AS BIGINT) / 10000.0 AS median_value,
            CAST(r2.adev AS BIGINT) / 10000.0 AS mad
-    FROM r2 JOIN med m USING (event_type)
+    FROM r2 JOIN med m
+      ON r2.event_type IS NOT DISTINCT FROM m.event_type
     WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
     """,
 )

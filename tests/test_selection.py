@@ -233,3 +233,24 @@ def test_decimal_weight_buffers_when_total_overflows_int64(spark):
         if run >= tgt:
             assert got[0]["half"] == v
             break
+
+
+def test_known_stats_full_domain_width_falls_back_to_coarse(spark):
+    """A caller-provided known_stats window spanning >= 2^63 (vmin
+    near -2^63, vmax positive) would overflow the JVM-side
+    `value - lit(lo)` subtraction if seeded into _refine directly;
+    grouped_select must fall back to the coarse round (which caps
+    window width at 2^44) and still return exact selections."""
+    lo, hi = -(2 ** 62) - (2 ** 61), 2 ** 62  # span ≈ 1.5 * 2^63
+    rows = [{"g": "wide", "v": v} for v in (lo, -5, 0, 7, hi)]
+    got = grouped_select(
+        spark.createDataFrame(rows), "v",
+        lambda st: {"med": (st.n + 1) // 2,
+                    "mn": 1, "mx": st.n},
+        group_cols=["g"],
+        known_stats=[GroupStats(("wide",), 5, 5, lo, hi)],
+    )
+    assert len(got) == 1
+    assert got[0]["med"] == 0
+    assert got[0]["mn"] == lo
+    assert got[0]["mx"] == hi

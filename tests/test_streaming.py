@@ -507,3 +507,51 @@ def test_cdc_apply_stream_equals_batch(spark, tmp_path):
     assert all(
         state[k] != "D" for k in got
     )
+
+
+def test_cdc_apply_versioned_table_replay_exactly_once(spark, tmp_path):
+    """The VersionedParquetTable CDC sink commits the applied batch
+    id atomically with the state (manifest meta), so a REPLAYED
+    micro-batch — crash after the state commit, before the source
+    offset commit — is skipped and n_changes stays exact. The plain
+    ParquetStateTable sink double-counts the same replay."""
+    from metadata_wrangler_spark.operators.merge import (
+        VersionedParquetTable,
+    )
+    from metadata_wrangler_spark.streaming import cdc_apply
+
+    feed = [(k, v, "U", 100 + k) for v, k in enumerate(
+        [0, 1, 2, 0, 1, 0], start=1
+    )]
+    batch = spark.createDataFrame(feed, cdc_apply.CHANGES_SCHEMA)
+
+    vt = VersionedParquetTable(spark, str(tmp_path / "cdc_v"))
+    vt.init(cdc_apply.empty_state(spark))
+
+    def apply_once(batch_id: int) -> None:
+        # the same handler body run_cdc_stream installs for a
+        # VersionedParquetTable
+        last = vt.meta().get("last_batch_id", -1)
+        if batch_id <= last:
+            return
+        vt.merge(
+            lambda cur: cdc_apply.apply_changes(cur, batch),
+            meta={"last_batch_id": batch_id},
+        )
+
+    apply_once(0)
+    v_after_first = vt.current_version()
+    apply_once(0)  # replay of the same micro-batch
+    assert vt.current_version() == v_after_first  # no second commit
+    got = {r["key"]: r["n_changes"] for r in vt.read().collect()}
+    assert got == {0: 3, 1: 2, 2: 1}  # exact, not doubled
+    assert vt.meta() == {"last_batch_id": 0}
+
+    # contrast: the plain overwrite table double-counts the replay
+    # (latest-wins fields stay correct; only the count drifts)
+    pt = ParquetStateTable(spark, str(tmp_path / "cdc_p"))
+    pt.init(cdc_apply.empty_state(spark))
+    pt.commit(cdc_apply.apply_changes(pt.read(), batch))
+    pt.commit(cdc_apply.apply_changes(pt.read(), batch))
+    doubled = {r["key"]: r["n_changes"] for r in pt.read().collect()}
+    assert doubled == {0: 6, 1: 4, 2: 2}
