@@ -2612,6 +2612,14 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest pick is a codegen CASE. No self-join of events against
     events, which is the naive nearest-neighbour spelling and
     quadratic per user.
+
+    Skew contract: the per-user window is right while user
+    cardinality is high and balanced (this table). When one key owns
+    most rows (bot user, default device id), switch to
+    `operators/asof.py::asof_states` — the segmented-scan spelling
+    of the same semantics, range-bucketed so no task ever sorts more
+    than ~n/P rows of the hot key (equivalence + 70%-hot-ladder
+    balance asserted in tests/test_scale_techniques.py).
     """
     ev = load(spark, sf_dir, "events")
     e = ev.select(

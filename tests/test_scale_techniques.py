@@ -336,3 +336,167 @@ def test_global_order_stats_repeated_runs_are_stable(spark):
         ).collect()
         outs.add(tuple(sorted(tuple(r) for r in rows)))
     assert len(outs) == 1, f"unstable across runs: {len(outs)} variants"
+
+
+# --- adversarial-skew ladder for the r6 joins -------------------------------
+
+
+def _hot_key_events(spark, n=4000, hot_frac=0.7):
+    """Synthetic events timeline where one user owns ``hot_frac`` of
+    all rows — the 70%-hot tenant/bot-user ladder."""
+    n_hot = int(n * hot_frac)
+    rows = [(7, i, "click" if i % 5 == 0 else "purchase", 1000 + i)
+            for i in range(n_hot)]
+    rows += [(100 + (i % 37), 10_000 + i,
+              "click" if i % 3 == 0 else "purchase", 50_000 + i)
+             for i in range(n - n_hot)]
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ep bigint"
+    )
+
+
+def test_asof_states_matches_window_on_hot_key_ladder(spark):
+    """operators/asof.py (segmented scan) must reproduce the plain
+    per-key-window as-of spelling exactly on a 70%-hot-key table."""
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators.asof import asof_states
+
+    ev = _hot_key_events(spark)
+    got = asof_states(
+        ev,
+        "user_id",
+        ["ep", "event_id"],
+        F.col("event_type") == "click",
+        "ep",
+        npart=8,
+        back_col="back_ep",
+        fwd_col="fwd_ep",
+    )
+    w = W.partitionBy("user_id").orderBy("ep", "event_id")
+    click_ep = F.when(F.col("event_type") == "click", F.col("ep"))
+    exp = ev.select(
+        "user_id", "event_id",
+        F.last(click_ep, ignorenulls=True)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("back_ep"),
+        F.first(click_ep, ignorenulls=True)
+        .over(w.rowsBetween(W.currentRow, W.unboundedFollowing))
+        .alias("fwd_ep"),
+    )
+    got_rows = sorted(
+        (r["user_id"], r["event_id"], r["back_ep"], r["fwd_ep"])
+        for r in got.select(
+            "user_id", "event_id", "back_ep", "fwd_ep"
+        ).collect()
+    )
+    exp_rows = sorted(tuple(r) for r in exp.collect())
+    assert got_rows == exp_rows
+
+
+def test_asof_segmented_layout_bounds_hot_key_skew(spark):
+    """The range-bucketed layout the as-of operator sorts on must
+    stay balanced even when one key owns 70% of the rows: no bucket
+    (= one task's sort) holds more than 4x the median bucket."""
+    ev = _hot_key_events(spark)
+    npart = 8
+    sizes = [
+        r["c"]
+        for r in ev.repartitionByRange(
+            npart, F.asc("user_id"), F.asc("ep"), F.asc("event_id")
+        )
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    sizes.sort()
+    median = sizes[len(sizes) // 2]
+    assert max(sizes) <= 4 * median, sizes
+    # contrast: the per-key-window layout puts 70% of rows in ONE
+    # task — document the failure mode this operator removes
+    key_sizes = [
+        r["c"]
+        for r in ev.repartition(npart, "user_id")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert max(key_sizes) > 4 * sorted(key_sizes)[len(key_sizes) // 2]
+
+
+def test_band_join_aqe_splits_hot_bucket(spark):
+    """j_band_join's bucket-equi-join shape on a 70%-hot-bucket
+    ladder: with AQE skew-join enabled (session default) and
+    broadcast disabled (forcing the shuffle join a 100 TB run would
+    use), the hot bucket's join work must be SPLIT across tasks —
+    no output partition more than 4x the median — and the result
+    must equal the naive band predicate."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "24KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        d = 5
+        # 70% of customers share one quantized balance (one hot
+        # INPUT bucket — the skew is in the probe side's shuffle
+        # partition, which AQE must split); only 2 suppliers match
+        # the hot balance, so the OUTPUT stays linear (a band join
+        # where many-hot meets many-hot is inherently quadratic —
+        # that is the documented per-bucket occupancy-product
+        # contract, not a partitioning problem).
+        cus = spark.createDataFrame(
+            [(i, 50_000 if i % 10 < 7 else 10_000 + (i * 13) % 80_000)
+             for i in range(30_000)],
+            "c_custkey bigint, qb_c bigint",
+        )
+        sup = spark.createDataFrame(
+            [(j, 50_000 + j if j < 2 else 200_000 + j * 17)
+             for j in range(400)],
+            "s_suppkey bigint, qb_s bigint",
+        )
+        sup_b = sup.select(
+            "s_suppkey", "qb_s",
+            F.explode(F.array(
+                F.floor(F.col("qb_s") / d).cast("bigint") - 1,
+                F.floor(F.col("qb_s") / d).cast("bigint"),
+                F.floor(F.col("qb_s") / d).cast("bigint") + 1,
+            )).alias("bkt"),
+        )
+        cus_b = cus.withColumn(
+            "bkt", F.floor(F.col("qb_c") / d).cast("bigint")
+        )
+        joined = (
+            sup_b.join(cus_b, "bkt")
+            .where(F.abs(F.col("qb_s") - F.col("qb_c")) <= d)
+            .select("s_suppkey", "c_custkey")
+        )
+        sizes = [
+            r["c"]
+            for r in joined.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).agg(F.count(F.lit(1)).alias("c")).collect()
+            if r["c"] > 0
+        ]
+        sizes.sort()
+        median = sizes[len(sizes) // 2]
+        assert max(sizes) <= 4 * median, sizes
+        # correctness vs the naive cartesian band predicate
+        assert joined.count() == (
+            sup.crossJoin(cus)
+            .where(F.abs(F.col("qb_s") - F.col("qb_c")) <= d)
+            .count()
+        )
+        assert cus.where(F.col("qb_c") == 50_000).count() == 21_000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
