@@ -272,3 +272,36 @@ def test_decay_halflife_is_single_pass(spark, queries):
         if "hashpartitioning(" in line
     }
     assert len(keys) == 1 and next(iter(keys)).startswith("user_id")
+
+
+def test_shortest_path_doubling_shape(spark):
+    """g_shortest_path (round 7: min-plus doubling) — the frontier
+    extensions must be broadcast joins (the frontier side is small
+    by problem structure), the per-composition min must have a
+    map-side partial phase, and the plan must not exceed the 3
+    hash exchanges of the documented design (one per min
+    aggregate)."""
+    from metadata_wrangler_spark.plans.graph import g_shortest_path
+
+    plan = explain_str(g_shortest_path(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # two extensions
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_basket_memo_is_reused_and_cached(spark):
+    """g_bipartite_project and a_assoc_rules must read the SAME
+    persisted basket/pair intermediates (InMemoryTableScan in both
+    plans; cache objects identical across the two calls)."""
+    from metadata_wrangler_spark.plans import graph as G
+
+    d1 = G.g_bipartite_project(spark, SF)
+    d2 = G.a_assoc_rules(spark, SF)
+    p1, p2 = explain_str(d1), explain_str(d2)
+    assert "InMemoryTableScan" in p1
+    assert "InMemoryTableScan" in p2
+    key = (spark.sparkContext.applicationId, SF)
+    assert key in G._BASKET_CACHE
+    os_a, pairs_a, sc_a, n_a = G._basket_and_pairs(spark, SF)
+    os_b, pairs_b, sc_b, n_b = G._basket_and_pairs(spark, SF)
+    assert os_a is os_b and pairs_a is pairs_b  # memo hit, not rebuild
