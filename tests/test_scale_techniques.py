@@ -500,3 +500,45 @@ def test_band_join_aqe_splits_hot_bucket(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_asof_states_edge_cases(spark):
+    """asof_states boundaries: a key with no marked rows gets NULL
+    states; an all-marked single-row key points at itself; an empty
+    input returns an empty (schema-stable) frame; NULL keys form a
+    normal group."""
+    from metadata_wrangler_spark.operators.asof import asof_states
+
+    rows = [
+        # user 1: no clicks at all -> both states NULL everywhere
+        (1, 1, "view", 100),
+        (1, 2, "view", 200),
+        # user 2: single click row -> back=fwd=own ep
+        (2, 3, "click", 300),
+        # NULL user: one click between two views
+        (None, 4, "view", 400),
+        (None, 5, "click", 500),
+        (None, 6, "view", 600),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ep bigint"
+    )
+    got = {
+        r["event_id"]: (r["back_state"], r["fwd_state"])
+        for r in asof_states(
+            ev, "user_id", ["ep", "event_id"],
+            F.col("event_type") == "click", "ep", npart=3,
+        ).collect()
+    }
+    assert got[1] == (None, None) and got[2] == (None, None)
+    assert got[3] == (300, 300)
+    assert got[4] == (None, 500)
+    assert got[5] == (500, 500)
+    assert got[6] == (500, None)
+
+    empty = asof_states(
+        ev.limit(0), "user_id", ["ep", "event_id"],
+        F.col("event_type") == "click", "ep", npart=3,
+    )
+    assert empty.count() == 0
+    assert {"back_state", "fwd_state"} <= set(empty.columns)

@@ -254,3 +254,61 @@ def test_known_stats_full_domain_width_falls_back_to_coarse(spark):
     assert got[0]["med"] == 0
     assert got[0]["mn"] == lo
     assert got[0]["mx"] == hi
+
+
+def test_mad_robust_oracle_alignment_with_nulls(spark, tmp_path):
+    """Round-6 advice: a_mad_robust's plan/oracle equivalence on
+    NULLs was latent because the data generator emits none. Build an
+    events mirror with NULL values AND a NULL event_type group and
+    hash-check plan vs oracle on it — the NULL-value filter and the
+    NULL-safe joins in the oracle must keep the two aligned."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from check_oracle import check_one, oracle_connection
+
+    from metadata_wrangler_spark.plans import ORACLES, QUERIES, load_all_plans
+
+    load_all_plans()
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf_nullmad")
+    os.makedirs(dst, exist_ok=True)
+    # oracle_connection registers every table and DuckDB reads
+    # single parquet FILES (like the driver's testdata), so build
+    # the mirror with DuckDB copies: untouched tables verbatim,
+    # events with NULLs injected into value and event_type.
+    import duckdb
+
+    from metadata_wrangler_spark.catalog import TABLES
+
+    cp = duckdb.connect()
+    for t in TABLES:
+        sel = "*"
+        if t == "events":
+            sel = (
+                "* REPLACE ("
+                "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END"
+                " AS value, "
+                "CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type"
+                " END AS event_type)"
+            )
+        cp.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{src}/{t}.parquet'))"
+            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    cp.close()
+    con = oracle_connection(dst)
+    try:
+        for q in ("a_mad_robust", "a_weighted_median", "ev_gap_percentiles",
+                  "a_percentile_disc"):
+            problems = check_one(spark, con, QUERIES[q], ORACLES[q], dst)
+            assert not problems, f"{q} on NULL ladder: {problems}"
+    finally:
+        con.close()
