@@ -59,9 +59,11 @@ value at rank k is tie-break-invariant). With weights, target =
 ceil(total/2) is the classic weighted median ("first value whose
 running weight reaches half the total").
 
-NULL handling: rows with NULL in ``value_col`` are excluded (both
-engines in this repo's oracles order non-null quantized values);
-NULL group keys form a normal group, matching Window.partitionBy.
+NULL handling: rows with NULL in ``value_col`` — or, when a
+``weight_col`` is given, NULL in the weight — are excluded (the
+SQL-aggregate rule: both engines' oracles order non-null quantized
+values, and SUM skips NULL weights); NULL group keys form a normal
+group, matching Window.partitionBy.
 
 Reference: generalizes `/root/reference/bin/util/calculate_percentile`
 (:11-36, a single-node psql percentile_disc) the same way
@@ -156,7 +158,16 @@ def grouped_select(
         if weight_col is not None
         else F.lit(1).cast("bigint")
     )
-    base = df.where(F.col(value_col).isNotNull()).select(
+    keep = F.col(value_col).isNotNull()
+    if weight_col is not None:
+        # SQL-aggregate rule, extended to selection: a NULL weight
+        # contributes nothing to any cumulative total, and a row
+        # with no weight has no place on the weight axis — exclude
+        # it (SUM would skip it anyway; keeping the row would still
+        # poison the per-bucket row counts and the driver-side
+        # total-weight arithmetic with NULL/NaN).
+        keep = keep & F.col(weight_col).isNotNull()
+    base = df.where(keep).select(
         *gcols, v.alias("__sel_v"), w.alias("__sel_w")
     )
     cached = False

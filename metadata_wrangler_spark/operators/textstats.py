@@ -176,7 +176,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     """Gopher-style within-document repetition signals: duplicate
     2-gram / 5-gram fractions (1 − distinct/total) and the
     top-2-gram fraction (share of all 2-grams taken by the most
-    frequent one).
+    frequent one). NULL-text rows are excluded (NULL-payload rule).
 
     Zero-shuffle plan: every statistic here is WITHIN-document, so
     none of it needs an explode or an aggregate — the tokenizer runs
@@ -194,6 +194,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     """
     from metadata_wrangler_spark.operators.dedup import shingles, with_words
 
+    docs = docs.where(F.col(text_col).isNotNull())
     # Second barrier: g2/g5 are each referenced multiple times below
     # (size / array_distinct / array_sort); materialize them once
     # (the standing CollapseProject idiom).
@@ -244,7 +245,11 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Stable document fingerprint: md5 of the canonical text plus a
-    coarse locality key (first 5 normalized tokens) for blocking."""
+    coarse locality key (first 5 normalized tokens) for blocking.
+    NULL-text rows are excluded (the repo's NULL-payload rule; a
+    null document has no fingerprint — and the engines disagree on
+    md5-of-concat-of-NULL corner algebra anyway)."""
+    docs = docs.where(F.col(text_col).isNotNull())
     norm = normalize_text(F.col(text_col))
     words = F.split(norm, " ")
     return docs.select(

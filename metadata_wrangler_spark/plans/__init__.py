@@ -12,6 +12,17 @@ regardless of floating-point summation order (which differs between
 engines and, at scale, between partitionings of the same data).
 Non-aggregated doubles pass through untouched — they are the same
 bits in both engines.
+
+NULL convention (round 7, enforced by tools/null_ladder.py and
+tests/test_null_ladder.py): rows whose MEASURE / WEIGHT / PAYLOAD is
+NULL are excluded from the computation on BOTH engines (the SQL
+aggregate rule, applied before ranks, ECDFs, selections, top-k lists
+and serialized source payloads — the places where engine defaults
+silently diverge: Spark orders NULLS FIRST ascending, DuckDB NULLS
+LAST; DuckDB's max_by skips NULL values, Spark's does not; || nulls
+a concatenation, concat_ws skips the field). NULL GROUP KEYS are
+real groups (NULL-safe joins where an oracle joins group summaries
+back). Each plan/oracle pair states its rule inline.
 """
 
 from __future__ import annotations
@@ -156,7 +167,8 @@ def ordered_queries() -> dict[str, QueryFn]:
 
 
 def load_all_plans() -> None:
-    """Import every plan module so registration side effects run."""
+    """Import every plan module so registration side effects run,
+    then apply the cross-module oracle rewrites."""
     from metadata_wrangler_spark.plans import (  # noqa: F401
         documents,
         dml,
@@ -168,3 +180,32 @@ def load_all_plans() -> None:
         sources,
         vectors,
     )
+
+    _apply_null_vector_rule()
+
+
+def _apply_null_vector_rule() -> None:
+    """Rewrite the vector-family oracles so every scan of the
+    ``embeddings`` table excludes NULL vectors — matching the
+    Spark-side rule (the Arrow scorers and bucket projections drop
+    NULL payloads at operator entry; see the NULL-content sweep in
+    tests/test_empty_inputs.py and the NULL-ladder equivalence sweep
+    in tools/null_ladder.py). Without this, a NULL embedding reaches
+    the oracle's dot/norm arithmetic as NULL, ranks under NULLS
+    LAST, and pads top-k lists the plan correctly omits.
+
+    A registration-time rewrite rather than 23 hand edits: the
+    substitution is a word-boundary table-reference swap, so aliased
+    scans (``embeddings c``), comma joins and WHERE-suffixed scans
+    all keep their shape. Idempotent (the rewritten text no longer
+    contains the bare table token in vector oracles it already
+    wrapped — the inner reference is inside the replacement subquery
+    and rewriting it again is harmless but guarded anyway).
+    """
+    import re
+
+    nn = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+    pat = re.compile(r"\bembeddings\b(?! WHERE embedding IS NOT NULL\))")
+    for name, sql in list(ORACLES.items()):
+        if name.startswith(("sim_", "pipe_")) and "embeddings" in sql:
+            ORACLES[name] = pat.sub(nn, sql)

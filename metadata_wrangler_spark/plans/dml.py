@@ -750,15 +750,18 @@ def d_forget_cascade_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest AS (
         SELECT key,
                COUNT(*) AS n_changes,
-               MAX(version) AS last_version,
-               max_by(op, version) AS last_op,
-               max_by(qv, version) AS last_qv
+               MAX(version) AS last_version
         FROM feed GROUP BY key
     )
-    SELECT key, n_changes, last_version,
-           last_qv / 100.0 AS last_value
-    FROM latest
-    WHERE last_op <> 'D'
+    -- the champion row's op/qv come from a join on the winning
+    -- version, not max_by: DuckDB's max_by SKIPS NULL values where
+    -- Spark's returns the champion row's (possibly NULL) payload —
+    -- and a CDC change with a NULL payload is still the change
+    SELECT l.key, l.n_changes, l.last_version,
+           f.qv / 100.0 AS last_value
+    FROM latest l
+    JOIN feed f ON f.key = l.key AND f.version = l.last_version
+    WHERE f.op <> 'D'
     """,
 )
 def d_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,16 +826,25 @@ _DIFF_V1 = 3000  # version horizon of the "old" snapshot
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS qv
         FROM orders
     ),
-    snap_a AS (
-        SELECT key, max_by(op, version) AS op, max_by(qv, version) AS qv
-        FROM feed WHERE version <= {_DIFF_V1} GROUP BY key
+    -- champion rows via join-back on the winning version (not
+    -- max_by: DuckDB's skips NULL payloads, Spark's does not), and
+    -- presence tracked by the non-null KEY so a state row whose
+    -- VALUE is NULL still counts as present
+    ver_a AS (
+        SELECT key, MAX(version) AS v FROM feed
+        WHERE version <= {_DIFF_V1} GROUP BY key
     ),
-    snap_b AS (
-        SELECT key, max_by(op, version) AS op, max_by(qv, version) AS qv
-        FROM feed GROUP BY key
+    ver_b AS (SELECT key, MAX(version) AS v FROM feed GROUP BY key),
+    a AS (
+        SELECT f.key, f.qv FROM ver_a x
+        JOIN feed f ON f.key = x.key AND f.version = x.v
+        WHERE f.op <> 'D'
     ),
-    a AS (SELECT key, qv FROM snap_a WHERE op <> 'D'),
-    b AS (SELECT key, qv FROM snap_b WHERE op <> 'D')
+    b AS (
+        SELECT f.key, f.qv FROM ver_b x
+        JOIN feed f ON f.key = x.key AND f.version = x.v
+        WHERE f.op <> 'D'
+    )
     SELECT COALESCE(a.key, b.key) AS key,
            CASE WHEN a.key IS NULL THEN 'added'
                 WHEN b.key IS NULL THEN 'removed'
@@ -840,7 +852,8 @@ _DIFF_V1 = 3000  # version horizon of the "old" snapshot
            a.qv / 100.0 AS old_value,
            b.qv / 100.0 AS new_value
     FROM a FULL OUTER JOIN b ON a.key = b.key
-    WHERE a.key IS NULL OR b.key IS NULL OR a.qv <> b.qv
+    WHERE a.key IS NULL OR b.key IS NULL
+       OR a.qv IS DISTINCT FROM b.qv
     """,
 )
 def d_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,6 +887,9 @@ def d_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def snap(df):
+        # explicit presence flag: a state row whose VALUE is NULL is
+        # still present — keying presence off the value column would
+        # conflate "absent" with "present, payload NULL"
         return (
             df.groupBy("key")
             .agg(
@@ -881,24 +897,26 @@ def d_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max_by("qv", "version").alias("qv"),
             )
             .where(F.col("op") != "D")
-            .select("key", "qv")
+            .select("key", "qv", F.lit(True).alias("present"))
         )
 
-    a = snap(feed.where(F.col("version") <= _DIFF_V1)).withColumnRenamed(
-        "qv", "qv_a"
+    a = snap(feed.where(F.col("version") <= _DIFF_V1)).select(
+        "key", F.col("qv").alias("qv_a"), F.col("present").alias("in_a")
     )
-    b = snap(feed).withColumnRenamed("qv", "qv_b")
+    b = snap(feed).select(
+        "key", F.col("qv").alias("qv_b"), F.col("present").alias("in_b")
+    )
     j = a.join(b, "key", "full_outer")
     return (
         j.where(
-            F.col("qv_a").isNull()
-            | F.col("qv_b").isNull()
-            | (F.col("qv_a") != F.col("qv_b"))
+            F.col("in_a").isNull()
+            | F.col("in_b").isNull()
+            | ~F.col("qv_a").eqNullSafe(F.col("qv_b"))
         )
         .select(
             "key",
-            F.when(F.col("qv_a").isNull(), "added")
-            .when(F.col("qv_b").isNull(), "removed")
+            F.when(F.col("in_a").isNull(), "added")
+            .when(F.col("in_b").isNull(), "removed")
             .otherwise("changed").alias("change"),
             (F.col("qv_a") / 100.0).alias("old_value"),
             (F.col("qv_b") / 100.0).alias("new_value"),

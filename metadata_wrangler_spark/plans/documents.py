@@ -585,7 +585,8 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH g AS (
         SELECT id, {_shingles_sql(2)} AS g2, {_shingles_sql(5)} AS g5
-        FROM (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents) base
+        FROM (SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents
+              WHERE text IS NOT NULL) base
     ), fracs AS (
         SELECT id,
                CAST(len(g2) AS INT) AS n_2grams,
@@ -736,6 +737,7 @@ def txt_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5({_NORM_SQL}) AS fingerprint,
            md5(array_to_string(list_slice({_WORDS_SQL}, 1, 5), ' ')) AS prefix_key
     FROM documents
+    WHERE text IS NOT NULL  -- NULL-payload rule shared with the plan
     """,
 )
 def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,6 +786,7 @@ def _extract_features(batches):
            md5(text) AS content_md5,
            CAST({_md5_long_sql('text')} % 256 AS BIGINT) AS fake_brightness
     FROM documents
+    WHERE text IS NOT NULL  -- NULL payload = no media (plan filter)
     """,
 )
 def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,6 +827,7 @@ _MM_PIXELS_SQL = """
     WITH px AS (
         SELECT doc_id, {_MM_PIXELS_SQL} AS pixels
         FROM documents WHERE doc_id % 4 = 2
+          AND text IS NOT NULL  -- NULL payload = no media (plan filter)
     )
     SELECT doc_id,
            8 AS width, 6 AS height,
@@ -860,7 +864,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(f AS INT) AS frame_no,
            md5('FAKEVID' || text || '#' || CAST(f AS VARCHAR)) AS frame_md5
     FROM documents, unnest([0, 10, 20]) AS t(f)
-    WHERE doc_id % 10 = 5
+    WHERE doc_id % 10 = 5 AND text IS NOT NULL  -- NULL payload = no media
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,6 +920,7 @@ def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, doc_id,
                CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
         FROM documents
+        WHERE text IS NOT NULL  -- NULL-payload rule shared with the plan
     ), packed AS (
         SELECT source, doc_id, n_tokens,
                COALESCE(SUM(n_tokens) OVER (
@@ -953,7 +958,9 @@ def txt_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metadata_wrangler_spark.operators.dedup import normalize_text
     from metadata_wrangler_spark.operators.prefix import global_order_stats
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()  # NULL-payload rule
+    )
     n_tokens = F.size(F.split(normalize_text(F.col("text")), " "))
     packed = global_order_stats(
         docs.select(
@@ -1051,6 +1058,7 @@ def txt_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH words AS (
         SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+        WHERE text IS NOT NULL  -- NULL-payload rule shared with the plan
     ), grams AS (
         SELECT doc_id, unnest({_shingles_sql(2).replace("'_'", "' '")}) AS gram
         FROM words
@@ -1077,7 +1085,9 @@ def txt_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metadata_wrangler_spark.operators.dedup import (
         normalize_text, shingles,
     )
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()  # NULL-payload rule
+    )
     words = F.split(normalize_text(F.col("text")), " ")
     grams = docs.select(
         "doc_id", words.alias("w")
@@ -1250,6 +1260,7 @@ def txt_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len({_WORDS_SQL}) AS INT) AS n_tokens
         FROM documents
+        WHERE text IS NOT NULL  -- NULL-payload rule shared with the plan
     )
     SELECT decile,
            COUNT(*) AS n_docs,
@@ -1282,7 +1293,9 @@ def txt_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from metadata_wrangler_spark.operators.prefix import global_order_stats
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()  # NULL-payload rule
+    )
     words = F.split(dedup.normalize_text(F.col("text")), " ")
     q = d.select("doc_id", F.size(words).cast("int").alias("n_tokens"))
     # NTILE is rank arithmetic: with n rows and k tiles, the first
@@ -1998,6 +2011,7 @@ _MM_PCM_SQL = """
     WITH pcm AS (
         SELECT doc_id, {_MM_PCM_SQL} AS s
         FROM documents WHERE doc_id % 7 = 3
+          AND text IS NOT NULL  -- NULL payload = no media (plan filter)
     ), win AS (
         SELECT doc_id, CAST(w AS INT) AS window_no,
                s[(w * 4) + 1 : (w * 4) + 8] AS x
@@ -2753,8 +2767,13 @@ _DSIR_TARGET_PRED = "lang = 'en'"  # the distribution we want more of
     "txt_dsir_weight",
     oracle=f"""
     WITH words AS (
-        SELECT doc_id, {_DSIR_TARGET_PRED} AS is_tgt, {_WORDS_SQL} AS w
+        -- COALESCE: an unknown (NULL) language is NOT the target
+        -- distribution — it belongs to the raw pool, same as the
+        -- plan's when/otherwise(0) flag
+        SELECT doc_id, COALESCE({_DSIR_TARGET_PRED}, FALSE) AS is_tgt,
+               {_WORDS_SQL} AS w
         FROM documents
+        WHERE text IS NOT NULL  -- NULL-payload rule shared with the plan
     ), big AS (
         SELECT doc_id, is_tgt, w[i] AS pfx,
                concat(w[i], '_', w[i+1]) AS bg
@@ -2804,7 +2823,9 @@ def txt_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts at scale, and the raw corpus shuffles only its
     bigram stream, exactly like the surprisal plan it extends.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()  # NULL-payload rule
+    )
     # projection barrier (see txt_lm_surprisal) + BOTH LMs' counts in
     # ONE aggregate per key via conditional sums — two joins back
     # instead of four, and the bigram explode evaluates three times
@@ -2816,7 +2837,12 @@ def txt_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<int>"))
     big = wd.join(
         F.broadcast(
-            docs.select("doc_id", F.expr(_DSIR_TARGET_PRED).alias("is_tgt"))
+            docs.select(
+                "doc_id",
+                # NULL lang is NOT the target distribution — raw pool
+                F.coalesce(F.expr(_DSIR_TARGET_PRED), F.lit(False))
+                .alias("is_tgt"),
+            )
         ),
         wd.id == F.col("doc_id"),
     ).select(

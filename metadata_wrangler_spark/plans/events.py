@@ -803,11 +803,16 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_gap_fill",
     oracle="""
+    -- NULL rule shared with the plan: an event with a NULL value is
+    -- not a measurement — the hour it falls in is a GAP hour (LOCF
+    -- carries through it), and the spine spans the user's first to
+    -- last MEASURED hour.
     WITH hourly AS (
         SELECT user_id,
                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
                MAX(value) AS vmax
         FROM events
+        WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), bounds AS (
         SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx
@@ -851,7 +856,9 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     span/grain stays O(10^4) per key or pre-split long-lived keys
     by coarse epoch before the window.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()  # NULL value = no measurement
+    )
     hr = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
     hourly = (
         ev.select("user_id", hr.alias("hr"), "value")
@@ -1940,7 +1947,12 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
                string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-        FROM events GROUP BY user_id,
+        FROM events
+        WHERE event_type IS NOT NULL  -- a typeless event is no step;
+          -- filtering pre-agg keeps "day with no typed events" =
+          -- "no session" on both engines (string_agg of none is
+          -- NULL, array_join of none is '')
+        GROUP BY user_id,
                CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
     ),
     p AS (SELECT path, COUNT(*) AS n_sessions FROM s GROUP BY path)
@@ -1962,7 +1974,9 @@ def w_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — per-partition heaps, no full sort of
     the path table.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()  # a typeless event is no step
+    )
     s = (
         ev.select(
             "user_id",
@@ -2089,7 +2103,9 @@ _GOLDEN_PATH = "vcp"  # view > click > purchase, compacted to initials
                CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
                string_agg(substr(event_type, 1, 1), ''
                           ORDER BY ts, event_id) AS path
-        FROM events GROUP BY user_id,
+        FROM events
+        WHERE event_type IS NOT NULL  -- a typeless event is no step
+        GROUP BY user_id,
                CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
     )
     SELECT user_id, day, path,
@@ -2117,7 +2133,9 @@ def w_path_edit_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein+arithmetic projection — the same JVM levenshtein
     the fuzzy-match family runs; no joins, no further shuffles.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()  # a typeless event is no step
+    )
     s = (
         ev.select(
             "user_id",
@@ -2675,6 +2693,7 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
         FROM events WHERE event_type IN ('click', 'view')
+          AND value IS NOT NULL  -- a NULL value is in neither ECDF
     ), c AS (
         SELECT qv, SUM(a) AS a_cnt, SUM(b) AS b_cnt
         FROM q GROUP BY qv
@@ -2722,7 +2741,10 @@ def a_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metadata_wrangler_spark.operators.prefix import global_order_stats
 
     ev = load(spark, sf_dir, "events")
-    q = ev.where(F.col("event_type").isin("click", "view")).select(
+    q = ev.where(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()  # in neither ECDF
+    ).select(
         F.floor(F.col("value") * 10000 + F.lit(0.5))
         .cast("bigint").alias("qv"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),

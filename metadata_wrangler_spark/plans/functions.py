@@ -71,6 +71,7 @@ def f_role_vocab_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY c_nationkey
                                   ORDER BY c_custkey) AS rn
         FROM customer WHERE c_custkey % 11 = 0
+          AND c_name IS NOT NULL  -- no name = no author segment
     ), joined AS (
         SELECT c_nationkey AS nationkey,
                string_agg(seg, '|' ORDER BY c_custkey) AS author_string
@@ -111,7 +112,10 @@ def f_stateful_role_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions.roles. Author strings are assembled per nation from
     customer names, some segments carrying explicit role suffixes.
     """
-    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 11 == 0)
+    c = load(spark, sf_dir, "customer").where(
+        (F.col("c_custkey") % 11 == 0)
+        & F.col("c_name").isNotNull()  # no name = no author segment
+    )
     seg = (
         F.when(F.col("c_custkey") % 7 == 1,
                F.concat(F.col("c_name"), F.lit(" [Translator]")))
@@ -145,6 +149,8 @@ def f_stateful_role_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            c_name AS primary_with,
            c_name AS primary_and
     FROM customer WHERE c_custkey % 6 = 0
+      -- no name = nothing to munge (NULL rule shared with the plan)
+      AND c_name IS NOT NULL AND c_mktsegment IS NOT NULL
     """,
 )
 def f_name_munge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +160,12 @@ def f_name_munge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: `viaf.py:104-123` (display from sort name),
     `canonicalize.py:45-86` (primary author extraction).
     """
-    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 6 == 0)
+    c = load(spark, sf_dir, "customer").where(
+        (F.col("c_custkey") % 6 == 0)
+        # no name = nothing to munge
+        & F.col("c_name").isNotNull()
+        & F.col("c_mktsegment").isNotNull()
+    )
     sort_name = F.concat_ws(", ", F.col("c_mktsegment"), F.col("c_name"))
     with_field = F.concat(F.col("c_name"), F.lit(" with Someone Else"))
     and_field = F.concat(F.col("c_name"), F.lit(" and A Collaborator"))
@@ -254,6 +265,7 @@ def f_url_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'PLAIN:' || c_name END)) AS BIGINT) AS n_bytes,
            TRUE AS b64_roundtrip_ok
     FROM customer WHERE c_custkey % 2 = 1
+      AND c_name IS NOT NULL  -- no name = no payload to encode
     """,
 )
 def f_binary_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,7 +275,10 @@ def f_binary_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: `content_cafe.py:123-125,308-313` (prefix compare),
     `controller.py:130-138` (base64).
     """
-    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 2 == 1)
+    c = load(spark, sf_dir, "customer").where(
+        (F.col("c_custkey") % 2 == 1)
+        & F.col("c_name").isNotNull()  # no name = no payload
+    )
     text = (
         F.when(F.col("c_custkey") % 3 == 0,
                F.concat(F.lit("GIF89a"), F.col("c_name")))
@@ -316,6 +331,8 @@ def f_strip_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_custkey % 5 <> 0 THEN 'viaf'
                 ELSE 'guess' END AS source
     FROM customer
+    WHERE c_name IS NOT NULL  -- nothing to canonicalize (the
+    -- cascade's source attribution assumes non-null candidates)
     """,
 )
 def w_coalesce_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,7 +342,9 @@ def w_coalesce_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: `canonicalize.py:131-193` (sort_name_from_services
     cascade).
     """
-    c = load(spark, sf_dir, "customer")
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_name").isNotNull()  # nothing to canonicalize
+    )
     k = F.col("c_custkey")
     db = F.when(k % 3 != 0, F.col("c_name"))
     oclc = F.when(k % 4 != 0, F.concat(F.lit("oclc:"), F.col("c_name")))
@@ -346,7 +365,7 @@ def w_coalesce_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p_brand, p_name,
                ROW_NUMBER() OVER (PARTITION BY p_brand
                                   ORDER BY length(p_name), p_name) AS rn
-        FROM part
+        FROM part WHERE p_name IS NOT NULL  -- NULL is not a candidate
     ) t WHERE rn = 1
     """,
 )
@@ -356,6 +375,8 @@ def w_shortest_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: `canonicalize.py:301-326`.
     """
-    p = load(spark, sf_dir, "part").select("p_brand", "p_name")
+    p = load(spark, sf_dir, "part").select("p_brand", "p_name").where(
+        F.col("p_name").isNotNull()  # NULL is not a candidate
+    )
     out = canonical.shortest_candidate(p, ["p_brand"], "p_name")
     return out.select("p_brand", F.col("p_name").alias("shortest_name"))

@@ -462,6 +462,7 @@ def a_conditional_max(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
                COUNT(*) OVER () AS n
         FROM customer
+        WHERE c_acctbal IS NOT NULL  -- NULL rule shared with the plan
     )
     SELECT p, c_acctbal AS value
     FROM ranked
@@ -733,8 +734,11 @@ def f_regex_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            lower(replace(replace(p_name, ' ', '_'), '-', '_')) AS norm_name,
-           md5(concat(lower(p_name), '|', lower(p_brand), '|',
-                      lower(p_type))) AS permanent_id
+           -- concat_ws, not concat: both engines SKIP a NULL field
+           -- (partial metadata still fingerprints), where concat
+           -- would NULL the whole id on one side only
+           md5(concat_ws('|', lower(p_name), lower(p_brand),
+                         lower(p_type))) AS permanent_id
     FROM part
     """,
 )
@@ -1051,6 +1055,7 @@ def a_category_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY o_custkey
                                   ORDER BY o_orderdate, o_orderkey) AS rn
         FROM orders WHERE o_orderstatus = 'O'
+          AND o_orderdate IS NOT NULL  -- no timestamp = never "first"
     ) t WHERE rn = 1
     """,
 )
@@ -1062,7 +1067,12 @@ def j_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: `scripts.py:228-233` (get_one Complaint),
     `viaf.py:780-782` (first duplicate probe).
     """
-    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderstatus") == "O")
+        # no timestamp = never "first" (a NULL date would win the
+        # struct-min, since Spark orders NULL struct fields first)
+        & F.col("o_orderdate").isNotNull()
+    )
     return o.groupBy(F.col("o_custkey").alias("identifier_id")).agg(
         F.min("o_orderdate").alias("first_ts"),
         F.min_by(
@@ -1785,8 +1795,11 @@ def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_ntile",
     oracle="""
     SELECT c_custkey, c_mktsegment, c_acctbal,
+           -- NULLS FIRST = Spark's ascending default; every row
+           -- (incl. NULL balances) gets a tile, so the placement of
+           -- the NULL tie-class must match across engines
            CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
-                               ORDER BY c_acctbal, c_custkey)
+                               ORDER BY c_acctbal NULLS FIRST, c_custkey)
                 AS BIGINT) AS tile
     FROM customer
     """,
@@ -2248,6 +2261,7 @@ def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_orderpriority,
                CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS qv
         FROM orders
+        WHERE o_totalprice IS NOT NULL  -- NULL rule shared with the plan
     ),
     r AS (
         SELECT o_orderpriority, qv,
@@ -2298,7 +2312,7 @@ def a_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
         .cast("bigint").alias("qv"),
-    )
+    ).where(F.col("qv").isNotNull())  # NULL values carry no rank
     r = global_order_stats(
         q,
         [F.asc("qv"), F.asc("o_orderkey")],
@@ -2330,12 +2344,15 @@ def a_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_weighted_median",
     oracle="""
+    -- NULL rule (shared with the plan): rows with a NULL value OR a
+    -- NULL weight are excluded; a NULL flag is a real group.
     WITH q AS (
         SELECT l_returnflag AS flag,
                CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS qv,
                CAST(floor(l_quantity) AS BIGINT) AS wt,
                l_orderkey, l_linenumber
         FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     r AS (
         SELECT flag, qv, wt,
@@ -2404,10 +2421,14 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_iqr_outliers",
     oracle="""
+    -- NULL rule shared with the plan: NULL values are excluded from
+    -- the quartile ranks; a NULL event_type is a real group
+    -- (NULL-safe join below, not USING).
     WITH q AS (
         SELECT event_id, event_type,
                CAST(floor(value * 10000 + 0.5) AS BIGINT) AS qv
         FROM events
+        WHERE value IS NOT NULL
     ),
     r AS (
         SELECT event_type, qv,
@@ -2430,7 +2451,8 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(quart.q3 AS BIGINT) / 10000.0 AS q3,
            CASE WHEN 2 * q.qv > 2 * quart.q3 + 3 * (quart.q3 - quart.q1)
                 THEN 'high' ELSE 'low' END AS side
-    FROM q JOIN quart USING (event_type)
+    FROM q JOIN quart
+      ON q.event_type IS NOT DISTINCT FROM quart.event_type
     WHERE 2 * q.qv > 2 * quart.q3 + 3 * (quart.q3 - quart.q1)
        OR 2 * q.qv < 2 * quart.q1 - 3 * (quart.q3 - quart.q1)
     """,

@@ -40,6 +40,7 @@ from metadata_wrangler_spark.sources import (
         SELECT p_partkey, p_name, p_type, p_size,
                unnest(generate_series(0, p_partkey % 3)) AS i
         FROM part WHERE p_partkey % 7 = 0
+          AND p_name IS NOT NULL  -- no title = no source record
     ) t
     """,
 )
@@ -51,7 +52,13 @@ def s_xml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from `part` rows, parsed with sources.xmlsrc (from_xml +
     explode); the oracle recomputes the rows directly.
     """
-    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_partkey") % 7 == 0)
+        # no title = no source record to serialize (a NULL field
+        # would NULL the whole concat-built payload anyway — the
+        # dead-letter path, exercised in parse_rejects)
+        & F.col("p_name").isNotNull()
+    )
     docs = p.select(
         "p_partkey",
         xmlsrc.build_classify_xml(
@@ -76,6 +83,7 @@ def s_xml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT p_partkey, p_name, p_type, p_brand, p_size
         FROM part WHERE p_partkey % 5 = 0
+          AND p_name IS NOT NULL  -- no title = no source record
     )
     SELECT p_partkey, 2 AS code, 1 AS n_works,
            'FAST' AS stype,
@@ -104,7 +112,10 @@ def s_xml_classify_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     `/root/reference/tests/files/oclc_classify/`. Golden-file tests
     for the same parser: tests/test_classify_golden.py.
     """
-    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 0)
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_partkey") % 5 == 0)
+        & F.col("p_name").isNotNull()  # no title = no source record
+    )
     key = F.col("p_partkey").cast("string")
     single = F.concat(
         F.lit('<classify xmlns="http://classify.oclc.org">'
@@ -165,6 +176,7 @@ def s_xml_classify_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT c_custkey, c_name FROM customer WHERE c_custkey % 6 = 0
+          AND c_name IS NOT NULL  -- no heading = no cluster record
     )
     SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS viaf_id,
            3 AS n_names,
@@ -192,7 +204,10 @@ def s_viaf_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from metadata_wrangler_spark.sources import viafsrc
 
-    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 6 == 0)
+    c = load(spark, sf_dir, "customer").where(
+        (F.col("c_custkey") % 6 == 0)
+        & F.col("c_name").isNotNull()  # no heading = no cluster record
+    )
     key = F.col("c_custkey").cast("string")
     wkp = F.when(
         F.col("c_custkey") % 2 == 0, F.concat(F.lit("WKP|W_"), key)
@@ -236,6 +251,7 @@ def s_viaf_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
            'X' || c_name AS family_name,
            CAST(1900 + c_custkey % 100 AS VARCHAR) AS birth_year
     FROM customer WHERE c_custkey % 9 = 0
+      AND c_name IS NOT NULL  -- no name = no person record
     """,
 )
 def s_jsonld_contributor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,7 +266,10 @@ def s_jsonld_contributor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from metadata_wrangler_spark.sources import jsonld
 
-    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 9 == 0)
+    c = load(spark, sf_dir, "customer").where(
+        (F.col("c_custkey") % 9 == 0)
+        & F.col("c_name").isNotNull()  # no name = no person record
+    )
     key = F.col("c_custkey").cast("string")
     doc = F.concat(
         F.lit('{"@graph":[{"@id":"book/'), key,
@@ -282,6 +301,7 @@ def s_jsonld_contributor(spark: SparkSession, sf_dir: str) -> DataFrame:
            'person/' || CAST(c_custkey AS VARCHAR) AS node_id,
            c_name AS name
     FROM customer WHERE c_custkey % 4 = 0
+      AND c_name IS NOT NULL  -- no name = no node payload
     """,
 )
 def s_jsonld_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,7 +312,10 @@ def s_jsonld_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries a Person node (en + fr names) and a Place node; the
     parser must keep only Person nodes and the English value.
     """
-    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 4 == 0)
+    c = load(spark, sf_dir, "customer").where(
+        (F.col("c_custkey") % 4 == 0)
+        & F.col("c_name").isNotNull()  # no name = no node payload
+    )
     n = load(spark, sf_dir, "nation")
     docs = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
         "c_custkey",
@@ -434,6 +457,9 @@ def s_ntriples_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN p_partkey % 8 = 0 THEN NULL ELSE p_name END AS title,
            CAST(p_partkey % 2 + 1 AS INT) AS n_reviews
     FROM part WHERE p_partkey % 4 = 0
+      -- a NULL name nulls the serialized page = nothing to scrape;
+      -- %8=0 rows substitute the blacklist literal, so they survive
+      AND (p_partkey % 8 = 0 OR p_name IS NOT NULL)
     """,
 )
 def s_html_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,7 +470,12 @@ def s_html_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: `content_cafe.py:222-296,315-346`, blacklist
     `:129-131`.
     """
-    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 4 == 0)
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_partkey") % 4 == 0)
+        # NULL name nulls the page (nothing to scrape) except where
+        # the blacklist literal is substituted
+        & ((F.col("p_partkey") % 8 == 0) | F.col("p_name").isNotNull())
+    )
     title_text = F.when(
         F.col("p_partkey") % 8 == 0, F.lit(htmlsrc.KNOWN_BAD_TITLES[0])
     ).otherwise(F.col("p_name"))
@@ -485,6 +516,7 @@ def s_html_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY c_nationkey
                                   ORDER BY c_custkey) AS rn
         FROM customer WHERE c_custkey % 25 = 0
+          AND c_name IS NOT NULL  -- no title = no entry to serialize
     )
     SELECT c_nationkey AS nationkey,
            'urn:cust:' || CAST(c_custkey AS VARCHAR) AS urn,
@@ -502,7 +534,10 @@ def s_opds_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: `controller.py:566-607`.
     """
     from pyspark.sql import Window as W
-    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 25 == 0)
+    c = load(spark, sf_dir, "customer").where(
+        (F.col("c_custkey") % 25 == 0)
+        & F.col("c_name").isNotNull()  # no title = no entry
+    )
     rn = F.row_number().over(
         W.partitionBy("c_nationkey").orderBy("c_custkey")
     )
@@ -790,6 +825,7 @@ def s_image_mirror_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cover_href,
            CAST(p_size AS BIGINT) AS popularity
     FROM part WHERE p_partkey % 5 = 2
+      AND p_name IS NOT NULL  -- no title = no metadata record
     """,
 )
 def s_overdrive_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,7 +841,10 @@ def s_overdrive_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from metadata_wrangler_spark.sources import overdrive
 
-    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 2)
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_partkey") % 5 == 2)
+        & F.col("p_name").isNotNull()  # no title = no metadata record
+    )
     key = F.col("p_partkey").cast("string")
     payload = F.concat(
         F.lit('{"id":"od-'), key,

@@ -641,7 +641,9 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metadata_wrangler_spark.operators.similarity import (
         dot, norm, round6,
     )
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # NULL-payload rule
+    )
     mx = emb.agg(
         F.max(
             F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
@@ -791,7 +793,11 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to close the gap — same train step, subvector inputs.
     """
     M, D, KC = _PQ_M, _PQ_D, _PQ_KC
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # NULL-payload rule (this
+        # tier is pure expressions, so it filters where the Arrow
+        # tiers' operator entry would)
+    )
     dbl = F.transform("embedding", lambda v: v.cast("double"))
     sub = emb.select(
         "vec_id", dbl.alias("v"),
@@ -1193,7 +1199,11 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from metadata_wrangler_spark.operators.similarity import dot, norm
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # NULL-payload rule: a NULL
+        # vector is in no cluster (posexplode already skips it in
+        # the centroid leg; the cohesion COUNT must skip it too)
+    )
     dims = (
         emb.select(
             "label",
