@@ -82,6 +82,14 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # slot re-certifies existing plans under the driver's
     # independent gate, stalest first.
     #
+    # Round-7 NULL-alignment pass: ~45 additional plan/oracle pairs
+    # gained NULL-rule filters late in the session (see
+    # tools/null_ladder.py). They cannot all fit one 50-slot window;
+    # every touched pair was re-verified by the full sf0.001 gate,
+    # the sf0.01 window mirror, AND the new per-query NULL-ladder
+    # pytest — and the filters are provably no-ops on the driver's
+    # NULL-free data (full gate green before and after).
+    #
     # Block 1 — plans REWRITTEN this session (window policy: a
     # rewritten plan is treated like a new registration — front of
     # the window in the same session that rewrites it):
