@@ -258,10 +258,21 @@ class VersionedParquetTable:
         exactly-once sinks use to record their stream progress (e.g.
         the applied micro-batch id) in the same linearization point
         as the state itself. Mirrors Delta's ``txn`` action /
-        Iceberg's snapshot summary properties."""
+        Iceberg's snapshot summary properties.
+
+        Meta is MERGED over the base version's meta, key-wise
+        (latest wins per key), exactly like Delta's appId->version
+        txn map: a commit that supplies no meta — compaction, a
+        second stream keyed under a different id, any interleaved
+        writer — carries the prior map forward instead of resetting
+        it, so an exactly-once consumer's ``last_batch_id`` survives
+        writers that know nothing about it."""
         import json
         import os
         import uuid
+
+        if base_version >= 0:
+            meta = {**self.meta(base_version), **(meta or {})}
 
         target = base_version + 1
         data_dir = os.path.join(

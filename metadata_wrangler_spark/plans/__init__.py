@@ -209,11 +209,34 @@ def _apply_null_vector_rule() -> None:
     contains the bare table token in vector oracles it already
     wrapped — the inner reference is inside the replacement subquery
     and rewriting it again is harmless but guarded anyway).
+
+    Guarded against the two spellings a blind token swap would
+    corrupt (round-7 advice): a QUALIFIED column reference
+    (``embeddings.vec_id`` — the swap would yield the invalid
+    ``(SELECT ...).vec_id``) and a CTE/alias that REBINDS the name
+    (``WITH embeddings AS`` / ``AS embeddings`` — the swap would
+    silently change which relation the query reads). Either pattern
+    raises at registration time with instructions to hand-write the
+    NULL rule inline instead; every rewritten oracle is then executed
+    end-to-end by tests/test_all_oracles.py and the NULL-ladder
+    sweep, so a rewrite that parses but misbehaves cannot go green.
     """
     import re
 
     nn = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
-    pat = re.compile(r"\bembeddings\b(?! WHERE embedding IS NOT NULL\))")
+    pat = re.compile(r"\bembeddings\b(?!\s*WHERE embedding IS NOT NULL\))"
+                     r"(?!\.)")
+    hazards = re.compile(
+        r"\bembeddings\s*\.|\bWITH\s+embeddings\b|\bAS\s+embeddings\b",
+        re.IGNORECASE,
+    )
     for name, sql in list(ORACLES.items()):
         if name.startswith(("sim_", "pipe_")) and "embeddings" in sql:
+            if hazards.search(sql):
+                raise ValueError(
+                    f"oracle {name!r} uses a qualified 'embeddings.' "
+                    "reference or rebinds the name as a CTE/alias; the "
+                    "automatic NULL-vector rewrite would corrupt it — "
+                    "write the IS NOT NULL rule into the SQL by hand"
+                )
             ORACLES[name] = pat.sub(nn, sql)

@@ -737,16 +737,28 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (g_connected_components finds ANY linkage; LPA finds
     densely-linked cores inside a component).
 
-    Scale shape per round: one equi-join edge→labels, one
-    (node,label) hash-aggregate, one per-node top-1 window — all
-    shuffles on the node key, so the edge partitioning is reusable
-    across rounds; at real iteration counts checkpoint per round as
-    operators/closure.py does. Multi-edges deliberately count twice
-    (both engines): edge multiplicity IS the tie-strength weight.
+    Scale shape per round (round-8 rewrite, 4.4 -> ~3.7 s at sf1;
+    the remainder is per-stage scheduling floor, see SCALE.md's
+    decomposition): the symmetrized edge table is repartitioned by
+    dst ONCE and localCheckpoint'ed eagerly, so no round re-shuffles
+    or re-sorts the edge side — the per-round join is hinted
+    SHUFFLE_HASH (labels, the small changing side, builds the hash
+    table; the default sort-merge re-SORTED the full edge table
+    every round, the dominant cost at sf1). Each round then pays:
+    one labels shuffle, one (node,label) hash-aggregate, one
+    per-node top-1 window — all on the node key. Multi-edges
+    deliberately count twice (both engines): edge multiplicity IS
+    the tie-strength weight. (Tried and rejected: max_by instead of
+    the rank window — the struct-ordered ObjectAgg measured slower
+    than the window sort at every SF.)
     """
     edges = build_edges(spark, sf_dir).select("src", "dst")
-    ue = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ue = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("dst")
+        .localCheckpoint(eager=True)
     )
     c = load(spark, sf_dir, "customer")
     labels = c.select(
@@ -755,7 +767,9 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_LP_ITERS):
         neigh = (
             ue.join(
-                labels.select(F.col("node").alias("dst"), "label"), "dst"
+                labels.select(F.col("node").alias("dst"), "label")
+                .hint("shuffle_hash"),
+                "dst",
             )
             .groupBy("src", "label")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -870,6 +884,18 @@ def g_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BASKET_CACHE: dict = {}
 
 
+def clear_basket_cache() -> None:
+    """Unpersist and drop every memoized basket frame. Bench/test
+    harnesses iterating sf ladders call this between scales."""
+    for frames in _BASKET_CACHE.values():
+        for df in frames:
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
+    _BASKET_CACHE.clear()
+
+
 def _basket_and_pairs(spark: SparkSession, sf_dir: str):
     from pyspark import StorageLevel
 
@@ -877,6 +903,17 @@ def _basket_and_pairs(spark: SparkSession, sf_dir: str):
     hit = _BASKET_CACHE.get(key)
     if hit is not None:
         return hit
+    # One sf_dir's frames live per application: entering a new scale
+    # (bench ladders iterate sf0.001 -> sf1) evicts the old scale's
+    # persisted frames instead of accumulating MEMORY_AND_DISK
+    # storage for the life of the session (round-7 advice).
+    stale = [k for k in _BASKET_CACHE if k[0] == key[0] and k[1] != sf_dir]
+    for k in stale:
+        for df in _BASKET_CACHE.pop(k):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     li = load(spark, sf_dir, "lineitem")
     # Partitioning: one explicit exchange on l_orderkey up front.
     # HashPartitioning(l_orderkey) satisfies the clustered

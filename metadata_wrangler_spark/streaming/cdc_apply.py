@@ -96,7 +96,10 @@ def run_cdc_stream(
     after the state commit, before the source-offset commit) is
     detected by ``meta()["last_batch_id"]`` and skipped, and a crash
     mid-commit loses nothing (the previous snapshot stays current
-    until the new manifest appears).
+    until the new manifest appears). Interleaved writers that don't
+    supply meta (compaction, a second stream) are safe too:
+    ``try_commit`` merges meta key-wise over the base version's map,
+    so ``last_batch_id`` is carried forward, never reset.
 
     With a :class:`ParquetStateTable` the commit is a plain-parquet
     directory overwrite — NOT atomic: a crash mid-commit can lose

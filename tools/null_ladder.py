@@ -39,11 +39,15 @@ from check_oracle import check_one, oracle_connection
 
 from metadata_wrangler_spark.catalog import TABLES
 
-#: table -> (pk column, {column: pk-modulus that NULLs it}).
+#: table -> (pk expression, {column: pk-modulus that NULLs it}).
 #: Moduli are distinct primes so NULL patterns overlap but never
 #: coincide column-to-column; keys and foreign keys are never NULLed
 #: (NULL join keys change semantics by design — that is a different
-#: ladder).
+#: ladder). The pk slot is any deterministic integer SQL expression
+#: over the row — for lineitem it MUST range wider than the largest
+#: modulus: l_linenumber alone takes values 1..7, so moduli >7 never
+#: fired and four columns silently escaped injection (round-7 advice).
+#: The composite below varies with both keys, so every modulus hits.
 NULL_PLAN: dict[str, tuple[str, dict[str, int]]] = {
     "events": ("event_id", {"value": 7, "event_type": 11, "props": 5}),
     "customer": ("c_custkey", {"c_acctbal": 7, "c_mktsegment": 11,
@@ -52,9 +56,10 @@ NULL_PLAN: dict[str, tuple[str, dict[str, int]]] = {
     "supplier": ("s_suppkey", {"s_acctbal": 7, "s_comment": 3}),
     "orders": ("o_orderkey", {"o_totalprice": 7, "o_orderpriority": 11,
                               "o_orderdate": 13, "o_comment": 3}),
-    "lineitem": ("l_linenumber", {"l_quantity": 7, "l_extendedprice": 11,
-                                  "l_returnflag": 13, "l_shipdate": 17,
-                                  "l_discount": 19, "l_comment": 3}),
+    "lineitem": ("(l_orderkey * 8 + l_linenumber)",
+                 {"l_quantity": 7, "l_extendedprice": 11,
+                  "l_returnflag": 13, "l_shipdate": 17,
+                  "l_discount": 19, "l_comment": 3}),
     "part": ("p_partkey", {"p_name": 7, "p_retailprice": 11,
                            "p_comment": 3}),
     "documents": ("doc_id", {"text": 7, "lang": 11, "source": 13,
@@ -89,6 +94,23 @@ def build_mirror(src: str, dst: str) -> None:
             f"COPY (SELECT {sel} FROM read_parquet('{src}/{t}.parquet'))"
             f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
+        if cols:
+            # Sanity: every targeted column must actually receive
+            # NULLs — a key expression whose range is narrower than a
+            # modulus silently skips that column (round-7 advice).
+            checks = [c for c in cols if c in present]
+            if checks:
+                counts = con.execute(
+                    "SELECT " + ", ".join(
+                        f"count(*) FILTER ({c} IS NULL)" for c in checks
+                    ) + f" FROM read_parquet('{dst}/{t}.parquet')"
+                ).fetchone()
+                missed = [c for c, n in zip(checks, counts) if n == 0]
+                if missed:
+                    raise AssertionError(
+                        f"NULL ladder never NULLed {t}.{missed}: key "
+                        f"expression {pk!r} too narrow for its moduli"
+                    )
     con.close()
 
 
