@@ -22,7 +22,11 @@ silently diverge: Spark orders NULLS FIRST ascending, DuckDB NULLS
 LAST; DuckDB's max_by skips NULL values, Spark's does not; || nulls
 a concatenation, concat_ws skips the field). NULL GROUP KEYS are
 real groups (NULL-safe joins where an oracle joins group summaries
-back). Each plan/oracle pair states its rule inline.
+back). Each plan/oracle pair states its rule inline, AND declares it
+under a named convention in ``plans/null_rules.py`` —
+``tests/test_null_convention.py`` fails any oracle whose NULL
+constructs are undeclared, so per-query rules cannot drift from the
+documented convention (round-7 verdict, governance item).
 """
 
 from __future__ import annotations
