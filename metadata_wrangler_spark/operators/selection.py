@@ -120,6 +120,7 @@ def grouped_select(
     weight_col: str | None = None,
     cache_input: bool = False,
     known_stats: Sequence[GroupStats] | None = None,
+    domain_bits: int | None = None,
 ) -> list[dict]:
     """For every group in ``df``, return the exact values at the
     cumulative-weight targets produced by ``targets(stats)``.
@@ -145,6 +146,18 @@ def grouped_select(
     ``known_stats`` skips the bounds job when the caller already
     knows per-group (n, total_weight, min, max) — e.g. the MAD
     second pass, whose deviation bounds derive from the first.
+    ``domain_bits`` is a caller CONTRACT that every group's value
+    span satisfies ``vmax - vmin < 2**domain_bits`` — quantized
+    business values and timestamp differences are bounded by
+    construction (a second-granularity gap between two in-range
+    timestamps is < 2^31; a 1e-4-quantized metric < 2^31 while the
+    raw value < 2.1e5). Round 0 then buckets at
+    ``2^(domain_bits-16)`` instead of the domain-agnostic 2^44, so
+    for any hint ≤ 33 bits the crossing bucket is already ≤
+    2^17 wide and ONE refinement round finishes — two data scans
+    total instead of three. The histogram collect stays bounded at
+    2^16 buckets per group BY THE CONTRACT; a violated contract
+    raises after the stats pass (loud, not silently quadratic).
     """
     gcols = list(group_cols)
     spark = df.sparkSession
@@ -188,11 +201,17 @@ def grouped_select(
     ):
         known_stats = None
 
+    coarse_shift = (
+        _COARSE_SHIFT
+        if domain_bits is None
+        else max(0, min(domain_bits, 63) - BITS)
+    )
     try:
         if known_stats is None:
             # Round 0: a COARSE histogram (2^44-wide buckets over the
             # whole int64 domain — arithmetic shift keeps negatives
-            # monotone) carrying per-bucket count/weight/min/max.
+            # monotone — or 2^(domain_bits-16) under a caller domain
+            # contract) carrying per-bucket count/weight/min/max.
             # One map-side aggregate yields the exact group stats
             # (n, total weight, min, max = fold over buckets) AND,
             # when the domain is spread out, a first narrowing for
@@ -202,7 +221,7 @@ def grouped_select(
             coarse = (
                 base.groupBy(
                     *gcols,
-                    F.shiftright(F.col("__sel_v"), _COARSE_SHIFT)
+                    F.shiftright(F.col("__sel_v"), coarse_shift)
                     .alias("__sel_cb"),
                 )
                 .agg(
@@ -235,6 +254,14 @@ def grouped_select(
                     )
                 )
                 coarse_hists[key] = buckets
+            if domain_bits is not None:
+                for st in stats:
+                    if st.vmax - st.vmin >= (1 << domain_bits):
+                        raise ValueError(
+                            f"domain_bits={domain_bits} contract "
+                            f"violated for group {st.key}: span "
+                            f"[{st.vmin}, {st.vmax}]"
+                        )
             return _refine(base, gcols, targets, stats, coarse_hists)
         return _refine(base, gcols, targets, list(known_stats))
     finally:

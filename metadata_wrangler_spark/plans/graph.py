@@ -737,20 +737,28 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (g_connected_components finds ANY linkage; LPA finds
     densely-linked cores inside a component).
 
-    Scale shape per round (round-8 rewrite, 4.4 -> ~3.7 s at sf1;
+    Scale shape per round (round-8 rewrite, 5.5 -> 3.3 s at sf1;
     the remainder is per-stage scheduling floor, see SCALE.md's
     decomposition): the symmetrized edge table is repartitioned by
     dst ONCE and localCheckpoint'ed eagerly, so no round re-shuffles
     or re-sorts the edge side — the per-round join is hinted
     SHUFFLE_HASH (labels, the small changing side, builds the hash
     table; the default sort-merge re-SORTED the full edge table
-    every round, the dominant cost at sf1). Each round then pays:
-    one labels shuffle, one (node,label) hash-aggregate, one
-    per-node top-1 window — all on the node key. Multi-edges
-    deliberately count twice (both engines): edge multiplicity IS
-    the tie-strength weight. (Tried and rejected: max_by instead of
-    the rank window — the struct-ordered ObjectAgg measured slower
-    than the window sort at every SF.)
+    every round, the dominant cost at sf1). Each round then pays
+    exactly TWO exchanges: the labels shuffle into the join, and one
+    repartition("src") of the joined rows that BOTH the (src,label)
+    hash-aggregate and the per-node top-1 window ride —
+    HashPartitioning(src) satisfies the aggregate's clustering
+    requirement on (src,label) (src is a subset of the keys) and the
+    window's partitionBy(src), so neither inserts its own exchange
+    (a bare groupBy(src,label) re-shuffled its output a third time
+    for the window; map-side combine bought nothing back because a
+    node's neighbor labels are mostly distinct within a partition,
+    so the partial aggregate barely shrank the join output).
+    Multi-edges deliberately count twice (both engines): edge
+    multiplicity IS the tie-strength weight. (Tried and rejected:
+    max_by instead of the rank window — the struct-ordered ObjectAgg
+    measured slower than the window sort at every SF.)
     """
     edges = build_edges(spark, sf_dir).select("src", "dst")
     ue = (
@@ -771,6 +779,7 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .hint("shuffle_hash"),
                 "dst",
             )
+            .repartition("src")
             .groupBy("src", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )

@@ -105,7 +105,17 @@ def pipe_provider_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & (F.col("o_orderstatus") == "F"))
         .select("o_custkey")
     )
-    needs = c.join(covered, c.c_custkey == covered.o_custkey, "left_anti")
+    # The identifier spine is read THREE times downstream (the fetch
+    # requests, plus cached_get's hit/miss split re-running its
+    # upstream, plus the merge's `current` side) — checkpoint it so
+    # the orders window + anti-join run once, not three times
+    # (neutral at bench scale where `needs` is cheap; load-bearing at
+    # real scale where the window is the expensive subtree).
+    needs = (
+        c.join(covered, c.c_custkey == covered.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .localCheckpoint(eager=False)
+    )
 
     # 2. cached fetch: cache rows exist (fresh) for custkey%4==0
     url = F.concat(F.lit("https://classify.example.org/c"),

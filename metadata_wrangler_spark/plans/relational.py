@@ -503,7 +503,9 @@ def a_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in (0.25, 0.50, 0.75, 0.90)
         }
 
-    sel = grouped_select(q, "qb", pct_ranks)
+    # domain contract: 1e-2-quantized account balances span < 2^31
+    # (|c_acctbal| < 2.1e7) — two scans total.
+    sel = grouped_select(q, "qb", pct_ranks, domain_bits=31)
     if not sel:
         return spark.createDataFrame([], "p double, value double")
     picked = {str(p): sel[0][str(p)] for p in (0.25, 0.50, 0.75, 0.90)}
@@ -2205,7 +2207,11 @@ def a_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     def med_rank(st):
         return {"med": int(math.floor((st.n - 1) * 0.5)) + 1}
 
-    med = grouped_select(q, "qv", med_rank, group_cols=["event_type"])
+    # domain contract: the 1e-4-quantized event metric spans < 2^31
+    # (raw value < 2.1e5; the generator's metric is O(10^3)) — one
+    # refinement round after the bounds pass, two scans total.
+    med = grouped_select(q, "qv", med_rank, group_cols=["event_type"],
+                         domain_bits=31)
     # literal per-type median map (≤ |event types| branches) — pure
     # codegen; a broadcast join against a driver-built 5-row frame
     # measures ~1.5 s of fixed cost on local[32].
@@ -2402,6 +2408,9 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, "qv",
         lambda st: {"wmed": (st.total_weight + 1) // 2},
         group_cols=["flag"], weight_col="wt",
+        # domain contract: 1e-4-quantized line prices span < 2^31
+        # (l_extendedprice = qty × part price < 2.1e5).
+        domain_bits=31,
     )
     return spark.createDataFrame(
         [
@@ -2494,6 +2503,9 @@ def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q3": int(math.floor((st.n - 1) * 0.75)) + 1,
         },
         group_cols=["event_type"],
+        # domain contract: 1e-4-quantized event metric spans < 2^31
+        # (same bound as a_mad_robust).
+        domain_bits=31,
     )
     # literal per-type quartile maps — codegen CASE chains instead of
     # a broadcast join against a driver-built 5-row frame (~1.5 s
