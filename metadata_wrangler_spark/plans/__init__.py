@@ -81,83 +81,78 @@ VERIFICATION_WINDOW = 50
 # last driver verification is OLDEST (stalest-first rotation), with
 # every SURVEY.md §2 family keeping at least one representative.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- round-7 window: STALENESS PAYDOWN. No new queries were
-    # registered this round (construction froze at 221), so every
-    # slot re-certifies existing plans under the driver's
-    # independent gate, stalest first.
+    # --- round-8 window: REWRITES FIRST, THEN THE r3-STALE BLOCK.
+    # Construction stays frozen at 221 queries; the window pays down
+    # the remaining driver-gate staleness (33 queries last checked in
+    # round 3) after re-certifying every plan whose spelling changed
+    # since the r7 gate ran.
     #
-    # Round-7 NULL-alignment pass: ~45 additional plan/oracle pairs
-    # gained NULL-rule filters late in the session (see
-    # tools/null_ladder.py). They cannot all fit one 50-slot window;
-    # every touched pair was re-verified by the full sf0.001 gate,
-    # the sf0.01 window mirror, AND the new per-query NULL-ladder
-    # pytest — and the filters are provably no-ops on the driver's
-    # NULL-free data (full gate green before and after).
-    #
-    # Block 1 — plans REWRITTEN this session (window policy: a
-    # rewritten plan is treated like a new registration — front of
-    # the window in the same session that rewrites it):
-    "txt_ngram_novelty",     # first-occurrence key: hash → raw shingle
-    "a_mad_robust",          # oracle NULL alignment (value filter + NULL-safe joins)
-    "g_shortest_path",       # pointer-jump relaxation (log rounds)
-    "g_bipartite_project",   # shared deduped basket table
-    "a_assoc_rules",         # shared deduped basket table
-    # Block 2 — the other plans rewritten in ROUND 6 onto the new
-    # selection/plan shapes, whose rewritten spellings the r6 window
-    # never covered (round-6 advice, medium):
-    "a_percentile_disc",     # also r2-stale
+    # Block 1 — plans rewritten AFTER the round-7 driver gate (window
+    # policy: a rewritten plan is treated like a new registration).
+    # Two landed in the r7-close commit (tfidf shuffle shape,
+    # source-overlap single-pass baskets); the rest are this round's
+    # work: the repartition("src")-shared LPA round, the Arrow tier
+    # probe + vectorized local tiers in operators/closure.py (which
+    # back four registered queries), the domain_bits selection
+    # contract (five callers), and the checkpointed provider spine.
+    "txt_tfidf_topk",
+    "dd_source_overlap",
+    "g_label_propagation",
+    "ev_gap_percentiles",
+    "a_mad_robust",
+    "a_percentile_disc",
     "a_weighted_median",
     "a_iqr_outliers",
-    "a_regr_trend",
-    "ev_gap_fill",
-    "g_triangle_count",
-    # Block 3 — the ENTIRE remaining r2-stale block (28; 29th is
-    # a_percentile_disc above): last driver-verified in round 2,
-    # covered since only by the pytest all-oracle sweep.
-    "a_conditional_max",
-    "a_daily_buckets",
-    "a_group_count_distinct",
-    "a_mode_top1",
-    "a_percentile_cont",
-    "a_pricing_summary",
-    "a_token_explode_sum",
-    "d_bulk_delete",
-    "d_entity_merge_repoint",
-    "d_get_one_or_create",
-    "d_register_anti_join",
-    "d_update_expression",
-    "dd_decontaminate",
-    "dd_exact_groups",
-    "dd_incremental_exact",
-    "dd_minhash_lsh",
-    "dd_ngram_containment",
-    "dd_ngram_jaccard",
-    "dd_simhash",
-    "dd_simhash_pairs",
-    "p_like_blacklist",
-    "txt_bpe_token_count",
-    "txt_corpus_report",
-    "txt_fingerprint",
-    "txt_mixture_sample",
-    "txt_token_stats",
-    "w_keyset_pagination",
-    "w_offset_pagination",
-    # Block 4 — oldest r3-stale picks: one rep for each SURVEY §2
-    # family the blocks above lack (f_, j_, mm_, pipe_, so_, sim_)
-    # plus the stalest source parsers (S2–S11 family). After this
-    # round no registered query's last driver check is older than
-    # round 3.
-    "f_title_token_jaccard",
-    "j_first_match",
-    "mm_binary_features",
-    "pipe_lookup_urn",
-    "so_drop_duplicates",
-    "sim_ivf_topk",
-    "s_soap_demand",
-    "s_xml_classify",
-    "s_viaf_cluster",
-    "s_marc_json",
-    "s_opds_feed",
+    "pipe_provider_end_to_end",
+    "g_transitive_closure",   # also r3-stale
+    "g_connected_components",
+    "dd_minhash_clusters",
+    "dd_span_dedup",
+    "pipe_corpus_curation",
+    # Block 2 — the ENTIRE remaining r3-stale block (32; the 33rd,
+    # g_transitive_closure, is in block 1): last driver-verified in
+    # round 3, covered since by the pytest all-oracle sweep and the
+    # NULL ladder. After this round no registered query's last
+    # driver check predates round 4.
+    "a_category_pct",
+    "d_policy_merge_preview",
+    "dd_embedding_cosine",
+    "ev_incremental_updates",
+    "ev_sessionized_gaps",
+    "ev_tumbling_window",
+    "f_date_functions",
+    "f_isbn10_to_13",
+    "f_levenshtein_ratio",
+    "f_name_munge",
+    "f_normalize_fingerprint",
+    "f_regex_extract_ids",
+    "f_role_vocab_map",
+    "f_stateful_role_split",
+    "f_strip_accents",
+    "f_url_classify",
+    "g_edge_one_hop",
+    "pipe_metadata_nested_apply",
+    "pipe_updates_feed",
+    "s_csv_roundtrip",
+    "s_html_scrape",
+    "s_image_mirror_rewrite",
+    "s_jsonld_contributor",
+    "s_jsonld_graph",
+    "s_ntriples_scan",
+    "s_opds_sink",
+    "s_overdrive_json",
+    "sim_lsh_topk",
+    "txt_quality_score",
+    "w_coalesce_cascade",
+    "w_order_by_rank",
+    "w_viaf_candidate_score",
+    # Block 3 — the oldest r4-stale picks that fit the remaining
+    # slots (the rest of the 44-query r4 block rotates in next
+    # round).
+    "a_anomaly_zscore",
+    "a_cube_report",
+    "a_histogram",
+    "a_kmv_distinct_sketch",
 )
 
 
