@@ -46,7 +46,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from metadata_wrangler_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# 3 samples per measurement, MEDIAN committed (odd count so the
+# median is an actual observed run, not an average of two).
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 # The headline set: the engine's heaviest / most representative plans,
 # one per operator family (dedup, similarity, closure, windowed
@@ -205,13 +207,33 @@ SCALE_SUBSTITUTES = {
 }
 
 
-def _best_of(n: int, fn) -> float:
-    best = float("inf")
+def _samples(n: int, fn) -> list[float]:
+    out = []
     for _ in range(n):
         t0 = time.time()
         fn()
-        best = min(best, time.time() - t0)
-    return round(best, 3)
+        out.append(round(time.time() - t0, 3))
+    return out
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
+
+
+def _best_of(n: int, fn) -> float:
+    """MEDIAN of n runs (name kept for the call sites' history).
+
+    Round-7 verdict, bench governance: best-of-N on a noisy shared
+    host systematically selects the luckiest run — the committed
+    artifact claimed 1.49x while the driver's own single run said
+    2.03x on identical code. The median is robust to one loaded run
+    in either direction and cannot be cherry-picked; every sample is
+    recorded in BENCH_DETAIL.json (``samples`` / ``runs`` keys) so
+    the spread itself is part of the committed artifact.
+    """
+    return _median(_samples(n, fn))
 
 
 def _time_oracles(names: list[str], oracles: dict[str, str]) -> dict[str, float]:
@@ -330,11 +352,11 @@ def main() -> int:
     # per-query scheduling/AQE/Arrow cost, not compilation.
     floor = _best_of(RUNS, _floor_probe)
 
-    best_wall, timings = _run_batch()
-    for _ in range(RUNS - 1):
-        wall, spans = _run_batch()
-        if wall < best_wall:
-            best_wall, timings = wall, spans
+    batch_runs = [_run_batch() for _ in range(RUNS)]
+    batch_walls = [round(w, 3) for w, _ in batch_runs]
+    best_wall, timings = sorted(batch_runs, key=lambda r: r[0])[
+        len(batch_runs) // 2
+    ]
 
     # Continuity series: the pre-round-4 one-query-at-a-time number.
     # The per-query spans from THIS pass are the comparable per-query
@@ -367,11 +389,11 @@ def main() -> int:
         return time.time() - t0, spans
 
     _run_ext_batch()  # warm pass (codegen/JIT), untimed
-    ext_batch_wall, ext_concurrent = _run_ext_batch()
-    for _ in range(RUNS - 1):
-        wall, spans = _run_ext_batch()
-        if wall < ext_batch_wall:
-            ext_batch_wall, ext_concurrent = wall, spans
+    ext_runs = [_run_ext_batch() for _ in range(RUNS)]
+    ext_walls = [round(w, 3) for w, _ in ext_runs]
+    ext_batch_wall, ext_concurrent = sorted(
+        ext_runs, key=lambda r: r[0]
+    )[len(ext_runs) // 2]
 
     extended = {
         name: _best_of(
@@ -412,20 +434,26 @@ def main() -> int:
         "extended_total": round(sum(extended.values()), 3),
         "extended_oracle_total": round(sum(ext_oracle.values()), 3),
         "n_extended": len(ext_present),
+        "committed": "median",
         "detail": os.path.basename(detail_path),
     }
     detail = dict(
         summary,
         queries=sequential,
         protocol=(
-            f"headline value = concurrent_batch_wall best_of_{RUNS}, "
-            f"{n_threads} threads, FAIR pools; oracle sequential "
-            f"best_of_{RUNS} (unchanged vs r1-r3); 'queries' = "
-            "uncontended one-at-a-time spans (same protocol as "
-            "'oracle_queries'); '*_concurrent' = overlapping spans "
-            "inside the timed batch; extended_batch_wall = same "
-            "concurrent protocol over the extended set"
+            f"every committed number = MEDIAN of {RUNS} runs (round-7"
+            " verdict: best-of-N on a loaded host cherry-picks; all"
+            " samples recorded under 'runs'/'extended_runs');"
+            f" headline value = concurrent batch wall, {n_threads}"
+            " threads, FAIR pools; oracle sequential median-of-"
+            f"{RUNS}, same protocol both engines; 'queries' ="
+            " uncontended one-at-a-time spans (same protocol as"
+            " 'oracle_queries'); '*_concurrent' = overlapping spans"
+            " inside the committed batch run; extended_batch_wall ="
+            " same concurrent protocol over the extended set"
         ),
+        runs=batch_walls,
+        extended_runs=ext_walls,
         queries_concurrent=timings,
         oracle_queries=oracle,
         extended_queries=extended,
