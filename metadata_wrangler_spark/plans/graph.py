@@ -166,6 +166,15 @@ def g_transitive_closure_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     each hop (UnionLoop's UNION ALL re-expands every path, fine at
     depth 6 / fan-out 2, exponential on dense graphs), and applies
     the strength filter before the shuffle.
+
+    Measured disposition (round 8, SCALE.md crossover ladder): this
+    twin pays UnionLoop's fixed per-iteration tax (6 iterations x
+    ~0.4-0.9 s of plan/schedule cost at any SF — 5.7 s at 30x data
+    where the operator path runs 1.9 s), and the tax does NOT
+    amortize with data because it is per-round, not per-row. It is
+    registered as the Catalyst recursive-SQL parity proof, not a
+    production path; callers wanting the closure take
+    g_transitive_closure.
     """
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(RCTE_WALK_SQL)
