@@ -127,13 +127,15 @@ def equivalent_ids(
     return visited
 
 
-def _equivalent_ids_local(
-    spark, edge_pdf, seeds: DataFrame, seed_col: str, levels: int
-) -> DataFrame:
-    """Driver-local BFS over the Arrow-collected edge frame —
-    row-identical to the distributed loop, but vectorized end to end
-    (the per-edge Python dict build measured ~1 s/M edges; the CSR
-    walk below is numpy throughout)."""
+def bfs_levels_pdf(edge_pdf, seed_vals, levels: int):
+    """Pure numpy/pandas BFS core of the local tier: min hop level
+    per reachable node, seeds at level 0 (off-graph seeds included).
+    Row-identical to the distributed loop; fuzz-tested against a
+    per-edge reference in tests/test_closure_local_cores.py.
+
+    ``edge_pdf`` has columns ``_src``/``_dst`` (may contain NULLs and
+    duplicates — dropped here); returns a pandas DataFrame
+    (node int64, level int32)."""
     import numpy as np
     import pandas as pd
 
@@ -150,13 +152,7 @@ def _equivalent_ids_local(
     starts = np.searchsorted(ss, np.arange(n))
     ends = np.searchsorted(ss, np.arange(n) + 1)
 
-    seed_vals = sorted(
-        {
-            int(r[0])
-            for r in seeds.select(seed_col).dropDuplicates().collect()
-            if r[0] is not None
-        }
-    )
+    seed_vals = sorted(set(seed_vals))
     idx = pd.Index(uniq)
     seed_codes = (
         idx.get_indexer(np.asarray(seed_vals, np.int64))
@@ -184,7 +180,7 @@ def _equivalent_ids_local(
         level[new] = lvl
         frontier = new
     mask = level >= 0
-    out = pd.DataFrame(
+    return pd.DataFrame(
         {
             "node": np.concatenate(
                 [uniq[mask], np.asarray(off_graph, np.int64)]
@@ -194,6 +190,21 @@ def _equivalent_ids_local(
             ).astype(np.int32),
         }
     )
+
+
+def _equivalent_ids_local(
+    spark, edge_pdf, seeds: DataFrame, seed_col: str, levels: int
+) -> DataFrame:
+    """Driver-local BFS over the Arrow-collected edge frame —
+    row-identical to the distributed loop, but vectorized end to end
+    (the per-edge Python dict build measured ~1 s/M edges; the CSR
+    walk in bfs_levels_pdf is numpy throughout)."""
+    seed_vals = [
+        int(r[0])
+        for r in seeds.select(seed_col).dropDuplicates().collect()
+        if r[0] is not None
+    ]
+    out = bfs_levels_pdf(edge_pdf, seed_vals, levels)
     return spark.createDataFrame(out, "node bigint, level int")
 
 
@@ -301,15 +312,19 @@ def connected_components(
     return labels
 
 
-def _connected_components_local(spark, edge_pdf) -> DataFrame:
-    """Driver-local connected components over the Arrow-collected
-    symmetrized edge frame — row-identical to the distributed loop
+def min_label_components_pdf(edge_pdf):
+    """Pure numpy/pandas connected-components core of the local tier
     (component = min node id in the component). Vectorized min-label
     propagation with full pointer-jump compression each round: the
     min id travels at least one hop per outer round and every
     compression pass halves pointer chains, so outer rounds are
     O(log diameter) — all numpy, no per-edge Python (the union-find
-    dict spelling measured ~2 s/M edges)."""
+    dict spelling measured ~2 s/M edges). Fuzz-tested against
+    union-find in tests/test_closure_local_cores.py.
+
+    ``edge_pdf`` has SYMMETRIZED columns ``a``/``b`` (NULLs and
+    duplicates dropped here); returns a pandas DataFrame
+    (node int64, component int64)."""
     import numpy as np
     import pandas as pd
 
@@ -318,11 +333,8 @@ def _connected_components_local(spark, edge_pdf) -> DataFrame:
     b = edge_pdf["b"].to_numpy(np.int64, copy=False)
     codes, uniq = pd.factorize(np.concatenate([a, b]))
     ac, bc = codes[: len(a)], codes[len(a):]
-    n = len(uniq)
-    # label[i] = code of the minimum NODE ID seen so far; compare in
-    # id space (uniq order is first-appearance, not sorted), so track
-    # labels as "code whose uniq value is minimal".
-    # Simpler: work directly on values.
+    # Labels are node VALUES (uniq order is first-appearance, not
+    # sorted, so comparing codes would not be comparing ids).
     label = uniq.astype(np.int64).copy()
     pos = pd.Index(uniq)  # value -> code lookup for the jump step
     while True:
@@ -340,5 +352,11 @@ def _connected_components_local(spark, edge_pdf) -> DataFrame:
         if np.array_equal(cur, prev):
             break
         label = cur
-    out = pd.DataFrame({"node": uniq.astype(np.int64), "component": label})
+    return pd.DataFrame({"node": uniq.astype(np.int64), "component": label})
+
+
+def _connected_components_local(spark, edge_pdf) -> DataFrame:
+    """Driver-local tier: Arrow-collected symmetrized edges through
+    the numpy core, back through Arrow."""
+    out = min_label_components_pdf(edge_pdf)
     return spark.createDataFrame(out, "node bigint, component bigint")
