@@ -27,6 +27,19 @@ under a named convention in ``plans/null_rules.py`` —
 ``tests/test_null_convention.py`` fails any oracle whose NULL
 constructs are undeclared, so per-query rules cannot drift from the
 documented convention (round-7 verdict, governance item).
+
+Empty-input convention (round 8, enforced by tools/empty_ladder.py
+and tests/test_empty_ladder.py): every query over an EMPTY input
+returns an EMPTY result — Spark's grouping-set/aggregate plans
+expand from the input rows, so there is no ANSI one-row-of-NULLs
+global aggregate and no zero-count grand-total ROLLUP/CUBE row;
+oracles align with ``HAVING COUNT(*) > 0`` (a no-op on any
+non-empty input) or by seeding recursions from the node/row set
+instead of bare literals. Empty inputs are every cold-start
+partition and every predicate-prunes-everything incremental run at
+100 TB, so the whole 221-query surface is pinned against a
+zero-row mirror: plans must neither crash (unguarded ``rows[0]``
+probes, zero-length numpy tiers) nor drift from their oracle.
 """
 
 from __future__ import annotations

@@ -459,7 +459,13 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src, dst, 1 + (src * 3 + dst) % 97 AS w FROM edges
     ),
     walk(node, code, hops) AS (
-        SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS code, 0 AS hops
+        -- seed from the node set, not a bare literal: the source's
+        -- distance-0 row exists iff node 1 exists (empty-input
+        -- convention; the plan derives the same row from the
+        -- customer self-loops)
+        SELECT CAST(c_custkey AS BIGINT) AS node,
+               CAST(0 AS BIGINT) AS code, 0 AS hops
+        FROM customer WHERE c_custkey = 1
         UNION ALL
         SELECT e.dst, wk.code + 1000 * e.w + 1, wk.hops + 1
         FROM walk wk JOIN wedges e ON e.src = wk.node

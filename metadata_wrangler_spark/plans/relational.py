@@ -1290,6 +1290,12 @@ def j_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) / 10000.0 AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- empty-input convention: Spark expands grouping sets from the
+    -- input rows, so an empty table yields NO rows — drop the ANSI
+    -- zero-count grand-total row the oracle would otherwise emit.
+    -- No-op on non-empty input (every grouping-set row aggregates
+    -- at least one row, so COUNT(*) >= 1).
+    HAVING COUNT(*) > 0
     """,
 )
 def a_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1621,6 +1627,10 @@ def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT)) AS BIGINT) / 10000.0 AS sum_price
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
+    -- empty-input convention: see a_rollup_report — Spark's Expand
+    -- yields no rows over an empty input; drop the ANSI zero-count
+    -- grand-total row. No-op on non-empty input.
+    HAVING COUNT(*) > 0
     """,
 )
 def a_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:

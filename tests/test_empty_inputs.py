@@ -29,30 +29,12 @@ TABLES = (
 ).split()
 
 
-@pytest.fixture(scope="module")
-def empty_dir(spark, tmp_path_factory):
-    from metadata_wrangler_spark.catalog import load
-
-    dst = str(tmp_path_factory.mktemp("sf_empty"))
-    for t in TABLES:
-        load(spark, SRC, t).limit(0).write.mode("overwrite").parquet(
-            os.path.join(dst, t + ".parquet")
-        )
-    return dst
-
-
-def test_every_query_runs_on_empty_tables(spark, empty_dir):
-    from metadata_wrangler_spark.plans import QUERIES, load_all_plans
-
-    load_all_plans()
-    failures = {}
-    for name, fn in QUERIES.items():
-        try:
-            fn(spark, empty_dir).collect()
-        except Exception as e:  # noqa: BLE001 - we report them all
-            failures[name] = f"{type(e).__name__}: {str(e)[:140]}"
-    assert not failures, f"{len(failures)} queries crash on empty: {failures}"
-
+# The round-5 "every query RUNS on empty tables" sweep that lived
+# here was superseded in round 8 by tests/test_empty_ladder.py,
+# which is strictly stronger: every query must HASH-MATCH its
+# DuckDB oracle on the zero-row mirror (oracle-less queries keep
+# the rows-only run check). The NULL-content crash sweep below
+# remains: it NULLs payload columns the oracle ladders leave alone.
 
 NULLABLE_CONTENT = {
     "documents": ("doc_id", ["text", "source", "lang", "url"]),
