@@ -106,6 +106,7 @@ DECLARED: dict[str, dict[str, str]] = {
     "a_ks_drift": {"is_not_null": "measure-excluded"},
     "a_mad_robust": {"is_not_null": "measure-excluded", "not_distinct": "null-group-kept"},
     "a_percentile_disc": {"is_not_null": "measure-excluded"},
+    "a_regr_trend": {"nullif": "arith-guard"},
     "a_rollup_report": {"coalesce": "outer-default"},
     "a_weighted_median": {"is_not_null": "measure-excluded"},
     "d_entity_merge_repoint": {"coalesce": "outer-default", "is_not_null": "measure-excluded"},

@@ -1416,11 +1416,11 @@ def so_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_brand, n,
            CAST(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)
                 AS DECIMAL(18,6)) AS DOUBLE) AS slope,
            CAST(CAST((CAST(sy AS DOUBLE)
                       - (CAST(n * sxy - sx * sy AS DOUBLE)
-                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                         / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0))
                         * CAST(sx AS DOUBLE))
                      / CAST(n AS DOUBLE) / 100.0
                 AS DECIMAL(18,6)) AS DOUBLE) AS intercept
@@ -1477,7 +1477,11 @@ def a_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope = num / den
+    # arith-guard NULL rule: a degenerate group (single point, or all
+    # x identical) has no least-squares slope — NULL on both engines
+    # (oracle: NULLIF on the same denominator). Found by the tiny
+    # ladder: ANSI mode raises DIVIDE_BY_ZERO on the bare division.
+    slope = num / F.nullif(den, F.lit(0.0))
     intercept = (
         (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
         / F.col("n").cast("double") / F.lit(100.0)
