@@ -159,13 +159,18 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "w_coalesce_cascade",
     "w_order_by_rank",
     "w_viaf_candidate_score",
-    # Block 3 — the oldest r4-stale picks that fit the remaining
-    # slots (the rest of the 44-query r4 block rotates in next
-    # round).
-    "a_anomaly_zscore",
+    # Block 3 — plans/oracles whose SPELLING changed during round 8
+    # itself (window policy: changed spelling = re-certify). The
+    # empty ladder realigned the a_rollup_report / a_cube_report /
+    # g_shortest_path oracles (empty-input convention) and the tiny
+    # ladder added the arith-guard to a_regr_trend's plan+oracle —
+    # all four go through the driver's gate this round; the oldest
+    # r4-stale block (a_anomaly_zscore, a_histogram,
+    # a_kmv_distinct_sketch, ...) rotates in next round instead.
+    "a_rollup_report",
     "a_cube_report",
-    "a_histogram",
-    "a_kmv_distinct_sketch",
+    "g_shortest_path",  # oracle seed realigned (also in SCALE weak set)
+    "a_regr_trend",
 )
 
 
