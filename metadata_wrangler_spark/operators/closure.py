@@ -20,12 +20,13 @@ Spark design — adaptive two-tier:
     each level — without it the iterative plan grows exponentially
     and the optimizer chokes long before 100 TB.
   * **Local tier**: iterative jobs cost ~0.3-0.5 s each in scheduling
-    alone, so when the deduplicated edge set is small enough to hold
-    on the driver (``local_solve_max_edges``, default 10^6 edges ≈
-    16 MB) the closure is solved in-process on the already-
-    materialized edges — the same trick every production graph
-    system uses (a recursive-CTE engine IS the local tier). Both
-    tiers produce identical rows; tests assert the equivalence.
+    alone, so when the raw edge set is small enough to hold on the
+    driver (``local_solve_max_edges``, default 4x10^6 edges ≈ 64 MB
+    — see the constant's rationale) the closure is solved in-process
+    on the already-materialized edges — the same trick every
+    production graph system uses (a recursive-CTE engine IS the
+    local tier). Both tiers produce identical rows; tests assert
+    the equivalence.
 
 Scale notes:
   * The frontier is usually far smaller than the edge table; the edge
@@ -43,11 +44,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Above this many deduplicated edges the driver-local tier is skipped
-# and the distributed loop runs. 10^6 (src,dst) longs ≈ 16 MB on the
-# driver — far below any sane driver heap; at 100 TB the edge tables
-# are billions of rows and always take the distributed path.
-LOCAL_SOLVE_MAX_EDGES = 1_000_000
+# Above this many RAW (pre-dedup) edges the driver-local tier is
+# skipped and the distributed loop runs. The budget is set by the
+# economics of the two tiers, not by driver-heap fear: the local
+# tier costs one Arrow transfer plus a numpy pass (~1-2 s per 10^7
+# edges measured; 4x10^6 (src,dst) longs ≈ 64 MB, trivial against
+# any sane driver heap), while the distributed tier costs
+# rounds x per-round scheduling floor (6 levels ≈ 5-8 s on an idle
+# local[32] REGARDLESS of size — measured at the 100x ladder, whose
+# 3x10^6-edge graph sat just past the old 10^6 budget and paid 7 s
+# distributed for a 2 s local problem). At 100 TB edge tables are
+# billions of rows and the probe early-stops into the distributed
+# path after reading at most this many rows.
+LOCAL_SOLVE_MAX_EDGES = 4_000_000
 
 
 def equivalent_ids(
@@ -241,22 +250,24 @@ def connected_components(
     set — identical rows, none of the per-round scheduling cost.
     """
     spark = edges.sparkSession
-    sym_raw = edges.select(
+    directed = edges.select(
         F.col(src).cast("bigint").alias("a"),
         F.col(dst).cast("bigint").alias("b"),
-    ).unionByName(
-        edges.select(
-            F.col(dst).cast("bigint").alias("a"),
-            F.col(src).cast("bigint").alias("b"),
-        )
     )
     # Tier probe BEFORE the dedup shuffle (see equivalent_ids): a
-    # scan + CollectLimit over Arrow, budget counted on RAW
-    # symmetrized rows. The local tier dedups in-process; the
-    # distributed tier pays the dedup+checkpoint it needs anyway.
-    probe = sym_raw.limit(local_solve_max_edges + 1).toPandas()
+    # scan + CollectLimit over Arrow, budget counted on RAW DIRECTED
+    # rows — union-find is direction-blind, so the local tier needs
+    # no symmetrization and the probe moves half the rows the old
+    # symmetrized probe did (the same budget then admits graphs
+    # twice as large, consistently with equivalent_ids' raw-edge
+    # semantics). The distributed tier symmetrizes below, where it
+    # pays the dedup+checkpoint it needs anyway.
+    probe = directed.limit(local_solve_max_edges + 1).toPandas()
     if len(probe) <= local_solve_max_edges:
         return _connected_components_local(spark, probe)
+    sym_raw = directed.unionByName(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     # Materialize the symmetrized edge set ONCE — every propagation
     # round joins against it; without the checkpoint each round
     # re-runs the upstream scan + union + dedup from the source.
@@ -322,9 +333,11 @@ def min_label_components_pdf(edge_pdf):
     dict spelling measured ~2 s/M edges). Fuzz-tested against
     union-find in tests/test_closure_local_cores.py.
 
-    ``edge_pdf`` has SYMMETRIZED columns ``a``/``b`` (NULLs and
-    duplicates dropped here); returns a pandas DataFrame
-    (node int64, component int64)."""
+    ``edge_pdf`` has columns ``a``/``b`` in EITHER orientation —
+    the relaxation below symmetrizes internally (idempotent for
+    already-symmetric input), so the caller's tier probe can ship
+    the raw directed rows (NULLs and duplicates dropped here);
+    returns a pandas DataFrame (node int64, component int64)."""
     import numpy as np
     import pandas as pd
 
@@ -333,6 +346,8 @@ def min_label_components_pdf(edge_pdf):
     b = edge_pdf["b"].to_numpy(np.int64, copy=False)
     codes, uniq = pd.factorize(np.concatenate([a, b]))
     ac, bc = codes[: len(a)], codes[len(a):]
+    # Symmetrize the relaxation: components are direction-blind.
+    ac, bc = np.concatenate([ac, bc]), np.concatenate([bc, ac])
     # Labels are node VALUES (uniq order is first-appearance, not
     # sorted, so comparing codes would not be comparing ids).
     label = uniq.astype(np.int64).copy()

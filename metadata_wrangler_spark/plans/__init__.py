@@ -191,6 +191,35 @@ def ordered_queries() -> dict[str, QueryFn]:
     return {n: QUERIES[n] for n in (*VERIFICATION_PRIORITY, *rest)}
 
 
+def release_session_caches(spark) -> None:
+    """Drop every sf-scoped persisted intermediate and nudge the
+    JVM so the ContextCleaner reclaims unreachable localCheckpoint
+    blocks.
+
+    Cross-query cache reuse (the shingle baskets shared by the
+    basket-analytics family, the per-source shingle projection
+    shared by the overlap pair) is a deliberate WORKLOAD property —
+    bench.py's concurrent batch keeps it. But a PER-QUERY
+    measurement harness must release it between queries, or one
+    query's pinned storage distorts every successor: measured at
+    the 100x ladder, a_iqr_outliers read 30.7 s inside the ladder
+    session vs 3.1 s standalone — the tfidf/basket frames persisted
+    by earlier queries had squeezed execution memory into spilling.
+    tools/bench_vs_oracle.py calls this between queries; long-lived
+    production sessions running heterogeneous queries should do the
+    same at workload boundaries."""
+    from metadata_wrangler_spark.plans.documents import clear_overlap_cache
+    from metadata_wrangler_spark.plans.graph import clear_basket_cache
+
+    clear_overlap_cache()
+    clear_basket_cache()
+    spark.catalog.clearCache()
+    # Unreachable localCheckpoint RDDs (iterative plans truncate
+    # lineage each round) are reclaimed by the ContextCleaner only
+    # after a driver JVM GC notices they are unreferenced.
+    spark.sparkContext._jvm.System.gc()
+
+
 def load_all_plans() -> None:
     """Import every plan module so registration side effects run,
     then apply the cross-module oracle rewrites."""

@@ -542,3 +542,31 @@ def test_asof_states_edge_cases(spark):
     )
     assert empty.count() == 0
     assert {"back_state", "fwd_state"} <= set(empty.columns)
+
+
+def test_release_session_caches_drops_all_persisted_frames(spark):
+    """Per-query measurement hygiene: after release_session_caches,
+    no sf-scoped persisted frame (basket analytics, overlap
+    baskets) survives and a fresh persist still works — the helper
+    tools/bench_vs_oracle.py calls between queries so one query's
+    pinned storage cannot distort a successor's wall."""
+    from metadata_wrangler_spark.plans import (
+        load_all_plans,
+        release_session_caches,
+    )
+    from metadata_wrangler_spark.plans import documents as docs_mod
+    from metadata_wrangler_spark.plans import graph as graph_mod
+
+    load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    # Populate both named caches via their public query entry points.
+    graph_mod.g_bipartite_project(spark, sf).limit(1).collect()
+    docs_mod.dd_source_overlap(spark, sf).limit(1).collect()
+    assert graph_mod._BASKET_CACHE or docs_mod._OVERLAP_CACHE
+
+    release_session_caches(spark)
+    assert not graph_mod._BASKET_CACHE
+    assert not docs_mod._OVERLAP_CACHE
+    # Idempotent on an empty session, and queries still run after.
+    release_session_caches(spark)
+    assert graph_mod.g_bipartite_project(spark, sf).count() > 0
