@@ -516,13 +516,17 @@ def g_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is small by problem structure (≤ Σ outdeg^k reachable
     rows); a 100 TB edge set streams past it map-side, exactly the
     broadcast a planner should pick. (b) the right side of the B2
-    self-square — |V|+|E| rows, justified ONLY because this demo
-    graph is 2-out-regular and customer-keyed (45k rows at sf0.1);
-    on a graph-sized edge set drop hint (b) and let the self-join
-    shuffle (AQE re-plans it per stats), keeping (a). The
-    per-composition min-aggregate is NOT optional at scale: skipping
-    it composes raw walk multisets, which blow up as outdeg^hops on
-    dense graphs.
+    self-square — |V|+|E| rows, justified only while that side is
+    executor-memory small. (b) carries NO hint: the side is a
+    derived union the optimizer cannot size statically, so the call
+    is left to AQE, which sizes the materialized side exactly at
+    runtime and converts to broadcast via local shuffle read while
+    it fits the threshold — measured identical to a forced hint at
+    sf1 and faster at the 100x ladder, where the old unconditional
+    hint force-broadcast a 4.5M-row side. (a) keeps its
+    hint at every scale. The per-composition min-aggregate is NOT
+    optional at scale: skipping it composes raw walk multisets,
+    which blow up as outdeg^hops on dense graphs.
     """
     edges = build_edges(spark, sf_dir)
     one_hop = edges.select(
@@ -546,8 +550,14 @@ def g_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = b1.select(
         F.col("u").alias("mid"), "v", F.col("code").alias("c2")
     )
+    # No hint on (b): b1 is a derived union the optimizer cannot
+    # size statically, but AQE sizes it EXACTLY at runtime and
+    # converts the self-join to broadcast (local shuffle read, no
+    # full exchange) whenever the materialized side fits the
+    # threshold — measured identical to the forced hint at sf1 and
+    # faster at sf10, with no driver-side count job.
     b2 = (
-        left.join(F.broadcast(right), "mid")
+        left.join(right, "mid")
         .groupBy("u", "v")
         .agg(F.min(F.col("c1") + F.col("c2")).alias("code"))
     )

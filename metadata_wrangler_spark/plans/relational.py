@@ -1437,7 +1437,9 @@ def a_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     success-rate trends over coverage sweeps (`scripts.py:442-454`);
     a grouped OLS fit is the analytic generalization.
 
-    Scale design: one broadcast dim join (part is small) + TWO-LEVEL
+    Scale design: one part join (broadcast at bench scales by the
+    optimizer's own threshold — part is SF-scaled, so no hint; see
+    the inline comment) + TWO-LEVEL
     exact moment sums — the row-level pass accumulates the five
     integer moments in BIGINT per (brand, orderkey-block) where the
     block width bounds rows-per-group BY CONSTRUCTION (2^22 orders ×
@@ -1453,7 +1455,12 @@ def a_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     pt = load(spark, sf_dir, "part")
     d38 = "decimal(38,0)"
-    q = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+    # No broadcast HINT: part is SF-scaled (not a true dimension), so
+    # the side's size is the optimizer's call — under the session's
+    # 64 MB autoBroadcastJoinThreshold the pruned (p_partkey, p_brand)
+    # projection broadcasts at every bench scale anyway (same plan),
+    # while a 100 TB part table falls back to a shuffle join on stats.
+    q = li.join(pt, li.l_partkey == pt.p_partkey).select(
         "p_brand",
         F.shiftright(F.col("l_orderkey"), 22).alias("blk"),
         F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
