@@ -140,3 +140,33 @@ def test_components_long_chain_converges_fast():
     )
     out = min_label_components_pdf(pdf)
     assert (out["component"] == 0).all()
+
+
+def test_components_core_fuzz_directed_input():
+    """The tier probe ships RAW DIRECTED edges since round 8 (the
+    core symmetrizes internally — union-find is direction-blind):
+    the directed spelling must produce the identical component map
+    as the pre-symmetrized one, including directed chains whose min
+    label sits at the SINK (reachable only against edge direction)."""
+    rng = random.Random(11)
+    for trial in range(200):
+        n = rng.randint(1, 40)
+        m = rng.randint(0, 60)
+        edges = [
+            (rng.randint(0, 10**6), rng.randint(0, 10**6))
+            for _ in range(m)
+        ]
+        base = rng.randint(0, 100)
+        # directed chain pointing DOWN toward base: min label is the
+        # sink, so a direction-sensitive relaxation would stall.
+        edges += [(base + i + 1, base + i) for i in range(n)]
+        pdf = pd.DataFrame(
+            {
+                "a": np.array([u for u, _ in edges], np.int64),
+                "b": np.array([v for _, v in edges], np.int64),
+            }
+        )
+        out = min_label_components_pdf(pdf)
+        got = dict(zip(out["node"].tolist(), out["component"].tolist()))
+        nodes = {u for e in edges for u in e}
+        assert got == _ref_components(edges, nodes), trial
