@@ -139,8 +139,18 @@ def dd_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOP_DF = 5     # corpus-relative: the synthetic corpus tops out at
-                 # df=7 (sf0.01); >5 exercises real pruning at every SF
+_STOP_DF = 5     # FLOOR of the stop-shingle cutoff. The effective
+                 # cutoff is corpus-relative — max(_STOP_DF,
+                 # n_docs // _STOP_PER_DOCS) on both engines — because
+                 # an absolute cutoff does not survive corpus growth:
+                 # at the 100x ladder every shingle's df exceeded any
+                 # small constant (the generator's copies are true
+                 # near-dups), so a fixed 5 pruned ALL candidates and
+                 # the query returned zero pairs — agreeing with its
+                 # oracle, but semantically useless. At the gate
+                 # corpora (<= 5k docs) the effective cutoff is
+                 # exactly the old 5, so gate hashes are unchanged.
+_STOP_PER_DOCS = 1000   # cutoff grows by 1 per 1000 docs
 
 
 def _pruned_jaccard_oracle_sql() -> str:
@@ -156,7 +166,9 @@ def _pruned_jaccard_oracle_sql() -> str:
     ), sizes AS (
         SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
     ), hot AS (
-        SELECT hp FROM sh GROUP BY hp HAVING COUNT(*) > {_STOP_DF}
+        SELECT hp FROM sh GROUP BY hp
+        HAVING COUNT(*) > greatest({_STOP_DF},
+            (SELECT COUNT(*) FROM documents) // {_STOP_PER_DOCS})
     ), cold AS (
         SELECT id, hp FROM sh WHERE hp NOT IN (SELECT hp FROM hot)
     ), cand AS (
@@ -181,13 +193,17 @@ def _pruned_jaccard_oracle_sql() -> str:
 @register("dd_ngram_jaccard_pruned", oracle=_pruned_jaccard_oracle_sql())
 def dd_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The web-scale spelling of the Jaccard tier: shingles present
-    in more than {_STOP_DF} documents are dropped from CANDIDATE
-    GENERATION (bounding every bucket's join at df²) while the score
-    still uses full shingle sets — exact Jaccard for every surviving
-    pair."""
+    in more than max({_STOP_DF}, n_docs // {_STOP_PER_DOCS})
+    documents are dropped from CANDIDATE GENERATION (bounding every
+    bucket's join at df²) while the score still uses full shingle
+    sets — exact Jaccard for every surviving pair. The cutoff is
+    corpus-relative (one metadata-cheap count; see _STOP_DF's
+    rationale): an absolute cutoff prunes EVERYTHING once the corpus
+    outgrows it, which the 100x ladder demonstrated."""
+    docs = load(spark, sf_dir, "documents")
+    cutoff = max(_STOP_DF, docs.count() // _STOP_PER_DOCS)
     return dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"),
-        threshold=0.12, max_doc_freq=_STOP_DF,
+        docs, threshold=0.12, max_doc_freq=cutoff,
     )
 
 
