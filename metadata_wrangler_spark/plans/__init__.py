@@ -207,7 +207,12 @@ def release_session_caches(spark) -> None:
     by earlier queries had squeezed execution memory into spilling.
     tools/bench_vs_oracle.py calls this between queries; long-lived
     production sessions running heterogeneous queries should do the
-    same at workload boundaries."""
+    same at workload boundaries.
+
+    The JVM-GC nudge is a classic-session extra: under Spark Connect
+    there is no ``sparkContext``/``_jvm`` bridge, so the nudge is
+    skipped and the cache/catalog clearing above still runs (the
+    server's own GC reclaims checkpoint blocks on its schedule)."""
     from metadata_wrangler_spark.plans.documents import clear_overlap_cache
     from metadata_wrangler_spark.plans.graph import clear_basket_cache
 
@@ -216,8 +221,12 @@ def release_session_caches(spark) -> None:
     spark.catalog.clearCache()
     # Unreachable localCheckpoint RDDs (iterative plans truncate
     # lineage each round) are reclaimed by the ContextCleaner only
-    # after a driver JVM GC notices they are unreferenced.
-    spark.sparkContext._jvm.System.gc()
+    # after a driver JVM GC notices they are unreferenced. Private
+    # bridge, classic sessions only — degrade gracefully elsewhere.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # Spark Connect / no JVM bridge
+        pass
 
 
 def load_all_plans() -> None:

@@ -562,7 +562,11 @@ def test_release_session_caches_drops_all_persisted_frames(spark):
     # Populate both named caches via their public query entry points.
     graph_mod.g_bipartite_project(spark, sf).limit(1).collect()
     docs_mod.dd_source_overlap(spark, sf).limit(1).collect()
-    assert graph_mod._BASKET_CACHE or docs_mod._OVERLAP_CACHE
+    # Both caches must be populated independently, else the clear
+    # assertions below pass vacuously for whichever cache the
+    # populate step stopped filling (round-8 advice).
+    assert graph_mod._BASKET_CACHE
+    assert docs_mod._OVERLAP_CACHE
 
     release_session_caches(spark)
     assert not graph_mod._BASKET_CACHE

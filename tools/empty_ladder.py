@@ -74,7 +74,16 @@ def main() -> int:
     load_all_plans()
     qs = ordered_queries()
     if names:
+        # A mistyped src directory falls through os.path.isdir into
+        # `names`, and an unknown query name would silently filter
+        # qs to {} -- the ladder would then loop over nothing and
+        # exit 0 "all green". Fail loudly instead (round-8 advice).
+        unknown = sorted(set(names) - set(qs))
+        if unknown:
+            raise SystemExit(f"unknown queries (or bad src dir): {unknown}")
         qs = {k: v for k, v in qs.items() if k in names}
+    if not qs:
+        raise SystemExit("no queries selected -- nothing to verify")
     spark = get_spark()
     con = oracle_connection(dst)
     failures: dict[str, list[str]] = {}
