@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from metadata_wrangler_spark.operators.lineage import free_checkpoint
+
 # Above this many RAW (pre-dedup) edges the driver-local tier is
 # skipped and the distributed loop runs. The budget is set by the
 # economics of the two tiers, not by driver-heap fear: the local
@@ -133,6 +135,14 @@ def equivalent_ids(
             visited = visited.unionByName(f)
         frontier = nxt
 
+    # Checkpoint-lifetime bound (round-8 SCALE.md finding 1): the
+    # loop is over, every frontier checkpoint the returned union
+    # reads is materialized (each level's count job), and nothing
+    # downstream references the edge materialization — release its
+    # blocks NOW instead of leaving them for the asynchronous
+    # ContextCleaner to squeeze the next query's execution memory.
+    # The frontier blocks ARE the result data and stay pinned.
+    free_checkpoint(usable)
     return visited
 
 
@@ -310,6 +320,7 @@ def connected_components(
         # so it both materializes this round's labels (truncating
         # lineage) and measures convergence — one job per round
         # instead of a checkpoint job plus a probe job.
+        prev_labels = labels
         labels = (
             candidates
             .groupBy("node")
@@ -317,9 +328,20 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        # The SUM probe just materialized this round's checkpoint;
+        # the previous round's blocks are now dead (the new labels
+        # were computed FROM them, nothing will re-read them) —
+        # release synchronously so a long fixpoint run holds at most
+        # two rounds of label blocks instead of all of them
+        # (round-8 SCALE.md finding 1: ContextCleaner reclaim is
+        # asynchronous and lets dead rounds squeeze live memory).
+        free_checkpoint(prev_labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    # Same bound at exit: the returned labels are materialized; the
+    # symmetrized edge blocks are dead.
+    free_checkpoint(sym)
     return labels
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from metadata_wrangler_spark.catalog import load
+from metadata_wrangler_spark.operators.lineage import free_checkpoint
 from metadata_wrangler_spark.operators.closure import (
     connected_components,
     equivalent_ids,
@@ -695,6 +696,7 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     nodes = sym.select("node").distinct()
+    rounds = []
     for _ in range(4):
         nodes = (
             sym.join(nodes, "node", "left_semi")
@@ -707,12 +709,24 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
             .localCheckpoint(eager=False)
         )
-    return (
+        rounds.append(nodes)
+    out = (
         sym.join(nodes, "node", "left_semi")
         .join(nodes.withColumnRenamed("node", "other"), "other", "left_semi")
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_deg"))
+        # Checkpoint-lifetime bound (round-8 SCALE.md finding 1):
+        # materializing the final core (|V| rows — the same work the
+        # caller's first action would run, done once) lets every
+        # per-round survivor checkpoint AND the symmetrized edge
+        # blocks be released synchronously below instead of
+        # lingering for the asynchronous ContextCleaner.
+        .localCheckpoint(eager=True)
     )
+    for r in rounds:
+        free_checkpoint(r)
+    free_checkpoint(sym)
+    return out
 
 
 # --- Label propagation (community detection) -------------------------------
@@ -814,6 +828,16 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select(F.col("src").alias("node"), "label")
         )
+    # Checkpoint-lifetime bound (round-8 SCALE.md finding 1): the
+    # symmetrized-edge checkpoint is 2|E| rows and would otherwise
+    # linger until an eventual JVM GC lets the ContextCleaner
+    # reclaim it — measured squeezing the NEXT query into spilling
+    # at sf10 (24 s in-ladder vs 10.2 s isolated). Materialize the
+    # final labels (|V| rows — the same 4-round computation the
+    # caller's action would run, done once, nothing re-executed),
+    # then release the edge blocks synchronously.
+    labels = labels.localCheckpoint(eager=True)
+    free_checkpoint(ue)
     return labels
 
 

@@ -574,3 +574,74 @@ def test_release_session_caches_drops_all_persisted_frames(spark):
     # Idempotent on an empty session, and queries still run after.
     release_session_caches(spark)
     assert graph_mod.g_bipartite_project(spark, sf).count() > 0
+
+
+def _cached_partitions(spark) -> int:
+    sc = spark.sparkContext
+    return sum(
+        r.numCachedPartitions() for r in sc._jsc.sc().getRDDStorageInfo()
+    )
+
+
+def test_iterative_operators_release_checkpoints_synchronously(spark):
+    """Round-9 checkpoint-lifetime bound (SCALE.md round-8 finding
+    1): an iterative query's dead localCheckpoint rounds must be
+    released by the operator itself, not left for the asynchronous
+    ContextCleaner — measured at sf10, lingering blocks squeezed the
+    NEXT query's execution memory into spilling (LPA 24 s in-ladder
+    vs 10.2 s isolated). After a full materialize of each iterative
+    query, at most its small final-result checkpoint may stay pinned
+    (a handful of |V|-row partitions), never the edge-table rounds
+    (32+ partitions each)."""
+    from metadata_wrangler_spark.operators.closure import (
+        connected_components,
+        equivalent_ids,
+    )
+    from metadata_wrangler_spark.plans import load_all_plans, QUERIES
+
+    load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+
+    for name in ("g_label_propagation", "g_kcore"):
+        QUERIES[name](spark, sf).count()
+        n = _cached_partitions(spark)
+        assert n <= 8, f"{name} left {n} cached partitions pinned"
+
+    # Force the DISTRIBUTED tiers (the checkpoint-heavy paths) on the
+    # tiny graph: edge materialization + per-round labels must all be
+    # freed; only the final labels checkpoint may remain.
+    from metadata_wrangler_spark.plans.graph import build_edges
+
+    edges = build_edges(spark, sf)
+    connected_components(edges, local_solve_max_edges=0).count()
+    n = _cached_partitions(spark)
+    assert n <= 40, f"connected_components left {n} partitions pinned"
+
+    seeds = edges.select(F.col("src").alias("node")).limit(3)
+    equivalent_ids(
+        edges, seeds, levels=4, threshold=0.0, local_solve_max_edges=0
+    ).count()
+    # equivalent_ids' frontier checkpoints ARE the result data and
+    # stay pinned until consumed; the edge materialization must not.
+    # Frontier levels are tiny (<= levels+1 frames, AQE-coalesced —
+    # measured 5 partitions; the edge set alone would add 32, so a
+    # cap of 24 catches any reintroduced lingering materialization).
+    assert _cached_partitions(spark) <= 24
+
+
+def test_free_checkpoint_contract(spark):
+    """free_checkpoint: True + blocks gone for a localCheckpoint
+    product; False (no-op) for an ordinary DataFrame."""
+    from metadata_wrangler_spark.operators.lineage import free_checkpoint
+
+    spark.catalog.clearCache()
+    base = _cached_partitions(spark)
+    df = spark.range(0, 10000).selectExpr("id", "id * 2 AS b")
+    assert free_checkpoint(df) is False
+    assert free_checkpoint(None) is False
+
+    ck = df.localCheckpoint(eager=True)
+    assert _cached_partitions(spark) > base
+    assert free_checkpoint(ck) is True
+    assert _cached_partitions(spark) == base
