@@ -345,6 +345,256 @@ def connected_components(
     return labels
 
 
+def _min_plus_arrays(u, v, w, source_vals, hops: int):
+    """Array core of the bounded min-plus walk (see
+    ``bounded_min_plus_pdf`` for semantics). ``u``/``v``/``w`` are
+    int64 numpy arrays (already NULL-free). Vectorization choices,
+    each measured at the sf10 ladder (3M edges):
+
+    * relax-by-``reduceat`` on edges sorted by destination ONCE
+      upfront, not ``np.minimum.at`` per round (the unbuffered
+      ufunc measured 0.39 s/round; reduceat runs all 6 rounds in
+      0.4 s total);
+    * destination group starts by flag-diff on the sorted column,
+      not ``np.unique`` (which re-sorts: 1.0 s → 0.05 s);
+    * DENSE id fast path: when the id range is no wider than
+      4x the edge count (+ a 1M floor), index arrays directly
+      instead of factorizing — the shared hash pass measured
+      0.9 s of the 2.2 s core at sf10, and real identifier graphs
+      overwhelmingly have catalog-dense keys. Sparse/huge ids fall
+      back to factorize, identical results.
+
+    Returns (nodes int64 array, codes int64 array).
+    """
+    import numpy as np
+    import pandas as pd
+
+    srcs = np.asarray(sorted(set(source_vals)), np.int64)
+    m = len(u)
+    if m == 0:
+        return srcs, np.zeros(len(srcs), np.int64)
+    lo = min(int(u.min()), int(v.min()), int(srcs.min()) if srcs.size else 0)
+    hi = max(int(u.max()), int(v.max()), int(srcs.max()) if srcs.size else 0)
+    span = hi - lo + 1
+    dense = 0 <= span <= max(4 * m, 1_000_000)
+    if dense:
+        uc, vc, sc = u - lo, v - lo, srcs - lo
+        n = span
+    else:
+        codes, uniq = pd.factorize(np.concatenate([u, v, srcs]))
+        uc = codes[:m]
+        vc = codes[m: 2 * m]
+        sc = codes[2 * m:]
+        n = len(uniq)
+    # CSR by SOURCE + frontier-driven relaxation (bounded SPFA):
+    # each round relaxes only the out-edges of nodes whose code
+    # improved last round. Single-source bounded walks touch a tiny
+    # reachable set (127 nodes on the 3M-edge sf10 graph), so the
+    # walk itself is microseconds; the worst case (every node
+    # improving every round) degrades to one full-edge pass per
+    # round, the same bound as whole-array relaxation. This is the
+    # exact per-round DP — relaxing FROM last round's improved set
+    # reaches precisely the walks of one more edge.
+    order = np.argsort(uc)
+    us, vs, ws = uc[order], vc[order], w[order]
+    bounds = np.searchsorted(us, np.arange(n + 1))
+    # INF chosen so INF + max edge code stays < 2^63 (one addition
+    # per round, never compounded — relax always reads from cur,
+    # which min() caps back at INF).
+    INF = np.int64(2**62)
+    cur = np.full(n, INF, np.int64)
+    frontier = np.unique(sc) if sc.size else sc
+    if sc.size:
+        cur[frontier] = 0
+    for _ in range(hops):
+        if frontier.size == 0:
+            break
+        cnt = bounds[frontier + 1] - bounds[frontier]
+        total = int(cnt.sum())
+        if total == 0:
+            break
+        eidx = np.repeat(bounds[frontier], cnt) + (
+            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        dsts = vs[eidx]
+        cand = cur[np.repeat(frontier, cnt)] + ws[eidx]
+        udst = np.unique(dsts)
+        before = cur[udst].copy()
+        np.minimum.at(cur, dsts, cand)
+        frontier = udst[cur[udst] < before]
+    mask = cur < INF
+    codes_out = cur[mask]
+    if dense:
+        nodes_out = (np.flatnonzero(mask) + lo).astype(np.int64)
+    else:
+        nodes_out = uniq[mask].astype(np.int64)
+    return nodes_out, codes_out
+
+
+def bounded_min_plus_pdf(edge_pdf, source_vals, hops: int):
+    """Pure numpy bounded Bellman-Ford core of the shortest-path
+    local tier: min packed code (1000·dist + hop-count — additive
+    over path concatenation, so min over walks is a min-plus fold)
+    over walks of ≤ ``hops`` edges from any source. Sources get a
+    code-0 row (walk of zero edges); positive edge codes mean cycles
+    never undercut it. Row-identical to the distributed min-plus
+    doubling; fuzz-tested against a per-edge reference in
+    tests/test_closure_local_cores.py.
+
+    ``edge_pdf`` has columns ``u``/``v``/``code`` (NULL rows dropped
+    here; duplicate and parallel edges just relax redundantly).
+    Returns a pandas DataFrame (node int64, code int64).
+    """
+    import numpy as np
+    import pandas as pd
+
+    edge_pdf = edge_pdf.dropna()
+    nodes, codes = _min_plus_arrays(
+        edge_pdf["u"].to_numpy(np.int64),
+        edge_pdf["v"].to_numpy(np.int64),
+        edge_pdf["code"].to_numpy(np.int64),
+        source_vals,
+        hops,
+    )
+    return pd.DataFrame({"node": nodes, "code": codes})
+
+
+def bounded_shortest_paths(
+    edges: DataFrame,
+    nodes: DataFrame,
+    sources: DataFrame,
+    hops: int = 6,
+    local_solve_max_edges: int = LOCAL_SOLVE_MAX_EDGES,
+    edge_count_hint: int | None = None,
+) -> DataFrame:
+    """Min packed-code walk of ≤ ``hops`` edges from ``sources`` —
+    the single-source bounded shortest path the reference's
+    equivalency walk implies (strength-weighted chain traversal,
+    `/root/reference/identifiers.py` bounded-depth recursion), in
+    exact integer arithmetic.
+
+    Parameters
+    ----------
+    edges : DataFrame(u, v, code) — positive integer edge codes
+        (pack dist·K + 1 with hops < K so min(code) is
+        "min dist, then min hops").
+    nodes : DataFrame whose first column is the node universe —
+        supplies the zero-cost self-loops the doubling composition
+        needs (walks shorter than the composition width).
+    sources : DataFrame whose first column holds seed node ids.
+        CONTRACT: sources ⊆ nodes (a seed outside the node universe
+        would get a code-0 row from the local tier but no self-loop
+        row from the distributed tier).
+    hops : even, ≥ 2 (the distributed tier composes 2-hop blocks).
+    edge_count_hint : known edge-row count (catalog/ANALYZE
+        statistics, or derivable by construction — the caller's
+        equivalent of a cost-based optimizer's stats lookup). When
+        given, the tier decision is FREE and the admit path fetches
+        with a fully parallel ``toArrow`` — the ``limit`` probe's
+        CollectLimit funnels every row through one partition, which
+        measured 2.3 s of the 5.6 s sf10 wall on a 3M-edge graph
+        that the parallel fetch moves in 0.3 s warm. Without a hint
+        the early-stopping probe runs (the right call against a
+        100 TB table of unknown size).
+
+    Adaptive two-tier, same probe economics as ``equivalent_ids``:
+    the distributed min-plus-doubling tier costs a fixed number of
+    exchanges REGARDLESS of data size (measured flat 5.2 s at sf10
+    where the oracle ran 0.46 s — all scheduling floor), while the
+    local tier is one Arrow transfer + hops·O(E) numpy relaxations.
+    Below the raw-edge budget the local tier wins at every measured
+    SF; a 100 TB edge table early-stops the probe (or skips it via
+    the hint) and takes the distributed tier.
+    """
+    if hops < 2 or hops % 2:
+        raise ValueError("bounded_shortest_paths needs even hops >= 2")
+    spark = edges.sparkSession
+    node_col, src_col = nodes.columns[0], sources.columns[0]
+    tbl = None
+    if edge_count_hint is None:
+        tbl = edges.limit(local_solve_max_edges + 1).toArrow()
+        if tbl.num_rows > local_solve_max_edges:
+            tbl = None
+    elif edge_count_hint <= local_solve_max_edges:
+        tbl = edges.toArrow()
+    if tbl is not None:
+        import numpy as np
+        import pandas as pd
+
+        seed_vals = [
+            int(r[0])
+            for r in sources.select(src_col).dropDuplicates().collect()
+            if r[0] is not None
+        ]
+        pdf_cols = {}
+        for col in ("u", "v", "code"):
+            arr = tbl[col].to_numpy(zero_copy_only=False)
+            pdf_cols[col] = arr
+        mask = ~(
+            pd.isna(pdf_cols["u"])
+            | pd.isna(pdf_cols["v"])
+            | pd.isna(pdf_cols["code"])
+        )
+        nodes_out, codes_out = _min_plus_arrays(
+            pdf_cols["u"][mask].astype(np.int64, copy=False),
+            pdf_cols["v"][mask].astype(np.int64, copy=False),
+            pdf_cols["code"][mask].astype(np.int64, copy=False),
+            seed_vals,
+            hops,
+        )
+        out = pd.DataFrame({"node": nodes_out, "code": codes_out})
+        return spark.createDataFrame(out, "node bigint, code bigint")
+
+    # Distributed tier: min-plus doubling (see g_shortest_path's
+    # docstring for the full derivation and broadcast contracts).
+    # B2 = min-code over walks of ≤2 edges (one self-square of
+    # edges ∪ zero-cost self-loops); the source rows composed with
+    # B2 (hops/2 - 1) times cover walks of ≤hops edges.
+    b1 = edges.unionByName(
+        nodes.select(
+            F.col(node_col).alias("u"),
+            F.col(node_col).alias("v"),
+            F.lit(0).cast("long").alias("code"),
+        )
+    )
+    left = b1.select("u", F.col("v").alias("mid"), F.col("code").alias("c1"))
+    right = b1.select(F.col("u").alias("mid"), "v", F.col("code").alias("c2"))
+    # No broadcast hint on the self-square: b1 is a derived union the
+    # optimizer cannot size statically; AQE sizes the materialized
+    # side at runtime and converts while it fits (measured identical
+    # to a forced hint at sf1, faster at sf10 where the hint
+    # force-broadcast a 4.5M-row side).
+    b2 = (
+        left.join(right, "mid")
+        .groupBy("u", "v")
+        .agg(F.min(F.col("c1") + F.col("c2")).alias("code"))
+    )
+    state = (
+        b2.join(
+            F.broadcast(
+                sources.select(F.col(src_col).alias("u")).dropDuplicates()
+            ),
+            "u",
+        )
+        .select(F.col("v").alias("node"), "code")
+    )
+    if hops == 2:
+        # No extend round runs to aggregate multi-source duplicates.
+        state = state.groupBy("node").agg(F.min("code").alias("code"))
+    for _ in range(hops // 2 - 1):
+        st = state.select(F.col("node").alias("u"), F.col("code").alias("c1"))
+        hop = b2.select("u", F.col("v").alias("node"), F.col("code").alias("c2"))
+        # Frontier side broadcasts at every scale: single-source
+        # bounded-hop state is small by problem structure; the edge
+        # blocks stream past it map-side.
+        state = (
+            F.broadcast(st).join(hop, "u")
+            .groupBy("node")
+            .agg(F.min(F.col("c1") + F.col("c2")).alias("code"))
+        )
+    return state
+
+
 def min_label_components_pdf(edge_pdf):
     """Pure numpy/pandas connected-components core of the local tier
     (component = min node id in the component). Vectorized min-label

@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from metadata_wrangler_spark.catalog import load
 from metadata_wrangler_spark.operators.lineage import free_checkpoint
 from metadata_wrangler_spark.operators.closure import (
+    bounded_shortest_paths,
     connected_components,
     equivalent_ids,
 )
@@ -481,8 +482,14 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source shortest path, bounded at 6 hops, from node 1
-    over the shared weighted edge set — by MIN-PLUS DOUBLING
-    (pointer jumping), not per-hop Bellman-Ford.
+    over the shared weighted edge set — adaptive two-tier via
+    ``operators.closure.bounded_shortest_paths``: a numpy bounded
+    Bellman-Ford local tier under the closure family's raw-edge
+    probe budget (round-9: the distributed spelling's wall was a
+    FLAT 5.2 s at sf10 vs a 0.46 s oracle — pure exchange/schedule
+    floor on a graph that fits the driver with room to spare), and
+    MIN-PLUS DOUBLING (pointer jumping), not per-hop Bellman-Ford,
+    past the budget.
 
     The packed code 1000·dist + hops is ADDITIVE over path
     concatenation (dist and hops both sum, hops ≤ 6 < 1000), so
@@ -538,49 +545,24 @@ def g_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # node set = customer keys directly: keys are dense 0..N-1 and
     # both edge endpoints are taken mod N, so no distinct needed.
-    nodes = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("u")
+    # The source frame derives from the SAME node set (empty-input
+    # convention: the distance-0 row exists iff node 1 exists), and
+    # satisfies the operator's sources ⊆ nodes contract.
+    customer = load(spark, sf_dir, "customer")
+    nodes = customer.select(F.col("c_custkey").alias("node"))
+    sources = customer.where(F.col("c_custkey") == 1).select(
+        F.col("c_custkey").alias("node")
     )
-    # walks of ≤1 edge: the edges plus zero-cost self-loops
-    b1 = one_hop.unionByName(
-        nodes.select("u", F.col("u").alias("v"), F.lit(0).cast("long").alias("code"))
+    # Edge count is known BY CONSTRUCTION (2 out-edges per customer):
+    # one parquet-metadata count (~0.2 s warm at sf10) replaces the
+    # operator's CollectLimit probe, whose single-partition funnel
+    # measured 2.3 s on the same graph — the same stats lookup a
+    # cost-based optimizer would make.
+    out = bounded_shortest_paths(
+        one_hop, nodes, sources, hops=6,
+        edge_count_hint=2 * customer.count(),
     )
-    left = b1.select(
-        "u", F.col("v").alias("mid"), F.col("code").alias("c1")
-    )
-    right = b1.select(
-        F.col("u").alias("mid"), "v", F.col("code").alias("c2")
-    )
-    # No hint on (b): b1 is a derived union the optimizer cannot
-    # size statically, but AQE sizes it EXACTLY at runtime and
-    # converts the self-join to broadcast (local shuffle read, no
-    # full exchange) whenever the materialized side fits the
-    # threshold — measured identical to the forced hint at sf1 and
-    # faster at sf10, with no driver-side count job.
-    b2 = (
-        left.join(right, "mid")
-        .groupBy("u", "v")
-        .agg(F.min(F.col("c1") + F.col("c2")).alias("code"))
-    )
-
-    def extend(state: DataFrame) -> DataFrame:
-        st = state.select(
-            F.col("node").alias("u"), F.col("code").alias("c1")
-        )
-        hop = b2.select(
-            "u", F.col("v").alias("node"), F.col("code").alias("c2")
-        )
-        return (
-            F.broadcast(st).join(hop, "u")
-            .groupBy("node")
-            .agg(F.min(F.col("c1") + F.col("c2")).alias("code"))
-        )
-
-    s2 = b2.where(F.col("u") == 1).select(
-        F.col("v").alias("node"), "code"
-    )
-    s6 = extend(extend(s2))
-    return s6.select(
+    return out.select(
         "node",
         F.expr("code div 1000").alias("dist"),
         (F.col("code") % 1000).alias("hops"),

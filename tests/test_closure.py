@@ -199,3 +199,53 @@ def test_closure_fuzz_matches_brute_force(spark):
             assert got_cc == exp_pairs
 
     check()
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "u bigint, v bigint, code bigint")
+
+
+def test_shortest_path_tiers_agree(spark):
+    """bounded_shortest_paths: the numpy Bellman-Ford local tier and
+    the min-plus doubling distributed tier must be row-identical —
+    including the zero-walk source row, cycles that cannot undercut
+    it, multi-source minima, and a source with no out-edges."""
+    from metadata_wrangler_spark.operators.closure import (
+        bounded_shortest_paths,
+    )
+
+    e = _wedges(
+        spark,
+        [
+            (1, 2, 5001), (2, 3, 1001), (3, 1, 2001), (1, 3, 9001),
+            (3, 4, 1001), (4, 5, 1001), (5, 6, 1001), (6, 7, 1001),
+            (7, 8, 1001),  # 8 is 6 hops from 1 via the 1->3 shortcut
+            (8, 10, 1001),  # 10 needs 7 edges from 1: outside the bound
+            (9, 9, 1001),
+        ],
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 13)], "node bigint"
+    )
+    for srcs in ([1], [1, 9], [12]):
+        sources = spark.createDataFrame([(s,) for s in srcs], "node bigint")
+        local = bounded_shortest_paths(e, nodes, sources, hops=6)
+        dist = bounded_shortest_paths(
+            e, nodes, sources, hops=6, local_solve_max_edges=0
+        )
+        assert rows(local) == rows(dist), srcs
+    # hop bound honored in both tiers: node 8 needs 7 edges
+    got = {
+        r["node"]
+        for r in bounded_shortest_paths(
+            e, nodes, _seeds(spark, [1]), hops=6
+        ).collect()
+    }
+    assert 10 not in got and 8 in got
+    got_d = {
+        r["node"]
+        for r in bounded_shortest_paths(
+            e, nodes, _seeds(spark, [1]), hops=6, local_solve_max_edges=0
+        ).collect()
+    }
+    assert got == got_d

@@ -170,3 +170,78 @@ def test_components_core_fuzz_directed_input():
         got = dict(zip(out["node"].tolist(), out["component"].tolist()))
         nodes = {u for e in edges for u in e}
         assert got == _ref_components(edges, nodes), trial
+
+
+def _ref_min_plus(edges, sources, hops):
+    """Per-edge reference: min packed code over walks of <= hops
+    edges from any source; sources get a zero-walk code-0 row."""
+    best = {s: 0 for s in set(sources)}
+    cur = dict(best)
+    for _ in range(hops):
+        nxt = dict(cur)
+        for u, v, c in edges:
+            if u in cur and cur[u] + c < nxt.get(v, float("inf")):
+                nxt[v] = cur[u] + c
+        if nxt == cur:
+            break
+        cur = nxt
+    for k, v in cur.items():
+        if v < best.get(k, float("inf")):
+            best[k] = v
+    return best
+
+
+def test_min_plus_core_fuzz():
+    from metadata_wrangler_spark.operators.closure import (
+        bounded_min_plus_pdf,
+    )
+
+    rng = random.Random(11)
+    for trial in range(300):
+        m = rng.randint(0, 80)
+        edges = list(
+            {
+                (rng.randint(0, 40), rng.randint(0, 40),
+                 1000 * rng.randint(1, 97) + 1)
+                for _ in range(m)
+            }
+        )
+        sources = [rng.randint(0, 50) for _ in range(rng.randint(1, 3))]
+        hops = rng.choice([2, 4, 6, 8])
+        pdf = pd.DataFrame(
+            {
+                "u": np.array([e[0] for e in edges], np.int64),
+                "v": np.array([e[1] for e in edges], np.int64),
+                "code": np.array([e[2] for e in edges], np.int64),
+            }
+        )
+        out = bounded_min_plus_pdf(pdf, sources, hops)
+        got = dict(zip(out["node"].tolist(), out["code"].tolist()))
+        assert got == _ref_min_plus(edges, sources, hops), trial
+
+
+def test_min_plus_core_nulls_dups_empty():
+    from metadata_wrangler_spark.operators.closure import (
+        bounded_min_plus_pdf,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "u": [1.0, 1.0, None, 2.0],
+            "v": [2.0, 2.0, 3.0, None],
+            "code": [1001.0, 1001.0, 2001.0, 3001.0],
+        }
+    )
+    out = bounded_min_plus_pdf(pdf, [1], 6)
+    assert dict(zip(out["node"], out["code"])) == {1: 0, 2: 1001}
+    empty = pd.DataFrame(
+        {
+            "u": pd.Series([], dtype="int64"),
+            "v": pd.Series([], dtype="int64"),
+            "code": pd.Series([], dtype="int64"),
+        }
+    )
+    out = bounded_min_plus_pdf(empty, [7], 6)
+    assert dict(zip(out["node"], out["code"])) == {7: 0}
+    out = bounded_min_plus_pdf(empty, [], 6)
+    assert len(out) == 0
