@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from metadata_wrangler_spark.operators.lineage import free_checkpoint
 from metadata_wrangler_spark.operators.merge import VersionedParquetTable
 
 def _micros(col: str):
@@ -107,12 +108,27 @@ class MaterializedDailyRollup:
         could fold late-arriving files into the delta without
         covering them with the stored watermark, double-counting them
         on the next refresh. The checkpoint is bounded by the delta,
-        never the table."""
-        wm = self.watermark_epoch()
-        fresh = events.where(_micros("ts") > F.lit(wm)).localCheckpoint(
-            eager=True
+        never the table.
+
+        Job shape (round-9 floor cut — this query's wall was pure
+        per-job scheduling tax at every SF): the stored watermark
+        rides into the slice as a broadcast 1-row aggregate, so ONE
+        job slices + snapshots + counts the delta (the count
+        materializes the lazy checkpoint, closure-style); inside the
+        merge, the current table's (watermark, batch) and the
+        delta's (count, max-ts) come back in ONE fused collect. Two
+        jobs + the commit write, down from five."""
+        wm_row = self.table.read().agg(
+            F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("_wm")
         )
-        if not fresh.take(1):
+        fresh = (
+            events.crossJoin(F.broadcast(wm_row))
+            .where(_micros("ts") > F.col("_wm"))
+            .drop("_wm")
+            .localCheckpoint(eager=False)
+        )
+        if fresh.count() == 0:
+            free_checkpoint(fresh)
             return 0
 
         merged_count = 0
@@ -128,18 +144,34 @@ class MaterializedDailyRollup:
             # captured delta and new_wm once, outside the loop — a
             # retry would have double-counted every fresh event.)
             nonlocal merged_count
-            cur = current.agg(
+            curagg = current.agg(
                 F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("w"),
                 F.coalesce(F.max("applied_batch"), F.lit(-1)).alias("b"),
-            ).collect()[0]
-            cur_wm, applied = int(cur["w"]), int(cur["b"])
+            )
+            mic = _micros("ts")
+            # fresh is non-empty (guarded above), so first(w/b) is
+            # always defined; counting via when() keeps the current
+            # state and the delta stats in one job.
+            row = (
+                fresh.crossJoin(F.broadcast(curagg))
+                .agg(
+                    F.sum(
+                        F.when(mic > F.col("w"), 1).otherwise(0)
+                    ).alias("n"),
+                    F.max(F.when(mic > F.col("w"), mic)).alias("mw"),
+                    F.first("w").alias("w"),
+                    F.first("b").alias("b"),
+                )
+                .collect()[0]
+            )
+            cur_wm, applied = int(row["w"]), int(row["b"])
+            merged_count = int(row["n"])
+            new_wm = (
+                max(cur_wm, int(row["mw"]))
+                if row["mw"] is not None
+                else cur_wm
+            )
             mine = fresh.where(_micros("ts") > F.lit(cur_wm))
-            stats = mine.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.max(_micros("ts")), F.lit(cur_wm)).alias("wm"),
-            ).collect()[0]
-            merged_count = int(stats["n"])
-            new_wm = max(cur_wm, int(stats["wm"]))
             return (
                 current.select("day", "event_type", "n_events", "q_value")
                 .unionByName(_partial(mine))
@@ -156,6 +188,10 @@ class MaterializedDailyRollup:
             )
 
         self.table.merge(merge_fn)
+        # The committed version is on disk; the delta snapshot is
+        # dead — release its blocks synchronously (round-9
+        # checkpoint-lifetime discipline).
+        free_checkpoint(fresh)
         return merged_count
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> int:

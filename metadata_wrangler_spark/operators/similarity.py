@@ -387,6 +387,26 @@ def multitable_bucket_pass(
     return buckets, f"{out_id} long, table_no int, bucket int"
 
 
+# Tier budget for the fused collision-scan spelling of multi-table
+# LSH, in (query x corpus) PAIRS — the unit both tiers' dominant
+# cost scales in. Measured economics (sf10 ladder, 200k vectors x
+# 1980 queries = 4x10^8 pairs, local[32]): the fused scan runs the
+# whole corpus in ~27 s (6.8x10^-8 s/pair — dim+L fused
+# multiply-adds at numpy speed), while the bucket-join spelling took
+# 130 s on the SAME data because this corpus' collision selectivity
+# (~0.65) makes candidate pruning recover almost nothing while its
+# shuffle + per-corpus-row candidate grouping constants stay. Below
+# the budget (<= ~70 s of scan work) the fused tier therefore wins
+# at ANY selectivity: scoring the full pair matrix costs at most
+# (dim+L)/(selectivity*dim) times the candidates-only work, and the
+# bucket tier's join machinery costs more than that slack. Past the
+# budget the bucket join is the right plan — at warehouse scale the
+# corpus bucket table is written once as parquet BUCKETED BY
+# (table_no, bucket), so candidate generation is storage-pruned and
+# never rescans the corpus per query batch.
+FUSED_PAIR_BUDGET = 1_000_000_000
+
+
 def lsh_cosine_topk_multitable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -395,48 +415,43 @@ def lsh_cosine_topk_multitable(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred=None,
+    corpus_count_hint: int | None = None,
+    fused_pair_budget: int = FUSED_PAIR_BUDGET,
 ) -> DataFrame:
     """Multi-table LSH: L independent hyperplane tables; a candidate
     pair needs to collide in ANY table. The standard recall lever
     when neighbours sit at wide angles (catch probability
     1-(1-p^b)^L vs p^b for one table).
 
-    Candidate generation is one equi-join on (table_no, bucket) over
-    ID-ONLY bucket rows (each side carries L rows per vector), deduped
-    on the pair key. Scoring never ships vectors per pair: candidates
-    are grouped per corpus vector (its query-id list rides along),
-    the corpus vector crosses the Arrow boundary ONCE, and the
-    bounded query matrix is broadcast into the Python workers — the
-    same dimension-ordered accumulation as ``dot()``'s fold, so
-    cosines stay bit-identical to the expression spelling and the
-    oracle. (The first cut scored (qvec, cvec) pairs via
-    score_pairs_arrow: correct, but per-pair vector transfer was
-    2.7 GB at sf1 with this recall config reaching ~65% of the
-    corpus per query — 20 s → 66 s. Pair-id grouping ships ~50 MB.)
+    Adaptive two-tier (round 9 — the closure family's probe
+    economics applied to ANN; see ``FUSED_PAIR_BUDGET``):
 
-    At scale the corpus-side bucket table is written once as
-    bucketed parquet keyed by (table_no, bucket).
+    * **Fused collision-scan tier** (|Q|·|C| within budget): one
+      ``mapInPandas`` over the corpus computes each batch's bucket
+      codes AND its cosine matrix against the broadcast query set,
+      masks non-colliding pairs, and emits per-query batch top-k.
+      No candidate shuffle, no pair materialization — the collision
+      test is L integer compares per pair next to dim fused
+      multiply-adds it already pays. Row-identical to the join tier
+      (same candidate semantics, same fold order).
+    * **Bucket-join tier** (past budget): one equi-join on
+      (table_no, bucket) over ID-ONLY bucket rows, candidates
+      grouped per corpus vector, scored against the broadcast query
+      matrix. At warehouse scale the corpus bucket table is written
+      once as parquet bucketed by (table_no, bucket) and candidate
+      generation is storage-pruned.
+
+    The tier probe uses ``corpus_count_hint`` (catalog stats) when
+    given; otherwise an id-only early-stopping count bounded by
+    budget/|Q|. Scoring never ships vectors per pair in either tier:
+    the corpus vector crosses the Arrow boundary ONCE and the
+    bounded query matrix is broadcast — the same dimension-ordered
+    accumulation as ``dot()``'s fold, so cosines stay bit-identical
+    to the expression spelling and the oracle.
     """
     import numpy as np
     import pandas as pd
 
-    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
-        # One Arrow pass over one scan (multitable_bucket_pass): the
-        # vectors cross into Python once and only id-sized
-        # (id, table_no, bucket) rows come back — nothing
-        # vector-sized returns to the JVM. (The expression spelling
-        # costs L×b interpreted folds per vector: 3.9 s for 8×3
-        # planes over 20k vectors at sf1, vs vectorized
-        # microseconds.)
-        gen, schema = multitable_bucket_pass(
-            tables, id_col=id_col, vec_col=vec_col, out_id=out_id
-        )
-        # NULL vectors never cross the Arrow boundary
-        return df.where(F.col(vec_col).isNotNull()).mapInPandas(
-            gen, schema=schema
-        )
-
-    cb = bucketed(corpus, "corpus_id")
     if query_pred is not None:
         qdf = corpus.where(query_pred(F.col(id_col)))
     else:
@@ -475,6 +490,106 @@ def lsh_cosine_topk_multitable(
             )
         )
     )
+
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    nq, dim = qm.shape
+    qn = np.zeros(nq)
+    for i in range(dim):  # sequential, matches norm()'s fold order
+        qn += qm[:, i] * qm[:, i]
+    qn = np.sqrt(qn)
+    n_tables = len(tables)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+
+    # ---- tier probe (see FUSED_PAIR_BUDGET for the economics) ----
+    n_corpus = corpus_count_hint
+    if n_corpus is None:
+        cap = max(fused_pair_budget // nq, 1)
+        # id-only early-stopping count: reads at most cap+1 rows of
+        # one column, never the vectors.
+        n_corpus = corpus.select(id_col).limit(cap + 1).count()
+    if n_corpus * nq <= fused_pair_budget:
+        # Fused collision-scan tier. Query codes come out of the
+        # kernel table-major for a single input batch
+        # (ids tiled per table), so a reshape recovers (nq, L) in
+        # qrows order.
+        qcodes = qb_pdf["bucket"].to_numpy(np.int32).reshape(n_tables, nq).T
+        plane_mats = [
+            [np.asarray(p, dtype=np.float64) for p in planes]
+            for planes in tables
+        ]
+
+        def fused(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cm = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                nb = len(c_ids)
+                # Corpus bucket codes: the SAME dimension-ordered
+                # fold as multitable_bucket_pass, one table at a
+                # time so the collide mask never materializes an
+                # (nb, nq, L) temp.
+                collide = np.zeros((nb, nq), dtype=bool)
+                for t, planes in enumerate(plane_mats):
+                    code = np.zeros(nb, dtype=np.int32)
+                    for bit, p in enumerate(planes):
+                        acc = np.zeros(nb)
+                        for i in range(dim):
+                            acc += cm[:, i] * p[i]
+                        code |= (acc >= 0.0).astype(np.int32) << bit
+                    collide |= code[:, None] == qcodes[None, :, t]
+                acc = np.zeros((nb, nq))
+                cn = np.zeros(nb)
+                for i in range(dim):
+                    ci = cm[:, i]
+                    acc += ci[:, None] * qm[None, :, i]
+                    cn += ci * ci
+                cos = acc / (np.sqrt(cn)[:, None] * qn[None, :])
+                # decimal(18,6) half-up rounding, as the JVM/oracle
+                cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+                cos[~collide] = -np.inf
+                cos[c_ids[:, None] == q_ids[None, :]] = -np.inf
+                kk = min(k, nb)
+                out = {"query_id": [], "corpus_id": [], "cosine": []}
+                for j in range(nq):
+                    col = cos[:, j]
+                    order = np.lexsort((c_ids, -col))[:kk]
+                    keep = order[np.isfinite(col[order])]
+                    out["query_id"].extend([q_ids[j]] * len(keep))
+                    out["corpus_id"].extend(c_ids[keep])
+                    out["cosine"].extend(col[keep])
+                yield pd.DataFrame(out)
+
+        scored = corpus.where(F.col(vec_col).isNotNull()).mapInPandas(
+            fused, schema="query_id long, corpus_id long, cosine double"
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank")
+        )
+
+    # ---- bucket-join tier ----
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        # One Arrow pass over one scan (multitable_bucket_pass): the
+        # vectors cross into Python once and only id-sized
+        # (id, table_no, bucket) rows come back — nothing
+        # vector-sized returns to the JVM. (The expression spelling
+        # costs L×b interpreted folds per vector: 3.9 s for 8×3
+        # planes over 20k vectors at sf1, vs vectorized
+        # microseconds.)
+        gen, schema = multitable_bucket_pass(
+            tables, id_col=id_col, vec_col=vec_col, out_id=out_id
+        )
+        # NULL vectors never cross the Arrow boundary
+        return df.where(F.col(vec_col).isNotNull()).mapInPandas(
+            gen, schema=schema
+        )
+
+    cb = bucketed(corpus, "corpus_id")
     qb = corpus.sparkSession.createDataFrame(
         qb_pdf, schema="query_id long, table_no int, bucket int"
     )
@@ -494,14 +609,14 @@ def lsh_cosine_topk_multitable(
     )
     withvec = per_corpus.join(corpus_vecs, "corpus_id")
 
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qm = np.array([r[1] for r in qrows], dtype=np.float64)
-    qindex = {int(i): j for j, i in enumerate(q_ids)}
-    nq, dim = qm.shape
-    qn = np.zeros(nq)
-    for i in range(dim):  # sequential, matches norm()'s fold order
-        qn += qm[:, i] * qm[:, i]
-    qn = np.sqrt(qn)
+    # Sorted-id lookup for candidate query ids: searchsorted maps the
+    # whole batch's id lists in two vectorized passes. (The dict
+    # comprehension it replaces walked every candidate pair in the
+    # Python interpreter — measured as the DOMINANT cost of this tier
+    # at the sf10 ladder: ~260M pairs through a per-element dict
+    # lookup.)
+    q_sorter = np.argsort(q_ids)
+    q_sorted = q_ids[q_sorter]
 
     def score(batches):
         for pdf in batches:
@@ -518,10 +633,10 @@ def lsh_cosine_topk_multitable(
             if not counts.sum():
                 continue
             c_idx = np.repeat(np.arange(len(pdf)), counts)
-            q_idx = np.array(
-                [qindex[int(q)] for lst in pdf["qids"] for q in lst],
-                dtype=np.int64,
+            all_q = np.concatenate(
+                [np.asarray(lst, dtype=np.int64) for lst in pdf["qids"]]
             )
+            q_idx = q_sorter[np.searchsorted(q_sorted, all_q)]
             acc = np.zeros(len(c_idx))
             for i in range(dim):
                 acc += qm[q_idx, i] * cm[c_idx, i]
@@ -541,7 +656,6 @@ def lsh_cosine_topk_multitable(
     scored = withvec.mapInPandas(
         score, schema="query_id long, corpus_id long, cosine double"
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

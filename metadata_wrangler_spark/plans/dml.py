@@ -884,7 +884,17 @@ def d_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("U")).alias("op"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("bigint").alias("qv"),
-    )
+    ).repartition("key")
+    # ^ ONE hash exchange serves the whole diff (round-9 floor cut):
+    # both snapshot compactions require clustering on `key` and so
+    # does the full-outer join — HashPartitioning(key) satisfies all
+    # three, and the b-branch reuses the SAME shuffle via
+    # ReusedExchange, so orders is also scanned once, not twice.
+    # Trade recorded: this ships raw feed rows where the old spelling
+    # shipped map-side-compacted max_by partials through two
+    # exchanges — CDC feeds key on entity id with near-unit
+    # multiplicity, so partials shrink almost nothing and one raw
+    # shuffle beats two compacted ones plus a third for the join.
 
     def snap(df):
         # explicit presence flag: a state row whose VALUE is NULL is

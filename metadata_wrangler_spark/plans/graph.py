@@ -1302,13 +1302,20 @@ def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the joins.
     """
     edges = build_edges(spark, sf_dir)
+    # Round-9 floor cut: repartition on `a` BEFORE the dedup —
+    # HashPartitioning(a) satisfies the distinct's clustering on
+    # (a, b) (equal pairs co-locate under any superset-key hash) AND
+    # the degree join on `a`, so one exchange serves both where the
+    # old spelling paid a (a,b) exchange for the dedup plus another
+    # on `a` for the join.
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
         )
-        .distinct()
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
         .cache()
     )
     deg = (

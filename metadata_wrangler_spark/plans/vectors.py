@@ -271,7 +271,12 @@ def sim_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (The query side deliberately does NOT reuse the corpus branch:
     # it would inherit this repartition and serialize behind it.)
     corpus = emb.repartition(spark.sparkContext.defaultParallelism)
-    return similarity.lsh_cosine_topk_multitable(corpus, queries, _TABLES, k=_K)
+    # Vector count is a parquet-metadata lookup (~0.2 s warm at
+    # sf10) — the tier probe's stats input, same pattern as
+    # g_shortest_path's edge_count_hint.
+    return similarity.lsh_cosine_topk_multitable(
+        corpus, queries, _TABLES, k=_K, corpus_count_hint=emb.count()
+    )
 
 
 # --- IVF (inverted-file) ANN tier -----------------------------------------
@@ -1605,12 +1610,16 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     space — caught HERE, before a dedup threshold or an ANN index
     trained on the old half misfires on the new one.
 
-    Scale design: one dimension explode + hash aggregate keyed
-    (label, half, dim) — |labels|×2×64 counter rows — then a
-    |labels|-row self-join and one exact fold per pair. The corpus
-    is scanned once; nothing else is data-sized. Exactness: integer
-    component sums (1e-7) and the family's sign*floor(|x|·1e6+0.5)
-    rounding, bit-stable cross-engine.
+    Scale design: ONE hash aggregate keyed (label, half) carrying 64
+    per-dimension quantized SUM counters (the dimension count is a
+    fixed schema constant on both engines, so no explode — 1/64th
+    the shuffle bytes, map-side partials intact), then a
+    |labels|-row broadcast half-join and one exact fold per pair.
+    The corpus is scanned once; nothing else is data-sized. The
+    broadcast encodes a by-construction invariant: the label
+    vocabulary is bounded, independent of corpus size. Exactness:
+    integer component sums (1e-7) and the family's
+    sign*floor(|x|·1e6+0.5) rounding, bit-stable cross-engine.
 
     Reference: re-validation sweeps when a source changes format
     (`coverage_provider.py:119-150` re-registers coverage on policy
@@ -1619,27 +1628,37 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     from metadata_wrangler_spark.operators.similarity import dot, norm
 
-    dims = (
-        emb.select(
+    # Round-9 floor cut: the old spelling posexploded to 64× rows,
+    # aggregated on (label, half, i), re-aggregated on (label, half)
+    # (second exchange) and sort-merge-joined the halves (two more) —
+    # four exchanges and a 64× shuffle volume for a result that is
+    # |labels|×2 rows. The dimension count is fixed (64, the same
+    # constant the oracle's generate_series(0,63) bakes in), so the
+    # per-dimension quantized sums are 64 ordinary SUM aggregates in
+    # ONE (label, half) hash aggregate over the un-exploded scan —
+    # one exchange, 1/64th the shuffle bytes, map-side partials
+    # intact — and the |labels|-row half-join broadcasts.
+    dim_sums = [
+        F.sum(
+            F.floor(
+                F.element_at("embedding", i + 1).cast("double") * _CENT_Q
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    cents = (
+        emb.where(F.col("embedding").isNotNull())
+        .groupBy("label", (F.col("vec_id") % 2).alias("half"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"), *dim_sums)
+        .select(
             "label",
-            (F.col("vec_id") % 2).alias("half"),
-            F.posexplode("embedding").alias("i", "v"),
+            "half",
+            "n_vecs",
+            F.array(
+                *[F.col(f"s{i}").cast("double") for i in range(64)]
+            ).alias("cent"),
         )
-        .groupBy("label", "half", "i")
-        .agg(
-            F.count(F.lit(1)).alias("n_half"),
-            F.sum(
-                F.floor(F.col("v").cast("double") * _CENT_Q + F.lit(0.5))
-                .cast("bigint")
-            ).alias("s"),
-        )
-    )
-    cents = dims.groupBy("label", "half").agg(
-        F.max("n_half").alias("n_vecs"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "s"))),
-            lambda x: x["s"].cast("double"),
-        ).alias("cent"),
     )
     a = cents.where(F.col("half") == 0).select(
         "label", F.col("n_vecs").alias("n_even"),
@@ -1657,6 +1676,6 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.floor(F.abs(cc) * 1000000 + F.lit(0.5)).cast("bigint")
         / F.lit(1000000.0)
     )
-    return a.join(b, "label").select(
+    return a.join(F.broadcast(b), "label").select(
         "label", "n_even", "n_odd", r6.alias("drift_cos")
     )

@@ -68,13 +68,56 @@ def cached_get(
     joined = req.join(cache, "url", "left").select(
         "url", "content", fresh.alias("is_fresh")
     )
-    hits = joined.where(F.col("is_fresh")).select(
-        "url", "content", F.lit("cache").alias("source")
+
+    # Single-pass hit/miss resolution (round 9): the old spelling
+    # filtered `joined` twice (hits branch + misses branch) and
+    # unioned — Spark executed the request⨝cache subtree TWICE and
+    # paid an extra union leg, the dominant stage-count tax of
+    # pipe_provider_end_to_end. One Arrow pass serves fresh rows
+    # from the batch and routes only the miss slice through the
+    # fetcher. The fetcher is still invoked at most ONCE per
+    # partition, fed a lazy generator of miss batches — the
+    # one-connection-pool-per-partition seam contract
+    # (tests/test_seam_contracts.py) is unchanged.
+    def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending_hits: list[pd.DataFrame] = []
+
+        def miss_batches() -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                is_fresh = pdf["is_fresh"].fillna(False).astype(bool)
+                h = pdf[is_fresh]
+                if len(h):
+                    pending_hits.append(
+                        pd.DataFrame(
+                            {
+                                "url": h["url"],
+                                "content": h["content"],
+                                "source": "cache",
+                            }
+                        )
+                    )
+                m = pdf[~is_fresh]
+                if len(m):
+                    yield m[["url"]]
+
+        for fetched in fetcher(miss_batches()):
+            parts = list(pending_hits)
+            pending_hits.clear()
+            out = pd.DataFrame(
+                {
+                    "url": fetched["url"],
+                    "content": fetched["content"],
+                    "source": "fetch",
+                }
+            )
+            parts.append(out)
+            yield pd.concat(parts, ignore_index=True)
+        # partitions whose tail batches were all cache hits
+        if pending_hits:
+            yield pd.concat(pending_hits, ignore_index=True)
+
+    return joined.mapInPandas(
+        resolve, schema="url string, content string, source string"
     )
-    misses = joined.where(
-        F.col("is_fresh").isNull() | ~F.col("is_fresh")
-    ).select("url")
-    fetched = misses.mapInPandas(fetcher, schema=FETCH_SCHEMA).select(
-        "url", "content", F.lit("fetch").alias("source")
-    )
-    return hits.unionByName(fetched)

@@ -275,15 +275,37 @@ def test_decay_halflife_is_single_pass(spark, queries):
 
 
 def test_shortest_path_doubling_shape(spark):
-    """g_shortest_path (round 7: min-plus doubling) — the frontier
-    extensions must be broadcast joins (the frontier side is small
-    by problem structure), the per-composition min must have a
-    map-side partial phase, and the plan must not exceed the 3
-    hash exchanges of the documented design (one per min
-    aggregate)."""
-    from metadata_wrangler_spark.plans.graph import g_shortest_path
+    """The DISTRIBUTED tier of bounded_shortest_paths (min-plus
+    doubling — the past-budget path; round 9 routes small graphs
+    through the numpy local tier, so force the distributed tier
+    here) — the frontier extensions must be broadcast joins (the
+    frontier side is small by problem structure), the
+    per-composition min must have a map-side partial phase, and the
+    plan must not exceed the 3 hash exchanges of the documented
+    design (one per min aggregate)."""
+    from metadata_wrangler_spark.operators.closure import (
+        bounded_shortest_paths,
+    )
+    from metadata_wrangler_spark.plans.graph import build_edges
 
-    plan = explain_str(g_shortest_path(spark, SF))
+    edges = build_edges(spark, SF)
+    one_hop = edges.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        (1000 * (1 + (F.col("src") * 3 + F.col("dst")) % 97) + 1)
+        .alias("code"),
+    )
+    from metadata_wrangler_spark.catalog import load
+
+    nodes = load(spark, SF, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    sources = nodes.where(F.col("node") == 1)
+    plan = explain_str(
+        bounded_shortest_paths(
+            one_hop, nodes, sources, hops=6, local_solve_max_edges=0
+        )
+    )
     assert plan.count("BroadcastHashJoin") >= 2  # two extensions
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3

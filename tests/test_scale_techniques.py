@@ -603,10 +603,13 @@ def test_iterative_operators_release_checkpoints_synchronously(spark):
     sf = "/root/testdata/sf0.001"
     spark.catalog.clearCache()
 
+    # Shared pytest sessions carry other tests' checkpoint blocks;
+    # assert the DELTA each query leaves behind, not an absolute.
     for name in ("g_label_propagation", "g_kcore"):
+        before = _cached_partitions(spark)
         QUERIES[name](spark, sf).count()
-        n = _cached_partitions(spark)
-        assert n <= 8, f"{name} left {n} cached partitions pinned"
+        delta = _cached_partitions(spark) - before
+        assert delta <= 8, f"{name} pinned {delta} new cached partitions"
 
     # Force the DISTRIBUTED tiers (the checkpoint-heavy paths) on the
     # tiny graph: edge materialization + per-round labels must all be
@@ -614,20 +617,23 @@ def test_iterative_operators_release_checkpoints_synchronously(spark):
     from metadata_wrangler_spark.plans.graph import build_edges
 
     edges = build_edges(spark, sf)
+    before = _cached_partitions(spark)
     connected_components(edges, local_solve_max_edges=0).count()
-    n = _cached_partitions(spark)
-    assert n <= 40, f"connected_components left {n} partitions pinned"
+    delta = _cached_partitions(spark) - before
+    assert delta <= 40, f"connected_components pinned {delta} partitions"
 
     seeds = edges.select(F.col("src").alias("node")).limit(3)
+    before = _cached_partitions(spark)
     equivalent_ids(
         edges, seeds, levels=4, threshold=0.0, local_solve_max_edges=0
     ).count()
+    delta = _cached_partitions(spark) - before
     # equivalent_ids' frontier checkpoints ARE the result data and
     # stay pinned until consumed; the edge materialization must not.
     # Frontier levels are tiny (<= levels+1 frames, AQE-coalesced —
     # measured 5 partitions; the edge set alone would add 32, so a
     # cap of 24 catches any reintroduced lingering materialization).
-    assert _cached_partitions(spark) <= 24
+    assert delta <= 24
 
 
 def test_free_checkpoint_contract(spark):

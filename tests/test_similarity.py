@@ -274,3 +274,26 @@ def test_knn_graph_edges_subset_of_bucket_pairs(spark, sf_dir):
         if buckets.get(q) == buckets.get(nn) and q in per_vec:
             top1 = min(per_vec[q], key=lambda x: x["rank"])
             assert top1["nbr_id"] == nn and top1["cosine"] == r["cosine"]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_multitable_tiers_row_identical(spark, sf_dir):
+    """The fused collision-scan tier and the bucket-join tier of
+    lsh_cosine_topk_multitable must produce IDENTICAL rows — same
+    candidate semantics (collide in ANY table), same fold order,
+    same rounding, same tie-breaks. The probe only picks an
+    implementation, never a result."""
+    from metadata_wrangler_spark.catalog import load
+    from metadata_wrangler_spark.plans.vectors import _TABLES
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 101 = 0"))
+    fused = similarity.lsh_cosine_topk_multitable(
+        emb, queries, _TABLES, k=5
+    )
+    joined = similarity.lsh_cosine_topk_multitable(
+        emb, queries, _TABLES, k=5, fused_pair_budget=0
+    )
+    rows_f = sorted(tuple(r) for r in fused.collect())
+    rows_j = sorted(tuple(r) for r in joined.collect())
+    assert rows_f and rows_f == rows_j
