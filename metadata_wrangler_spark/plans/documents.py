@@ -1509,6 +1509,8 @@ def txt_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             ).alias("postings_head"),
         )
+        # scale: weakening-floor — hapax pruning; growth only admits
+        # more index entries (same constant as the oracle's HAVING).
         .where(F.col("df") >= 5)
     )
 
@@ -2179,6 +2181,7 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         wins.withColumn(
             "cnt", F.count(F.lit(1)).over(W.partitionBy("fp"))
         )
+        # scale: semantic-multiplicity — >=2 IS "duplicated span".
         .where(F.col("cnt") >= 2)
         .select("doc_id", "start")
     )
