@@ -94,83 +94,70 @@ VERIFICATION_WINDOW = 50
 # last driver verification is OLDEST (stalest-first rotation), with
 # every SURVEY.md §2 family keeping at least one representative.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- round-8 window: REWRITES FIRST, THEN THE r3-STALE BLOCK.
-    # Construction stays frozen at 221 queries; the window pays down
-    # the remaining driver-gate staleness (33 queries last checked in
-    # round 3) after re-certifying every plan whose spelling changed
-    # since the r7 gate ran.
+    # --- round-9 window: REWRITES FIRST, THEN THE ENTIRE r4-STALE
+    # BLOCK. Construction stays frozen at 221 queries; after this
+    # round no registered query's last driver check predates r5.
     #
-    # Block 1 — plans rewritten AFTER the round-7 driver gate (window
-    # policy: a rewritten plan is treated like a new registration).
-    # Two landed in the r7-close commit (tfidf shuffle shape,
-    # source-overlap single-pass baskets); the rest are this round's
-    # work: the repartition("src")-shared LPA round, the Arrow tier
-    # probe + vectorized local tiers in operators/closure.py (which
-    # back four registered queries), the domain_bits selection
-    # contract (five callers), and the checkpointed provider spine.
-    "txt_tfidf_topk",
-    "dd_source_overlap",
-    "g_label_propagation",
-    "ev_gap_percentiles",
-    "a_mad_robust",
-    "a_percentile_disc",
-    "a_weighted_median",
-    "a_iqr_outliers",
-    "pipe_provider_end_to_end",
-    "g_transitive_closure",   # also r3-stale
-    "g_connected_components",
-    "dd_minhash_clusters",
-    "dd_span_dedup",
-    "pipe_corpus_curation",
-    # Block 2 — the ENTIRE remaining r3-stale block (32; the 33rd,
-    # g_transitive_closure, is in block 1): last driver-verified in
-    # round 3, covered since by the pytest all-oracle sweep and the
-    # NULL ladder. After this round no registered query's last
-    # driver check predates round 4.
-    "a_category_pct",
-    "d_policy_merge_preview",
-    "dd_embedding_cosine",
-    "ev_incremental_updates",
-    "ev_sessionized_gaps",
-    "ev_tumbling_window",
-    "f_date_functions",
-    "f_isbn10_to_13",
-    "f_levenshtein_ratio",
-    "f_name_munge",
-    "f_normalize_fingerprint",
-    "f_regex_extract_ids",
-    "f_role_vocab_map",
-    "f_stateful_role_split",
-    "f_strip_accents",
-    "f_url_classify",
-    "g_edge_one_hop",
-    "pipe_metadata_nested_apply",
-    "pipe_updates_feed",
-    "s_csv_roundtrip",
-    "s_html_scrape",
-    "s_image_mirror_rewrite",
-    "s_jsonld_contributor",
-    "s_jsonld_graph",
-    "s_ntriples_scan",
-    "s_opds_sink",
-    "s_overdrive_json",
-    "sim_lsh_topk",
-    "txt_quality_score",
-    "w_coalesce_cascade",
-    "w_order_by_rank",
-    "w_viaf_candidate_score",
-    # Block 3 — plans/oracles whose SPELLING changed during round 8
-    # itself (window policy: changed spelling = re-certify). The
-    # empty ladder realigned the a_rollup_report / a_cube_report /
-    # g_shortest_path oracles (empty-input convention) and the tiny
-    # ladder added the arith-guard to a_regr_trend's plan+oracle —
-    # all four go through the driver's gate this round; the oldest
-    # r4-stale block (a_anomaly_zscore, a_histogram,
-    # a_kmv_distinct_sketch, ...) rotates in next round instead.
-    "a_rollup_report",
-    "a_cube_report",
-    "g_shortest_path",  # oracle seed realigned (also in SCALE weak set)
-    "a_regr_trend",
+    # Block 1 — the 9 plans rewritten during round 9 itself (window
+    # policy: a rewritten plan re-certifies the same round). The
+    # checkpoint-lifetime frees + numpy SPFA local tier rewrote the
+    # closure/graph family; the fused-tier probe rewrote the
+    # centroid-drift/snapshot-diff/assortativity floor payers; the
+    # single-pass cached_get rewrote both its consumers.
+    "g_shortest_path",          # SPFA local tier + count-hint probe
+    "g_label_propagation",      # final-labels checkpoint + edge free
+    "g_connected_components",   # per-round label frees
+    "g_transitive_closure",     # edge-materialization free
+    "sim_centroid_drift",       # 64-counter aggregate, no explode
+    "d_snapshot_diff",          # one repartition(key) for the diff
+    "g_assortativity",          # repartition(a) shared exchange
+    "pipe_provider_end_to_end", # single-pass cached fetch
+    "s_cached_fetch",           # cached_get rewrite (same operator)
+    # Block 2 — the ENTIRE r4-stale block (41 queries, incl. the
+    # rewritten sim_lsh_multitable_topk / ev_matview_refresh /
+    # g_kcore): last driver-verified in round 4, covered since by
+    # the pytest all-oracle sweep and the three mirror ladders.
+    "a_anomaly_zscore",
+    "a_histogram",
+    "a_kmv_distinct_sketch",
+    "a_string_agg",
+    "d_scd2_merge",
+    "dd_prefix_filter_join",
+    "dd_semantic_prune",
+    "dd_sorted_neighborhood",
+    "ev_asof_join",
+    "ev_cohort_retention",
+    "ev_funnel_conversion",
+    "ev_matview_refresh",       # rewritten: fused refresh jobs
+    "ev_moving_average",
+    "ev_pivot_daily_matrix",
+    "ev_range_join",
+    "ev_range_window",
+    "ev_regex_path_match",
+    "ev_rfm_segments",
+    "ev_session_window_native",
+    "ev_stream_stream_join",
+    "f_title_safe_strip",
+    "f_token_sort_ratio",
+    "g_kcore",                  # rewritten: peel-round frees
+    "g_pagerank",
+    "g_transitive_closure_rcte",
+    "j_skew_salted_join",
+    "s_xml_classify_response",
+    "s_zorder_layout",
+    "sim_ivf_train_step",
+    "sim_lsh_multitable_topk",  # rewritten: fused collision-scan tier
+    "sim_lsh_probe_topk",
+    "so_multiset_ops",
+    "txt_bm25_search",
+    "txt_boilerplate_passages",
+    "txt_chunk_overlap",
+    "txt_inverted_index",
+    "txt_ngram_topk",
+    "txt_quality_deciles",
+    "txt_sequence_packing",
+    "w_percent_rank_cume",
+    "w_shortest_candidate",
 )
 
 
