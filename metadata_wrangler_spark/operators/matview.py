@@ -71,9 +71,16 @@ class MaterializedDailyRollup:
     partitions are listed at all.
     """
 
+    #: fixed rollup schema — pinned on every read so parquet footer
+    #: inference never runs a job (round-9 floor cut).
+    SCHEMA = (
+        "day date, event_type string, n_events bigint, q_value bigint, "
+        "watermark_epoch bigint, applied_batch bigint"
+    )
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.table = VersionedParquetTable(spark, path)
+        self.table = VersionedParquetTable(spark, path, schema=self.SCHEMA)
 
     def init(self, events: DataFrame) -> None:
         # Microsecond-precision watermark: a floor-to-seconds epoch
@@ -81,21 +88,42 @@ class MaterializedDailyRollup:
         # boundary (the latent-mismatch class ADVICE.md flagged on
         # the session-window oracle) — unix_micros is exact for
         # parquet MICROS/NANOS-derived timestamps.
-        wm = events.agg(
-            F.coalesce(F.max(_micros("ts")), F.lit(0)).alias("wm")
+        wm = int(
+            events.agg(
+                F.coalesce(F.max(_micros("ts")), F.lit(0)).alias("wm")
+            ).collect()[0]["wm"]
         )
-        base = _partial(events).crossJoin(F.broadcast(wm)).select(
+        base = _partial(events).select(
             "day", "event_type", "n_events", "q_value",
-            F.col("wm").alias("watermark_epoch"),
+            F.lit(wm).alias("watermark_epoch"),
             F.lit(-1).cast("bigint").alias("applied_batch"),
         )
-        self.table.init(base)
+        # The watermark ALSO commits as manifest meta — the
+        # linearization point carries the stream progress, exactly
+        # how real table formats record it (Delta txn action /
+        # Iceberg snapshot summary) — so state reads are zero-job
+        # manifest lookups, not table scans (round-9 floor cut; the
+        # row columns stay as the scan-based fallback for tables
+        # written before this round).
+        self.table.init(
+            base, meta={"watermark_epoch": wm, "applied_batch": -1}
+        )
+
+    def _state(self, version: int | None = None) -> tuple[int, int]:
+        """(watermark_epoch, applied_batch) of ``version`` (default
+        current) — manifest meta when present (zero Spark jobs),
+        table-scan fallback otherwise."""
+        m = self.table.meta(version)
+        if "watermark_epoch" in m:
+            return int(m["watermark_epoch"]), int(m.get("applied_batch", -1))
+        row = self.table.read(version).agg(
+            F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("w"),
+            F.coalesce(F.max("applied_batch"), F.lit(-1)).alias("b"),
+        ).collect()[0]
+        return int(row["w"]), int(row["b"])
 
     def watermark_epoch(self) -> int:
-        row = self.table.read().agg(
-            F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("wm")
-        ).collect()[0]
-        return int(row["wm"])
+        return self._state()[0]
 
     def refresh(self, events: DataFrame) -> int:
         """Merge events newer than the stored watermark into the
@@ -111,21 +139,18 @@ class MaterializedDailyRollup:
         never the table.
 
         Job shape (round-9 floor cut — this query's wall was pure
-        per-job scheduling tax at every SF): the stored watermark
-        rides into the slice as a broadcast 1-row aggregate, so ONE
-        job slices + snapshots + counts the delta (the count
-        materializes the lazy checkpoint, closure-style); inside the
-        merge, the current table's (watermark, batch) and the
-        delta's (count, max-ts) come back in ONE fused collect. Two
-        jobs + the commit write, down from five."""
-        wm_row = self.table.read().agg(
-            F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("_wm")
-        )
-        fresh = (
-            events.crossJoin(F.broadcast(wm_row))
-            .where(_micros("ts") > F.col("_wm"))
-            .drop("_wm")
-            .localCheckpoint(eager=False)
+        per-job scheduling tax at every SF): the slice is a LAZY
+        checkpoint whose count() both materializes it and serves as
+        the emptiness probe (closure-style — the old eager
+        checkpoint + take(1) was two jobs), and the delta snapshot's
+        blocks are released synchronously once the version commits.
+        Driver-side state reads stay tiny literal-collects — a
+        broadcast-1-row-aggregate fusion was tried and REVERTED:
+        each broadcast build is its own job and costs more than the
+        sub-0.1 s collect it replaces on a |days×types|-row table."""
+        wm = self.watermark_epoch()
+        fresh = events.where(_micros("ts") > F.lit(wm)).localCheckpoint(
+            eager=False
         )
         if fresh.count() == 0:
             free_checkpoint(fresh)
@@ -133,46 +158,29 @@ class MaterializedDailyRollup:
 
         merged_count = 0
 
-        def merge_fn(current: DataFrame) -> DataFrame:
-            # Everything derives from `current` INSIDE the retry
-            # loop: after losing an optimistic race, the competitor
-            # may have merged part (or all) of our slice and advanced
-            # the watermark — re-slicing against the CURRENT
-            # watermark keeps the merge exactly-once, and the new
-            # watermark is max(current, slice) so a retry can never
-            # regress it below events already covered. (The first cut
-            # captured delta and new_wm once, outside the loop — a
-            # retry would have double-counted every fresh event.)
+        def merge_fn(current: DataFrame, base: int):
+            # Everything derives from the pinned BASE snapshot INSIDE
+            # the retry loop: after losing an optimistic race, the
+            # competitor may have merged part (or all) of our slice
+            # and advanced the watermark — re-slicing against the
+            # CURRENT watermark keeps the merge exactly-once, and the
+            # new watermark is max(current, slice) so a retry can
+            # never regress it below events already covered. (The
+            # first cut captured delta and new_wm once, outside the
+            # loop — a retry would have double-counted every fresh
+            # event.) State comes from the base manifest's meta —
+            # committed atomically with that snapshot, so exactly as
+            # race-safe as scanning its rows, for zero jobs.
             nonlocal merged_count
-            curagg = current.agg(
-                F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("w"),
-                F.coalesce(F.max("applied_batch"), F.lit(-1)).alias("b"),
-            )
-            mic = _micros("ts")
-            # fresh is non-empty (guarded above), so first(w/b) is
-            # always defined; counting via when() keeps the current
-            # state and the delta stats in one job.
-            row = (
-                fresh.crossJoin(F.broadcast(curagg))
-                .agg(
-                    F.sum(
-                        F.when(mic > F.col("w"), 1).otherwise(0)
-                    ).alias("n"),
-                    F.max(F.when(mic > F.col("w"), mic)).alias("mw"),
-                    F.first("w").alias("w"),
-                    F.first("b").alias("b"),
-                )
-                .collect()[0]
-            )
-            cur_wm, applied = int(row["w"]), int(row["b"])
-            merged_count = int(row["n"])
-            new_wm = (
-                max(cur_wm, int(row["mw"]))
-                if row["mw"] is not None
-                else cur_wm
-            )
+            cur_wm, applied = self._state(base)
             mine = fresh.where(_micros("ts") > F.lit(cur_wm))
-            return (
+            stats = mine.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.max(_micros("ts")), F.lit(cur_wm)).alias("wm"),
+            ).collect()[0]
+            merged_count = int(stats["n"])
+            new_wm = max(cur_wm, int(stats["wm"]))
+            post = (
                 current.select("day", "event_type", "n_events", "q_value")
                 .unionByName(_partial(mine))
                 .groupBy("day", "event_type")
@@ -186,6 +194,7 @@ class MaterializedDailyRollup:
                     F.lit(applied).cast("bigint").alias("applied_batch"),
                 )
             )
+            return post, {"watermark_epoch": new_wm}
 
         self.table.merge(merge_fn)
         # The committed version is on disk; the delta snapshot is
@@ -207,13 +216,9 @@ class MaterializedDailyRollup:
         merged_count = 0
         batch = batch_df.localCheckpoint(eager=True)
 
-        def merge_fn(current: DataFrame) -> DataFrame:
+        def merge_fn(current: DataFrame, base: int):
             nonlocal merged_count
-            applied = int(
-                current.agg(
-                    F.coalesce(F.max("applied_batch"), F.lit(-1)).alias("b")
-                ).collect()[0]["b"]
-            )
+            cur_wm, applied = self._state(base)
             if batch_id <= applied:
                 merged_count = 0
                 return current
@@ -222,13 +227,8 @@ class MaterializedDailyRollup:
                 F.coalesce(F.max(_micros("ts")), F.lit(0)).alias("wm"),
             ).collect()[0]
             merged_count = int(stats["n"])
-            cur_wm = int(
-                current.agg(
-                    F.coalesce(F.max("watermark_epoch"), F.lit(0)).alias("w")
-                ).collect()[0]["w"]
-            )
             new_wm = max(cur_wm, int(stats["wm"]))
-            return (
+            post = (
                 current.select("day", "event_type", "n_events", "q_value")
                 .unionByName(_partial(batch))
                 .groupBy("day", "event_type")
@@ -242,8 +242,12 @@ class MaterializedDailyRollup:
                     F.lit(batch_id).cast("bigint").alias("applied_batch"),
                 )
             )
+            return post, {
+                "watermark_epoch": new_wm, "applied_batch": batch_id
+            }
 
         self.table.merge(merge_fn)
+        free_checkpoint(batch)
         return merged_count
 
     def read(self) -> DataFrame:

@@ -196,11 +196,18 @@ class VersionedParquetTable:
     and would run unchanged against the real formats.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, schema=None):
         import os
 
         self.spark = spark
         self.path = path
+        # Known table schema (DDL string or StructType). When set,
+        # every read() pins it instead of inferring from parquet
+        # footers — footer inference costs one Spark job PER READ,
+        # a pure floor tax for tables whose schema is fixed by the
+        # owning operator (measured round 9: 3 reads per matview
+        # refresh cycle = 3 avoidable jobs).
+        self.schema = schema
         self._versions_dir = os.path.join(path, "_versions")
         self._data_dir = os.path.join(path, "data")
         os.makedirs(self._versions_dir, exist_ok=True)
@@ -234,12 +241,15 @@ class VersionedParquetTable:
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"{self.path}: no committed version")
-        return self.spark.read.parquet(self._manifest(v)["data_dir"])
+        reader = self.spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.parquet(self._manifest(v)["data_dir"])
 
     # -- writes -------------------------------------------------------------
 
-    def init(self, df: DataFrame) -> None:
-        if not self.try_commit(-1, df):
+    def init(self, df: DataFrame, meta: dict | None = None) -> None:
+        if not self.try_commit(-1, df, meta=meta):
             raise CommitConflict(f"{self.path}: version 0 already exists")
 
     def try_commit(
@@ -312,11 +322,32 @@ class VersionedParquetTable:
         """Optimistic MERGE: ``fn(current_state) -> post_state``,
         retried against the latest snapshot on conflict. Returns the
         committed version number. ``meta`` commits atomically in the
-        winning manifest (see try_commit)."""
+        winning manifest (see try_commit).
+
+        ``fn`` may take a second positional argument — the pinned
+        base VERSION of the snapshot it received — so state readers
+        can consult ``meta(base)`` (zero Spark jobs) instead of
+        scanning the table; and it may return ``(post_state,
+        attempt_meta)`` to commit per-attempt metadata (a watermark
+        recomputed against the retry's snapshot) atomically with the
+        state. Both extensions are optional; 1-arg/DataFrame-only
+        callers are unchanged."""
+        import inspect
+
+        try:
+            wants_base = len(inspect.signature(fn).parameters) >= 2
+        except (TypeError, ValueError):
+            wants_base = False
         for _ in range(max_retries):
             base = self.current_version()
-            post = fn(self.read(base))
-            if self.try_commit(base, post, meta=meta):
+            post = fn(self.read(base), base) if wants_base else fn(
+                self.read(base)
+            )
+            attempt_meta = meta
+            if isinstance(post, tuple):
+                post, fn_meta = post
+                attempt_meta = {**(meta or {}), **(fn_meta or {})}
+            if self.try_commit(base, post, meta=attempt_meta):
                 return base + 1
         raise CommitConflict(
             f"{self.path}: lost {max_retries} optimistic races"

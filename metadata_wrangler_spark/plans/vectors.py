@@ -1610,16 +1610,14 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     space — caught HERE, before a dedup threshold or an ANN index
     trained on the old half misfires on the new one.
 
-    Scale design: ONE hash aggregate keyed (label, half) carrying 64
-    per-dimension quantized SUM counters (the dimension count is a
-    fixed schema constant on both engines, so no explode — 1/64th
-    the shuffle bytes, map-side partials intact), then a
-    |labels|-row broadcast half-join and one exact fold per pair.
-    The corpus is scanned once; nothing else is data-sized. The
-    broadcast encodes a by-construction invariant: the label
-    vocabulary is bounded, independent of corpus size. Exactness:
-    integer component sums (1e-7) and the family's
-    sign*floor(|x|·1e6+0.5) rounding, bit-stable cross-engine.
+    Scale design: one dimension explode + hash aggregate keyed
+    (label, half, dim) — map-side combine collapses the explode to
+    |labels|·2·64 counter rows per partition before the shuffle —
+    then a half-PIVOT (one tiny aggregate on the |labels|·2 centroid
+    rows) and one exact fold per pair. The corpus is scanned once;
+    nothing else is data-sized; no join. Exactness: integer
+    component sums (1e-7) and the family's sign*floor(|x|·1e6+0.5)
+    rounding, bit-stable cross-engine.
 
     Reference: re-validation sweeps when a source changes format
     (`coverage_provider.py:119-150` re-registers coverage on policy
@@ -1638,35 +1636,66 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE (label, half) hash aggregate over the un-exploded scan —
     # one exchange, 1/64th the shuffle bytes, map-side partials
     # intact — and the |labels|-row half-join broadcasts.
-    dim_sums = [
-        F.sum(
-            F.floor(
-                F.element_at("embedding", i + 1).cast("double") * _CENT_Q
-                + F.lit(0.5)
-            ).cast("bigint")
-        ).alias(f"s{i}")
-        for i in range(64)
-    ]
-    cents = (
+    # Dimension explode + (label, half, i) hash aggregate — tried and
+    # REVERTED a 64-per-dimension-SUM wide aggregate: map-side
+    # combine already collapses the explode to |labels|·2·64 counter
+    # rows PER PARTITION before the shuffle (the explode never
+    # materializes 64x rows off-CPU), while the 66-column plan paid
+    # ~1.7 s of driver-side Catalyst planning on EVERY build and fell
+    # out of whole-stage codegen (spark.sql.codegen.maxFields) — a
+    # constant planning tax that dwarfs this query's execution at any
+    # SF where the narrow spelling's extra CPU matters.
+    dims = (
         emb.where(F.col("embedding").isNotNull())
-        .groupBy("label", (F.col("vec_id") % 2).alias("half"))
-        .agg(F.count(F.lit(1)).alias("n_vecs"), *dim_sums)
         .select(
             "label",
-            "half",
-            "n_vecs",
-            F.array(
-                *[F.col(f"s{i}").cast("double") for i in range(64)]
-            ).alias("cent"),
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("i", "v"),
+        )
+        .groupBy("label", "half", "i")
+        .agg(
+            F.count(F.lit(1)).alias("n_half"),
+            F.sum(
+                F.floor(F.col("v").cast("double") * _CENT_Q + F.lit(0.5))
+                .cast("bigint")
+            ).alias("s"),
         )
     )
-    a = cents.where(F.col("half") == 0).select(
-        "label", F.col("n_vecs").alias("n_even"),
-        F.col("cent").alias("cent_a"),
+    cents = dims.groupBy("label", "half").agg(
+        F.max("n_half").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))),
+            lambda x: x["s"].cast("double"),
+        ).alias("cent"),
     )
-    b = cents.where(F.col("half") == 1).select(
-        "label", F.col("n_vecs").alias("n_odd"),
-        F.col("cent").alias("cent_b"),
+    # Pair the halves by PIVOT, not join: a second tiny aggregate on
+    # the 2·|labels| centroid rows (first(when(half=…)) — exactly one
+    # row per (label, half), so `first` is deterministic) keeps the
+    # corpus subtree executed ONCE. A broadcast half-join was tried
+    # and reverted: the build side re-ran the whole scan+aggregate as
+    # a second subtree (no exchange to reuse under a broadcast), and
+    # the build job alone cost more than this pivot's one tiny
+    # exchange. Inner-join semantics = both halves present.
+    half0 = F.when(F.col("half") == 0, F.col("n_vecs"))
+    half1 = F.when(F.col("half") == 1, F.col("n_vecs"))
+    paired = (
+        cents
+        # join parity: the oracle pairs halves with an equi-join on
+        # label, which drops a NULL label; the pivot groupBy would
+        # keep it as a real group, so exclude it explicitly.
+        .where(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(
+            F.first(half0, ignorenulls=True).alias("n_even"),
+            F.first(half1, ignorenulls=True).alias("n_odd"),
+            F.first(
+                F.when(F.col("half") == 0, F.col("cent")), ignorenulls=True
+            ).alias("cent_a"),
+            F.first(
+                F.when(F.col("half") == 1, F.col("cent")), ignorenulls=True
+            ).alias("cent_b"),
+        )
+        .where(F.col("n_even").isNotNull() & F.col("n_odd").isNotNull())
     )
     cc = dot(F.col("cent_a"), F.col("cent_b")) / (
         norm(F.col("cent_a")) * norm(F.col("cent_b"))
@@ -1676,6 +1705,6 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.floor(F.abs(cc) * 1000000 + F.lit(0.5)).cast("bigint")
         / F.lit(1000000.0)
     )
-    return a.join(F.broadcast(b), "label").select(
+    return paired.select(
         "label", "n_even", "n_odd", r6.alias("drift_cos")
     )
