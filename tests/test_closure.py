@@ -249,3 +249,42 @@ def test_shortest_path_tiers_agree(spark):
         ).collect()
     }
     assert got == got_d
+
+
+def test_shortest_path_tiers_agree_on_random_graphs(spark):
+    """Seeded random graphs through BOTH tiers — cycles, parallel
+    edges with different codes, unreachable islands, multi-source:
+    the local numpy core and the distributed doubling must stay
+    row-identical everywhere, not just on the hand graph above."""
+    import random
+
+    from metadata_wrangler_spark.operators.closure import (
+        bounded_shortest_paths,
+    )
+
+    rng = random.Random(29)
+    for trial in range(4):
+        n = rng.randint(5, 24)
+        m = rng.randint(0, 60)
+        triples = [
+            (
+                rng.randint(0, n - 1),
+                rng.randint(0, n - 1),
+                1000 * rng.randint(1, 97) + 1,
+            )
+            for _ in range(m)
+        ]
+        e = _wedges(spark, triples)
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n)], "node bigint"
+        )
+        srcs = rng.sample(range(n), rng.randint(1, 2))
+        sources = spark.createDataFrame(
+            [(s,) for s in srcs], "node bigint"
+        )
+        hops = rng.choice([2, 4, 6])
+        local = bounded_shortest_paths(e, nodes, sources, hops=hops)
+        dist = bounded_shortest_paths(
+            e, nodes, sources, hops=hops, local_solve_max_edges=0
+        )
+        assert rows(local) == rows(dist), (trial, srcs, hops)
