@@ -517,6 +517,14 @@ class ParquetStateTable:
             if self.partition_by:
                 w = w.partitionBy(self.partition_by)
             w.parquet(self.path)
+            # The committed state is on disk; the snapshot blocks are
+            # dead — release synchronously (round-9 checkpoint-
+            # lifetime discipline; this checkpoint is table-sized).
+            from metadata_wrangler_spark.operators.lineage import (
+                free_checkpoint,
+            )
+
+            free_checkpoint(rows)
         finally:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
