@@ -351,12 +351,23 @@ def _min_plus_arrays(u, v, w, source_vals, hops: int):
     int64 numpy arrays (already NULL-free). Vectorization choices,
     each measured at the sf10 ladder (3M edges):
 
-    * relax-by-``reduceat`` on edges sorted by destination ONCE
-      upfront, not ``np.minimum.at`` per round (the unbuffered
-      ufunc measured 0.39 s/round; reduceat runs all 6 rounds in
-      0.4 s total);
-    * destination group starts by flag-diff on the sorted column,
-      not ``np.unique`` (which re-sorts: 1.0 s → 0.05 s);
+    * CSR by SOURCE + frontier-driven relaxation (bounded SPFA):
+      each round gathers only the out-edges of nodes whose code
+      improved last round and relaxes them with one
+      ``np.minimum.at`` over that gathered slice. Single-source
+      bounded walks touch a tiny reachable set (127 nodes on the
+      3M-edge sf10 graph), so per-round work is the frontier's
+      out-degree, not the full edge list — the whole-array
+      alternative (relax every edge every round, by ``reduceat``
+      over a destination-sorted copy) pays the full 3M-edge pass
+      x ``hops`` regardless of how little actually changes, and
+      lost to SPFA at sf10 (1.91 s end-to-end vs the 5.59 s
+      whole-array round-8 tier). ``minimum.at``'s unbuffered-ufunc
+      cost is proportional to the gathered slice here, which is
+      why it is acceptable per-frontier when it was not per-full-
+      edge-list;
+    * frontier shrink by comparing ``cur`` before/after on the
+      unique destinations — no re-sort per round;
     * DENSE id fast path: when the id range is no wider than
       4x the edge count (+ a 1M floor), index arrays directly
       instead of factorizing — the shared hash pass measured

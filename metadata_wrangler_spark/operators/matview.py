@@ -194,7 +194,14 @@ class MaterializedDailyRollup:
                     F.lit(applied).cast("bigint").alias("applied_batch"),
                 )
             )
-            return post, {"watermark_epoch": new_wm}
+            # BOTH state fields go into the meta: committing only the
+            # watermark would leave a pre-meta table (empty manifest
+            # meta, state in rows) with meta = {watermark_epoch} after
+            # its first refresh — _state() would then take the meta
+            # path and report applied_batch=-1, letting a replayed
+            # foreachBatch micro-batch past the batch_id<=applied
+            # guard and double-counting it.
+            return post, {"watermark_epoch": new_wm, "applied_batch": applied}
 
         self.table.merge(merge_fn)
         # The committed version is on disk; the delta snapshot is

@@ -335,7 +335,21 @@ class VersionedParquetTable:
         import inspect
 
         try:
-            wants_base = len(inspect.signature(fn).parameters) >= 2
+            # Only parameters WITHOUT defaults count toward the
+            # base-version opt-in: the common capture idiom
+            # ``fn=lambda df, i=i: ...`` has two parameters but wants
+            # one argument — passing base as the second would silently
+            # clobber the captured value (ADVICE round 9).
+            wants_base = (
+                sum(
+                    1
+                    for p in inspect.signature(fn).parameters.values()
+                    if p.default is p.empty
+                    and p.kind
+                    in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                )
+                >= 2
+            )
         except (TypeError, ValueError):
             wants_base = False
         for _ in range(max_retries):

@@ -643,6 +643,15 @@ def lsh_cosine_topk_multitable(
             cos = acc / (qn[q_idx] * cn[c_idx])
             # decimal(18,6) half-up rounding, same as the JVM/oracle
             cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            # Zero-norm vectors (0/0 → NaN cosine) are dropped in
+            # BOTH tiers: the fused tier's isfinite keep-mask already
+            # excludes them, and without this mask Spark's descending
+            # sort would rank the NaN rows above every real cosine —
+            # the tier probe must only pick an implementation, never
+            # a result (ADVICE round 9).
+            fin = np.isfinite(cos)
+            if not fin.all():
+                cos, q_idx, c_idx = cos[fin], q_idx[fin], c_idx[fin]
             yield pd.DataFrame(
                 {
                     "query_id": q_ids[q_idx],

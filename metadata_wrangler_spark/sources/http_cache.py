@@ -82,23 +82,27 @@ def cached_get(
     def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending_hits: list[pd.DataFrame] = []
 
+        def split_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+            """Buffer pdf's fresh rows as served hits; return misses."""
+            is_fresh = pdf["is_fresh"].fillna(False).astype(bool)
+            h = pdf[is_fresh]
+            if len(h):
+                pending_hits.append(
+                    pd.DataFrame(
+                        {
+                            "url": h["url"],
+                            "content": h["content"],
+                            "source": "cache",
+                        }
+                    )
+                )
+            return pdf[~is_fresh]
+
         def miss_batches() -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                is_fresh = pdf["is_fresh"].fillna(False).astype(bool)
-                h = pdf[is_fresh]
-                if len(h):
-                    pending_hits.append(
-                        pd.DataFrame(
-                            {
-                                "url": h["url"],
-                                "content": h["content"],
-                                "source": "cache",
-                            }
-                        )
-                    )
-                m = pdf[~is_fresh]
+                m = split_hits(pdf)
                 if len(m):
                     yield m[["url"]]
 
@@ -114,6 +118,18 @@ def cached_get(
             )
             parts.append(out)
             yield pd.concat(parts, ignore_index=True)
+        # A custom fetcher may return without exhausting its input
+        # iterator (early exit, exception-swallowing wrapper); the
+        # undrained batches still hold cache HITS that this operator
+        # — not the fetcher — is responsible for serving. Drain them
+        # for their hits (the old two-branch spelling served hits
+        # unconditionally; ADVICE round 9). Their misses stay
+        # unfetched: the fetcher declined them, and inventing a
+        # second fetcher invocation would break the at-most-once
+        # seam contract.
+        for pdf in batches:
+            if len(pdf):
+                split_hits(pdf)
         # partitions whose tail batches were all cache hits
         if pending_hits:
             yield pd.concat(pending_hits, ignore_index=True)

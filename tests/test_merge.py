@@ -432,3 +432,33 @@ def test_write_audit_publish_reaudits_after_rebase(spark, tmp_path):
     # nothing published beyond B's version
     assert t.current_version() == 1
     assert t.read().count() == 60
+
+
+def test_merge_defaulted_capture_lambda_keeps_its_value(spark, tmp_path):
+    """The base-version opt-in must count only parameters WITHOUT
+    defaults: ``lambda df, i=i: ...`` is a value capture, not a
+    2-arg merge function — passing base as the second argument would
+    silently clobber the captured value (ADVICE round 9). Here the
+    captured values deliberately DIFFER from the base versions they
+    would be clobbered with."""
+    from pyspark.sql import functions as F
+
+    from metadata_wrangler_spark.operators.merge import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(tmp_path / "tbl"))
+    t.init(spark.range(0, 1).select(F.lit(-1).alias("tag")))
+    # base versions will be 0,1,2 — captured tags are 100,200,300
+    for tag in (100, 200, 300):
+        t.merge(lambda df, tag=tag: df.unionByName(
+            spark.range(0, 1).select(F.lit(tag).alias("tag"))
+        ))
+    got = sorted(r["tag"] for r in t.read().collect())
+    assert got == [-1, 100, 200, 300]
+
+    # the explicit 2-arg (no-default) form still receives base
+    seen = []
+    def fn(df, base):
+        seen.append(base)
+        return df
+    t.merge(fn)
+    assert seen == [t.current_version() - 1]

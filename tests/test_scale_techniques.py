@@ -651,3 +651,33 @@ def test_free_checkpoint_contract(spark):
     assert _cached_partitions(spark) > base
     assert free_checkpoint(ck) is True
     assert _cached_partitions(spark) == base
+
+
+def test_free_checkpoint_warns_once_without_jvm_bridge(spark, caplog):
+    """Under Spark Connect there is no _jdf bridge and frees silently
+    degrade to the ContextCleaner — the capability gap must be logged
+    ONCE per process so the round-8 interference regression is at
+    least visible (VERDICT round 9, 'What's wrong' #5)."""
+    import logging
+
+    from metadata_wrangler_spark.operators import lineage
+
+    class FakeConnectFrame:
+        """A DataFrame-shaped object with no _jdf attribute, as a
+        Connect session would hand back."""
+
+    lineage._warned_no_bridge = False  # reset the once-latch
+    with caplog.at_level(logging.WARNING, logger=lineage.__name__):
+        assert lineage.free_checkpoint(FakeConnectFrame()) is False
+        assert lineage.free_checkpoint(FakeConnectFrame()) is False
+    warnings = [
+        r for r in caplog.records if "no JVM bridge" in r.getMessage()
+    ]
+    assert len(warnings) == 1  # once, not per-call
+
+    # classic-session frames with a bridge stay silent
+    caplog.clear()
+    df = spark.range(0, 10).localCheckpoint(eager=True)
+    with caplog.at_level(logging.WARNING, logger=lineage.__name__):
+        assert lineage.free_checkpoint(df) is True
+    assert not caplog.records

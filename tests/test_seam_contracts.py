@@ -99,3 +99,57 @@ def test_mirror_images_one_client_per_partition(spark):
     assert uploads.value == n_rows
     # Connection setup happens per partition, not per row.
     assert 1 <= clients_built.value <= n_parts
+
+
+def test_cached_get_serves_hits_when_fetcher_exits_early(spark):
+    """A fetcher that returns WITHOUT draining its input iterator
+    (early exit after the first miss batch) must not lose the cache
+    hits buffered in the undrained batches — the operator, not the
+    fetcher, owns hit serving (ADVICE round 9). The declined misses
+    stay unfetched (at-most-once seam: no second invocation)."""
+    import datetime
+
+    def early_exit_fetcher(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "content": "fetched:" + pdf["url"],
+            })
+            return  # bails after ONE miss batch, iterator undrained
+
+    n_rows = 400
+    # one partition, tiny Arrow batches → many batches per partition
+    # (the early exit only leaves batches undrained if there are
+    # several; with the default 10k batch size this test would pass
+    # vacuously)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    requests = (
+        spark.range(n_rows)
+        .select(F.concat(F.lit("http://x/"), F.col("id")).alias("url"))
+        .coalesce(1)
+    )
+    # every odd row is a fresh cache hit
+    cache = requests.where(F.expr("CAST(substring(url, 10) AS BIGINT) % 2 = 1")).select(
+        "url",
+        F.concat(F.lit("cached:"), F.col("url")).alias("content"),
+        F.lit(datetime.datetime(2024, 1, 1)).cast("timestamp").alias("fetched_at"),
+    )
+    try:
+        out = http_cache.cached_get(
+            requests, cache, "2024-01-01 00:30:00", 3600,
+            fetcher=early_exit_fetcher,
+        )
+        got = {r["url"]: (r["content"], r["source"]) for r in out.collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    # ALL 200 cache hits served, regardless of fetcher behavior
+    hits = {u: v for u, v in got.items() if v[1] == "cache"}
+    assert len(hits) == n_rows // 2
+    assert all(c.startswith("cached:") for c, _ in hits.values())
+    # at least the first miss batch was fetched; none duplicated
+    fetched = {u: v for u, v in got.items() if v[1] == "fetch"}
+    assert 1 <= len(fetched) <= n_rows // 2
+    assert len(got) == len(hits) + len(fetched)

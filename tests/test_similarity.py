@@ -297,3 +297,40 @@ def test_multitable_tiers_row_identical(spark, sf_dir):
     rows_f = sorted(tuple(r) for r in fused.collect())
     rows_j = sorted(tuple(r) for r in joined.collect())
     assert rows_f and rows_f == rows_j
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_multitable_tiers_row_identical_with_zero_norm_vectors(spark, sf_dir):
+    """Degenerate inputs: zero-norm vectors produce 0/0 = NaN
+    cosines. Both tiers must DROP those pairs — round 9's bucket-join
+    tier emitted them and Spark's descending sort ranked NaN above
+    every real cosine, so the tiers diverged on exactly the inputs a
+    probe flip would silently change results on (ADVICE round 9)."""
+    from metadata_wrangler_spark.catalog import load
+    from metadata_wrangler_spark.plans.vectors import _TABLES
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    zeros = spark.createDataFrame(
+        [(10_000_001, [0.0] * dim), (10_000_002, [0.0] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.unionByName(zeros)
+    # query set includes a zero-norm vector too (NaN on the query axis)
+    queries = corpus.where(
+        F.expr("vec_id % 101 = 0 OR vec_id = 10000001")
+    )
+    fused = similarity.lsh_cosine_topk_multitable(
+        corpus, queries, _TABLES, k=5
+    )
+    joined = similarity.lsh_cosine_topk_multitable(
+        corpus, queries, _TABLES, k=5, fused_pair_budget=0
+    )
+    rows_f = sorted(tuple(r) for r in fused.collect())
+    rows_j = sorted(tuple(r) for r in joined.collect())
+    assert rows_f and rows_f == rows_j
+    # no NaN cosine survives, and the zero-norm ids never appear
+    import math
+    assert all(math.isfinite(r[2]) for r in rows_f)
+    assert all(r[1] < 10_000_001 for r in rows_f)
+    assert all(r[0] != 10_000_001 for r in rows_f)
