@@ -420,7 +420,24 @@ def d_queue_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_outcomes / census) — every transition is a join or union,
     so a drain step scales with executors and runs unchanged inside
     foreachBatch (streaming.queue_drain).
+
+    Scale shape (round-10 rewrite, sf10 measurements in SCALE.md):
+    the registered state is computed ONCE behind a lazy
+    localCheckpoint — without it the lifecycle DAG references it
+    four times (union self-reference + outcomes deriving from the
+    same state it merges into) and the orders window subtree ran
+    4x: 5.52 s -> 4.58 s at sf10. The top-1-per-customer stays the
+    rank WINDOW, not max(struct(...)): Spark's WindowGroupLimit
+    pushes the rn=1 limit below the exchange, shuffling ~|customers|
+    candidate rows instead of |orders| — the max(struct) spelling
+    measured SLOWER (8.88 s; string status rides the comparator).
+    The outcome merge is hinted shuffle_hash (outcomes build side):
+    both join inputs read the same checkpoint, so sort-merge paid
+    two full sorts for one pass of hash probes (4.58 -> 4.38 s).
+    The checkpoint is freed synchronously after the census (3 rows)
+    materializes — the closure-family lifetime discipline.
     """
+    from metadata_wrangler_spark.operators.lineage import free_checkpoint
     o = load(spark, sf_dir, "orders")
     status = (
         F.when(F.col("o_orderstatus") == "O", queue.REGISTERED)
@@ -448,18 +465,21 @@ def d_queue_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     registered = queue.register(
         initial, items, "oclc", "classify", ts="1999-01-01"
-    )
+    ).localCheckpoint(eager=False)
     todo = queue.eligible(registered, "1998-01-01", backoff_seconds=0)
     outcomes = todo.select(
         *queue.KEY,
         F.when(F.col("identifier_id") % 7 == 0, queue.SUCCESS)
         .when(F.col("identifier_id") % 7 == 1, queue.PERSISTENT)
         .otherwise(queue.TRANSIENT).alias("new_status"),
-    )
+    ).hint("shuffle_hash")
     final = queue.apply_outcomes(registered, outcomes)
-    return final.groupBy("status").agg(
+    census = final.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_records")
-    )
+    ).localCheckpoint(eager=True)
+    # the 3-row census is materialized; the state checkpoint is dead
+    free_checkpoint(registered)
+    return census
 
 
 _SCD2_EPOCH = "2024-01-01 00:00:00"
