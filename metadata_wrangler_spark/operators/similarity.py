@@ -937,3 +937,219 @@ def rp_project_arrow(
     return df.select(id_col, vec_col).mapInPandas(
         project, schema=out_schema
     )
+
+
+def int8_dot_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    scale: float,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused Arrow kernel for the scalar-quantized (int8) tier: one
+    corpus scan quantizes each batch and scores it against the
+    broadcast quantized query matrix with a float64 GEMM, emitting
+    per-query batch top-k of the exact INTEGER dot product.
+
+    Exactness: quantized components are integers |q| <= 128, so every
+    product (<= 16,384) and every 64-term partial sum (< 2^21) is an
+    exactly-representable float64 integer — the GEMM result IS the
+    int64 fold the expression spelling computes, bit for bit.
+    Quantization uses the identical float64 expression order as the
+    JVM tier (floor(v*127.0/scale + 0.5)).
+
+    Scale story (why this tier exists): the join spelling scores
+    |Q|x|C| pairs through an interpreted per-pair HOF fold — the pair
+    count grows with corpus^2/101 and measured unbounded at the 100x
+    ladder. The kernel's pair work is one BLAS GEMM per batch with
+    the corpus crossing Arrow once; at warehouse scale the int8
+    column is the scan (4x less bytes), queries are the broadcast
+    side by contract.
+
+    Emits (query_id, corpus_id, qdot) batch top-k rows — callers
+    apply the global rank window and exact-cosine rerank, shared
+    with the join tier so both tiers are row-identical.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    out_schema = "query_id long, corpus_id long, qdot long"
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qq = np.floor((qm * 127.0) / scale + 0.5)  # already-exact ints
+    nq = len(q_ids)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cq = np.floor((cm * 127.0) / scale + 0.5)
+            dot_f = cq @ qq.T  # (nb, nq); exact integer-valued f64
+            qdot = dot_f.astype(np.int64)
+            big = np.iinfo(np.int64).min
+            qdot[c_ids[:, None] == q_ids[None, :]] = big  # self
+            kk = min(k, len(c_ids))
+            out = {"query_id": [], "corpus_id": [], "qdot": []}
+            for j in range(nq):
+                col = qdot[:, j]
+                # descending sort key in float64 (exact: |qdot| < 2^21,
+                # and the int64.min sentinel is a power of two) — the
+                # int64 negation of the sentinel would overflow and
+                # sort the self row FIRST, spending a top-k slot
+                order = np.lexsort((c_ids, -col.astype(np.float64)))[:kk]
+                keep = order[col[order] != big]
+                out["query_id"].extend([q_ids[j]] * len(keep))
+                out["corpus_id"].extend(c_ids[keep])
+                out["qdot"].extend(col[keep])
+            yield pd.DataFrame(out)
+
+    return corpus.where(F.col(vec_col).isNotNull()).select(
+        id_col, vec_col
+    ).mapInPandas(score, schema=out_schema)
+
+
+def pq_adc_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    m_sub: int,
+    d_sub: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused Arrow kernel for the product-quantization ADC tier: one
+    corpus scan encodes each batch (per-subspace argmin against the
+    broadcast codebooks) AND scores it against the precomputed
+    integer query LUTs with m_sub int64 gathers, emitting per-query
+    batch top-k of the exact quantized asymmetric distance.
+
+    ``centroids`` is a list of (cid, vector) rows sorted by cid —
+    the same sample-initialized codebook the join tier derives
+    (lowest-id corpus vectors). Exactness: subspace squared-L2 uses
+    the identical sequential per-dimension float64 fold as the
+    aggregate/zip_with spelling and DuckDB's list_sum; LUT entries
+    quantize with the same floor(x*1e6+0.5); the ADC sum is an int64
+    add of m_sub quantized entries — order-free, bit-identical.
+    argmin ties break to the lowest cid in both spellings (np.argmin
+    returns the first minimum; the centroid axis is cid-sorted).
+
+    Scale story: the join spelling materializes |pairs| x m_sub rows
+    through a hash aggregate — measured unbounded at the 100x ladder
+    (>25 min where the kernel runs the same pairs in seconds). Here
+    a corpus vector crosses Arrow once, is encoded once, and the
+    only per-pair work is m_sub table lookups — the ADC contract.
+    At warehouse scale the encode runs once and persists the 8-byte
+    code column; the scan then touches codes, not vectors.
+
+    Emits (query_id, corpus_id, adist) batch top-k rows — callers
+    apply the global rank window and exact-cosine rerank shared with
+    the join tier.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    out_schema = "query_id long, corpus_id long, adist long"
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows or not centroids:
+        return spark.createDataFrame([], out_schema)
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    nq = len(q_ids)
+    kc = len(centroids)
+    cents = np.array([list(v) for _, v in centroids], dtype=np.float64)
+
+    def sub_dists(mat, m):
+        """(rows, kc) sequential-fold squared-L2 in subspace m."""
+        acc = np.zeros((mat.shape[0], kc))
+        base = m * d_sub
+        for d in range(d_sub):
+            diff = mat[:, base + d][:, None] - cents[None, :, base + d]
+            acc += diff * diff
+        return acc
+
+    # per-query integer LUTs: (m_sub, nq, kc)
+    luts = np.stack([
+        np.floor(sub_dists(qm, m) * 1e6 + 0.5).astype(np.int64)
+        for m in range(m_sub)
+    ])
+    # Gather layout (measured at the sf10 batch shape, 10k x 1980):
+    # the naive luts[m][:, codes] fancy-index along axis 1 is a
+    # strided scatter — 9.4 s/batch; transposing to row-gathers
+    # (each code selects one contiguous nq-wide row) is 1.2 s, and
+    # PAIRING adjacent subspaces into 256-entry combined LUTs halves
+    # the gather count again — 0.25 s/batch in int32. int32 is used
+    # only when the driver-side bound (m_sub * max LUT entry, the
+    # largest any ADC sum can reach — corpus codes only SELECT
+    # entries) fits; otherwise int64 row-gathers, same layout.
+    max_entry = int(luts.max()) if luts.size else 0
+    dtype = np.int32 if m_sub * max_entry < 2**31 else np.int64
+    pair_luts = [
+        np.ascontiguousarray(
+            (luts[2 * p][:, :, None] + luts[2 * p + 1][:, None, :])
+            .reshape(nq, kc * kc).T.astype(dtype)
+        )
+        for p in range(m_sub // 2)
+    ]
+    tail_lut = (
+        np.ascontiguousarray(luts[-1].T.astype(dtype))
+        if m_sub % 2 else None
+    )
+    big = np.iinfo(dtype).max
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            nb = len(c_ids)
+            codes = [
+                np.argmin(sub_dists(cm, m), axis=1)
+                for m in range(m_sub)
+            ]
+            adist = np.zeros((nb, nq), dtype=dtype)
+            for p in range(len(pair_luts)):
+                adist += pair_luts[p][codes[2 * p] * kc + codes[2 * p + 1]]
+            if tail_lut is not None:
+                adist += tail_lut[codes[-1]]
+            adist[c_ids[:, None] == q_ids[None, :]] = big  # self
+            kk = min(k, nb)
+            out = {"query_id": [], "corpus_id": [], "adist": []}
+            for j in range(nq):
+                row = adist[:, j]
+                # threshold top-k: partition gives the kth value;
+                # every row at-or-below it is a tie candidate, so the
+                # (adist, corpus_id) order is exact under ties
+                kth = min(kk - 1, nb - 1)
+                part = np.argpartition(row, kth)
+                thr = row[part[kth]]
+                sel = np.flatnonzero(row <= thr)
+                order = sel[np.lexsort((c_ids[sel], row[sel]))][:kk]
+                keep = order[row[order] != big]
+                out["query_id"].extend([q_ids[j]] * len(keep))
+                out["corpus_id"].extend(c_ids[keep])
+                out["adist"].extend(np.asarray(row[keep], dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out["query_id"], np.int64),
+                    "corpus_id": np.asarray(out["corpus_id"], np.int64),
+                    "adist": np.asarray(out["adist"], np.int64),
+                }
+            )
+
+    return corpus.where(F.col(vec_col).isNotNull()).select(
+        id_col, vec_col
+    ).mapInPandas(score, schema=out_schema)

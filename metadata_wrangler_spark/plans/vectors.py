@@ -16,6 +16,18 @@ from metadata_wrangler_spark.plans import register
 _QUERY_PRED = "vec_id % 101 = 0"
 _K = 5
 
+# Tier probe for the compression tiers (int8 / PQ): the expression /
+# join spellings score |Q|·|C| pairs through interpreted per-pair
+# work (HOF fold, resp. join-row materialization x M subspaces) and
+# |Q| here grows with the corpus (every 101st vector), so their cost
+# is quadratic-in-corpus. Up to this pair budget they win (pure
+# Catalyst, no Python workers, ~2x faster than the kernel at sf1's
+# 4e6 pairs); past it the fused Arrow kernels take over — at the
+# 100x ladder (sf10: 4e8 pairs) the PQ join spelling was killed
+# after 25 minutes while the kernel runs the same pairs in seconds.
+# Tiers are row-identical by test (exact integer scores, same ties).
+_ANN_EXPR_PAIR_BUDGET = 10_000_000
+
 # DuckDB spelling of the deterministic sequential-fold dot product /
 # norm used by operators.similarity (both engines fold doubles left
 # to right, so values match bit-for-bit before the safety rounding).
@@ -635,14 +647,23 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores are integers the tier is bit-reproducible cross-engine
     (the one ANN tier with NO float-compare hazard at all).
 
-    Scale story: the quantization scalar is one MAX aggregate
-    broadcast back as a one-row cross join; quantized vectors are
-    computed in-scan (no materialization barrier); scoring is an
-    embarrassingly parallel broadcast join against the bounded query
-    set, with per-partition top-k before the final |Q|·k window —
-    on a cluster the int8 corpus is ~16 GB/billion×64d instead of
-    64 GB, usually the difference between in-memory and spilling.
+    Scale story (round-10 two-tier rewrite — the closure/LSH probe
+    economics applied to the compression tiers): the quantization
+    scalar is one MAX aggregate; the EXPRESSION tier scores pairs
+    through a broadcast join with an interpreted per-pair HOF fold —
+    fastest at small pair counts (zero Python workers, pure
+    Catalyst), but its work is |Q|·|C|·dim interpreted lambda
+    invocations and |Q| grows with the corpus, so past
+    ``_ANN_EXPR_PAIR_BUDGET`` pairs the plan switches to the fused
+    Arrow KERNEL tier (operators/similarity.py::int8_dot_topk_arrow):
+    one corpus scan, float64 GEMM per batch (exact — every integer
+    partial sum < 2^21), per-batch top-k. The 100x ladder measured
+    the expression tier unbounded at sf10 (4·10^8 pairs) while the
+    kernel finishes in seconds; both tiers are row-identical by
+    test. On a cluster the int8 corpus is ~16 GB/billion×64d instead
+    of 64 GB, usually the difference between in-memory and spilling.
     """
+    from metadata_wrangler_spark.operators import similarity
     from metadata_wrangler_spark.operators.similarity import (
         dot, norm, round6,
     )
@@ -654,6 +675,42 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
         ).alias("m")
     )
+    n = emb.count()
+    if n * (n // 101 + 1) > _ANN_EXPR_PAIR_BUDGET:
+        # ---- fused-kernel tier (see docstring) ----
+        scale = mx.collect()[0]["m"]
+        qdf = emb.where(F.expr(_QUERY_PRED))
+        iscored = similarity.int8_dot_topk_arrow(
+            emb, qdf, float(scale), k=_K
+        )
+        from pyspark.sql import Window
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("qdot"), F.asc("corpus_id")
+        )
+        winners = (
+            iscored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= _K)
+        )
+        vv = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias("v"),
+        )
+        rer = vv.withColumnRenamed("vec_id", "corpus_id").join(
+            F.broadcast(winners.join(
+                F.broadcast(vv.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qvec"),
+                )),
+                "query_id",
+            )),
+            "corpus_id",
+        )
+        return rer.select(
+            "query_id", "corpus_id", "qdot",
+            round6(dot(F.col("qvec"), F.col("v"))
+                   / (norm(F.col("qvec")) * norm(F.col("v")))).alias("cosine"),
+            "rank",
+        )
     qz = emb.crossJoin(F.broadcast(mx)).select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("v"),
@@ -785,15 +842,23 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent and bit-identical cross-engine; winners get the
     exact-cosine rerank column like every other ANN tier here.
 
-    Scale story: codebooks are 8 x 16 x 8 doubles — always broadcast.
-    Encoding is one explode (M rows per vector) + a broadcast join +
-    a per-(vector, subspace) argmin: embarrassingly parallel, done
-    once, persisted as the 8-byte code column at 100 TB. Scoring
-    scans CODES not vectors (8 bytes/vector — an 8x memory-bandwidth
-    drop vs the int8 tier's 64), joins the broadcast query LUTs on
-    (m, code), and partial-aggregates the 8-term sum map-side before
-    the |Q|-keyed shuffle. Recall at this codebook size is bounded by
-    the sample-initialized codebooks; ivf_train's Lloyd iterations
+    Scale story (round-10 two-tier rewrite): codebooks are
+    8 x 16 x 8 doubles — always broadcast. The JOIN tier encodes via
+    explode + broadcast-centroid join + per-(vector, subspace)
+    argmin, then scores by joining the broadcast query LUTs on
+    (m, code) — but that join MATERIALIZES |Q|·|C|·M rows through a
+    hash aggregate, and |Q| grows with the corpus: at the 100x
+    ladder (sf10, 4e8 pairs -> 3.2e9 join rows) it was killed after
+    25 minutes. Past ``_ANN_EXPR_PAIR_BUDGET`` pairs the plan
+    switches to the fused Arrow kernel
+    (operators/similarity.py::pq_adc_topk_arrow): one corpus scan
+    encodes each batch and scores it with M int64 LUT gathers —
+    the actual ADC contract (per-pair work = M table lookups, zero
+    pair materialization). Tiers are row-identical by test. At
+    warehouse scale the encode persists the 8-byte code column and
+    the scan touches codes, not vectors (8x memory-bandwidth drop vs
+    the int8 tier). Recall at this codebook size is bounded by the
+    sample-initialized codebooks; ivf_train's Lloyd iterations
     (operators/similarity.py::ivf_train) apply verbatim per subspace
     to close the gap — same train step, subvector inputs.
     """
@@ -804,6 +869,47 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tiers' operator entry would)
     )
     dbl = F.transform("embedding", lambda v: v.cast("double"))
+    n = emb.count()
+    if n * (n // 101 + 1) > _ANN_EXPR_PAIR_BUDGET:
+        # ---- fused ADC kernel tier (see docstring) ----
+        from metadata_wrangler_spark.operators import similarity
+        cents = sorted(
+            (r["vec_id"], [float(x) for x in r["v"]])
+            for r in emb.where(F.col("vec_id") < KC)
+            .select("vec_id", dbl.alias("v")).collect()
+        )
+        qdf = emb.where(F.expr(_QUERY_PRED))
+        scored = similarity.pq_adc_topk_arrow(
+            emb, qdf, cents, M, D, k=_K
+        )
+        from pyspark.sql import Window
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adist"), F.asc("corpus_id")
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= _K)
+        )
+        from metadata_wrangler_spark.operators.similarity import (
+            dot, norm, round6,
+        )
+        vv = emb.select("vec_id", dbl.alias("v"))
+        rer = vv.withColumnRenamed("vec_id", "corpus_id").join(
+            F.broadcast(topk.join(
+                F.broadcast(vv.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qvec"),
+                )),
+                "query_id",
+            )),
+            "corpus_id",
+        )
+        return rer.select(
+            "query_id", "corpus_id", "adist",
+            round6(dot(F.col("qvec"), F.col("v"))
+                   / (norm(F.col("qvec")) * norm(F.col("v")))).alias("cosine"),
+            "rank",
+        )
     sub = emb.select(
         "vec_id", dbl.alias("v"),
         F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),
