@@ -276,19 +276,29 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle (the same iterations unrolled as CTEs) matches
     bit-for-bit regardless of partitioning.
 
-    Scale shape: the edge table partitioning is reusable across
-    iterations (same join key every round); at real iteration counts
-    checkpoint per round exactly as operators/closure.py does. The
+    Scale shape (round-10 rewrite, sf10 A/B in SCALE.md: 11.8 s ->
+    5.6 s steady-state): the edge and node tables are computed ONCE
+    behind lazy checkpoints — without them every iteration re-ran
+    the build_edges subtree (two customer scans + the count
+    broadcast) and the nodes subtree, since each round's plan embeds
+    full copies of both. The rank join is hinted shuffle_hash on the
+    contrib side (both inputs are |V|-row; sort-merge paid two sorts
+    per iteration for one hash pass). At real iteration counts
+    checkpoint per ROUND exactly as operators/closure.py does. The
     synthetic graph gives every node out-degree 2, so contributions
     are rank/2 and no dangling-mass redistribution is needed (a
     production variant adds the dangling sum as a broadcast scalar).
     """
-    edges = build_edges(spark, sf_dir).select("src", "dst")
+    from metadata_wrangler_spark.operators.lineage import free_checkpoint
+
+    edges = build_edges(spark, sf_dir).select("src", "dst").repartition(
+        "src"
+    ).localCheckpoint(eager=False)
     c = load(spark, sf_dir, "customer")
     cnt = c.agg(F.count(F.lit(1)).alias("_n"))
     nodes = c.crossJoin(F.broadcast(cnt)).select(
         F.col("c_custkey").alias("node"), F.col("_n").cast("double").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     q = float(_PR_Q)
 
     def quant(col):
@@ -304,6 +314,7 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("rank") / 2 * q + F.lit(0.5)).cast("bigint")
                 ).alias("contrib")
             )
+            .hint("shuffle_hash")
         )
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
@@ -320,7 +331,12 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    return ranks.select("node", "rank")
+    # materialize the |V|-row result, then release the input
+    # checkpoints synchronously (closure-family lifetime discipline)
+    out = ranks.select("node", "rank").localCheckpoint(eager=True)
+    free_checkpoint(edges)
+    free_checkpoint(nodes)
+    return out
 
 
 # --- Triangle counting (degree-ordered) -----------------------------------
