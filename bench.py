@@ -434,6 +434,12 @@ def main() -> int:
         "extended_total": round(sum(extended.values()), 3),
         "extended_oracle_total": round(sum(ext_oracle.values()), 3),
         "n_extended": len(ext_present),
+        # The extended SEQUENTIAL bar is anchored at sf1 (BASELINE.md
+        # round-10 note: single-row-group sf0.1 parquet serializes
+        # every scan to one task, and the 105x per-job floor is a
+        # protocol artifact the concurrent batch overlaps). sf0.1
+        # extended numbers stay reported for continuity.
+        "extended_bar_anchor": "sf1 (BASELINE.md round-10 note)",
         "committed": "median",
         "detail": os.path.basename(detail_path),
     }
