@@ -94,70 +94,71 @@ VERIFICATION_WINDOW = 50
 # last driver verification is OLDEST (stalest-first rotation), with
 # every SURVEY.md §2 family keeping at least one representative.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- round-9 window: REWRITES FIRST, THEN THE ENTIRE r4-STALE
+    # --- round-10 window: REWRITES FIRST, THEN THE ENTIRE r5-STALE
     # BLOCK. Construction stays frozen at 221 queries; after this
-    # round no registered query's last driver check predates r5.
+    # round no registered query's last driver check predates r6.
     #
-    # Block 1 — the 9 plans rewritten during round 9 itself (window
-    # policy: a rewritten plan re-certifies the same round). The
-    # checkpoint-lifetime frees + numpy SPFA local tier rewrote the
-    # closure/graph family; the fused-tier probe rewrote the
-    # centroid-drift/snapshot-diff/assortativity floor payers; the
-    # single-pass cached_get rewrote both its consumers.
-    "g_shortest_path",          # SPFA local tier + count-hint probe
-    "g_label_propagation",      # final-labels checkpoint + edge free
-    "g_connected_components",   # per-round label frees
-    "g_transitive_closure",     # edge-materialization free
-    "sim_centroid_drift",       # 64-counter aggregate, no explode
-    "d_snapshot_diff",          # one repartition(key) for the diff
-    "g_assortativity",          # repartition(a) shared exchange
-    "pipe_provider_end_to_end", # single-pass cached fetch
-    "s_cached_fetch",           # cached_get rewrite (same operator)
-    # Block 2 — the ENTIRE r4-stale block (41 queries, incl. the
-    # rewritten sim_lsh_multitable_topk / ev_matview_refresh /
-    # g_kcore): last driver-verified in round 4, covered since by
-    # the pytest all-oracle sweep and the three mirror ladders.
-    "a_anomaly_zscore",
-    "a_histogram",
-    "a_kmv_distinct_sketch",
-    "a_string_agg",
-    "d_scd2_merge",
-    "dd_prefix_filter_join",
-    "dd_semantic_prune",
-    "dd_sorted_neighborhood",
-    "ev_asof_join",
-    "ev_cohort_retention",
-    "ev_funnel_conversion",
-    "ev_matview_refresh",       # rewritten: fused refresh jobs
-    "ev_moving_average",
-    "ev_pivot_daily_matrix",
-    "ev_range_join",
-    "ev_range_window",
-    "ev_regex_path_match",
-    "ev_rfm_segments",
-    "ev_session_window_native",
-    "ev_stream_stream_join",
-    "f_title_safe_strip",
-    "f_token_sort_ratio",
-    "g_kcore",                  # rewritten: peel-round frees
-    "g_pagerank",
-    "g_transitive_closure_rcte",
-    "j_skew_salted_join",
-    "s_xml_classify_response",
-    "s_zorder_layout",
-    "sim_ivf_train_step",
-    "sim_lsh_multitable_topk",  # rewritten: fused collision-scan tier
-    "sim_lsh_probe_topk",
-    "so_multiset_ops",
-    "txt_bm25_search",
-    "txt_boilerplate_passages",
-    "txt_chunk_overlap",
-    "txt_inverted_index",
-    "txt_ngram_topk",
-    "txt_quality_deciles",
-    "txt_sequence_packing",
-    "w_percent_rank_cume",
-    "w_shortest_candidate",
+    # Block 1 — plans rewritten or operator-touched during round 10
+    # (window policy: a rewritten plan re-certifies the same round):
+    # the queue lifecycle/pagerank checkpoint-once rewrites, the ANN
+    # compression-tier kernel probes, the matview meta fix, the
+    # cached_get drain fix, and the zero-norm bucket-tier fix.
+    "d_queue_lifecycle",        # state checkpointed once + SHJ merge
+    "g_pagerank",               # inputs checkpointed once + SHJ
+    "ev_matview_refresh",       # refresh commits applied_batch meta
+    "s_cached_fetch",           # cached_get drains undrained hits
+    "pipe_provider_end_to_end", # same operator (cached_get)
+    "sim_lsh_multitable_topk",  # bucket tier drops NaN like fused
+    # Block 2 — the ENTIRE r5-stale block (41 queries, incl. the
+    # round-10 kernel-tier rewrites sim_pq_topk/sim_quantized_topk):
+    # last driver-verified in round 5, covered since by the pytest
+    # all-oracle sweep and the three mirror ladders.
+    "a_abc_pareto",
+    "a_benford_digits",
+    "a_chi2_independence",
+    "a_countmin_heavy_hitters",
+    "a_gini_coefficient",
+    "a_hll_sketch",
+    "a_kmv_set_ops",
+    "a_simpson_diversity",
+    "d_forget_cascade_preview",
+    "dd_cluster_keep",
+    "ev_concurrency_sweep",
+    "ev_cusum_changepoint",
+    "ev_decay_halflife",
+    "ev_funnel_bounded",
+    "ev_hopping_window",
+    "ev_json_props",
+    "ev_markov_transitions",
+    "ev_sliding_distinct",
+    "ev_time_to_convert",
+    "g_neighbor_jaccard",
+    "j_scd2_pit",
+    "mm_audio_windows",
+    "p_compound_predicates",
+    "pipe_semantic_search",
+    "s_opds_updates_page",
+    "sim_diversified_topk",
+    "sim_label_centroids",
+    "sim_pq_topk",              # rewritten: fused ADC kernel tier
+    "sim_quantized_topk",       # rewritten: fused int8 GEMM tier
+    "sim_rp_topk",
+    "txt_boilerplate_strip",
+    "txt_contamination_frac",
+    "txt_dsir_weight",
+    "txt_lang_confusion",
+    "txt_lm_surprisal",
+    "txt_pmi_bigrams",
+    "txt_split_assign",
+    "txt_unigram_entropy",
+    "txt_weighted_sample",
+    "w_path_edit_similarity",
+    "w_session_path_topk",
+    # Block 3 — remaining slots to the stalest r6 queries
+    # (alphabetical within equal staleness).
+    "a_ks_drift",
+    "a_moments_skew_kurt",
+    "a_mutual_info",
 )
 
 
