@@ -211,3 +211,73 @@ def test_compression_tier_probe_rows_identical(spark, monkeypatch):
         kernel_rows = sorted(tuple(r) for r in fn(spark, sf).collect())
         assert join_rows, name
         assert join_rows == kernel_rows, name
+
+
+def test_pq_adc_kernel_odd_subspaces_and_int64_fallback(spark):
+    """Direct kernel contract: (a) an ODD subspace count exercises the
+    unpaired tail gather; (b) LUT entries big enough that
+    m_sub * max(lut) >= 2^31 force the int64 row-gather fallback.
+    Both must match a per-pair numpy reference exactly."""
+    from metadata_wrangler_spark.operators.similarity import pq_adc_topk_arrow
+
+    rng = np.random.default_rng(7)
+    m_sub, d_sub, kc, n = 3, 4, 4, 60
+    dim = m_sub * d_sub
+    # huge magnitudes so squared distances push lutq past 2^31/m_sub
+    vecs = (rng.standard_normal((n, dim)) * 40.0).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.where("vec_id % 7 = 0")
+    # centroids come off the DataFrame (float32-widened), exactly as
+    # the plan collects them
+    cents = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in corpus.where(f"vec_id < {kc}").collect()
+    )
+
+    # the kernel emits per-BATCH top-k by contract; apply the global
+    # rank window the plan applies
+    from collections import defaultdict
+
+    raw = pq_adc_topk_arrow(
+        corpus, queries, cents, m_sub, d_sub, k=3
+    ).collect()
+    per_q = defaultdict(list)
+    for r in raw:
+        per_q[r["query_id"]].append((r["adist"], r["corpus_id"]))
+    got = sorted(
+        (q, c, a)
+        for q, lst in per_q.items()
+        for a, c in sorted(lst)[:3]
+    )
+
+    # reference: float32-widened vectors (what Arrow hands the kernel),
+    # sequential-fold distances, argmin->lowest cid, int64 ADC
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    cmat = np.array([c[1] for c in cents])
+    cmat = cmat.astype(np.float32).astype(np.float64)
+
+    def dists(mat, m):
+        acc = np.zeros((mat.shape[0], kc))
+        for d in range(d_sub):
+            i = m * d_sub + d
+            diff = mat[:, i][:, None] - cmat[None, :, i]
+            acc += diff * diff
+        return acc
+
+    luts = [np.floor(dists(v32, m) * 1e6 + 0.5).astype(np.int64)
+            for m in range(m_sub)]
+    assert m_sub * max(int(lut.max()) for lut in luts) >= 2**31  # fallback hit
+    codes = [np.argmin(dists(v32, m), axis=1) for m in range(m_sub)]
+    exp = []
+    q_ids = [i for i in range(n) if i % 7 == 0]
+    for q in q_ids:
+        scored = []
+        for c in range(n):
+            if c == q:
+                continue
+            adist = sum(int(luts[m][q, codes[m][c]]) for m in range(m_sub))
+            scored.append((adist, c))
+        scored.sort()
+        exp.extend((q, c, a) for a, c in scored[:3])
+    assert got == sorted(exp)
