@@ -28,6 +28,19 @@ _K = 5
 # Tiers are row-identical by test (exact integer scores, same ties).
 _ANN_EXPR_PAIR_BUDGET = 10_000_000
 
+
+def _past_pair_budget(emb) -> bool:
+    """Bounded tier probe: with |Q| = |C|/101 + 1, the pair count
+    crosses _ANN_EXPR_PAIR_BUDGET at |C| ≈ sqrt(101·budget). An
+    id-only limit-count reads at most that many rows of one column
+    at ANY corpus size — a full count() would scan the corpus just
+    to pick a tier (measured as one extra ~0.3 s job per call at
+    sf0.1, the extended-series floor class)."""
+    n_kernel = int((101 * _ANN_EXPR_PAIR_BUDGET) ** 0.5)  # ~31.8k
+    n_kernel = min(n_kernel, 2**31 - 1)  # limit() takes a Java int
+    probed = emb.select("vec_id").limit(n_kernel).count()
+    return probed >= n_kernel
+
 # DuckDB spelling of the deterministic sequential-fold dot product /
 # norm used by operators.similarity (both engines fold doubles left
 # to right, so values match bit-for-bit before the safety rounding).
@@ -675,8 +688,7 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
         ).alias("m")
     )
-    n = emb.count()
-    if n * (n // 101 + 1) > _ANN_EXPR_PAIR_BUDGET:
+    if _past_pair_budget(emb):
         # ---- fused-kernel tier (see docstring) ----
         scale = mx.collect()[0]["m"]
         qdf = emb.where(F.expr(_QUERY_PRED))
@@ -869,8 +881,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tiers' operator entry would)
     )
     dbl = F.transform("embedding", lambda v: v.cast("double"))
-    n = emb.count()
-    if n * (n // 101 + 1) > _ANN_EXPR_PAIR_BUDGET:
+    if _past_pair_budget(emb):
         # ---- fused ADC kernel tier (see docstring) ----
         from metadata_wrangler_spark.operators import similarity
         cents = sorted(
