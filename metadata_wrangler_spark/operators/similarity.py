@@ -974,7 +974,11 @@ def int8_dot_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(id_col, vec_col).collect()
+    # NULL vectors are excluded on both sides, the same rule as every
+    # similarity entry point (cosine_topk_arrow's convention)
+    qrows = queries.where(
+        F.col(vec_col).isNotNull()
+    ).select(id_col, vec_col).collect()
     spark = corpus.sparkSession
     out_schema = "query_id long, corpus_id long, qdot long"
     if not qrows:
@@ -1060,7 +1064,9 @@ def pq_adc_topk_arrow(
 
     spark = corpus.sparkSession
     out_schema = "query_id long, corpus_id long, adist long"
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = queries.where(
+        F.col(vec_col).isNotNull()
+    ).select(id_col, vec_col).collect()
     if not qrows or not centroids:
         return spark.createDataFrame([], out_schema)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
