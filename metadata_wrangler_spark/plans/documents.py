@@ -2414,10 +2414,16 @@ def txt_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to dd_decontaminate — the eval shingle
     set is distinct-reduced and BROADCAST (benchmark suites are MBs
-    against a 100 TB corpus), so the sweep is one training-corpus
-    scan, one per-doc window count, one broadcast semi-probe, and
-    two per-doc hash-aggregates; the training side never shuffles
-    at full width.
+    against a 100 TB corpus), so the sweep is ONE training-corpus
+    scan: a broadcast LEFT join marks each window in-pipeline and a
+    single per-doc hash-aggregate counts windows and hits together
+    (count of the marker column skips its NULLs). The round-10 sf10
+    ladder measured the old two-branch spelling at 3.2x its oracle —
+    the shingle explode (the dominant cost) ran twice, once per
+    aggregate; fusing it halves the scan work. The training side
+    never shuffles at full width: the only exchange is the per-doc
+    aggregate's, and the left join against the DISTINCT eval set is
+    1:1 so window multiplicity is preserved.
     """
     docs = load(spark, sf_dir, "documents")
     ev = docs.where(F.expr(_DECON_EVAL_PRED))
@@ -2429,15 +2435,16 @@ def txt_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.distinct_shingles(ev, "doc_id", "text", _DECON_N)
         .select("sh")
         .distinct()
-    )
-    tot = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
-    hit = (
-        tr.join(F.broadcast(evs), "sh")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .withColumn("_hit", F.lit(1))
     )
     return (
-        hit.join(tot, "id")
+        tr.join(F.broadcast(evs), "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .where(F.col("n_hits") >= 1)
         .select(
             F.col("id").alias("doc_id"),
             "n_windows",
