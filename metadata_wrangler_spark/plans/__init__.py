@@ -154,11 +154,12 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "txt_weighted_sample",
     "w_path_edit_similarity",
     "w_session_path_topk",
-    # Block 3 — remaining slots to the stalest r6 queries
+    # Block 3 — one more round-10 rewrite (bm25 single-tokenize
+    # fusion), then remaining slots to the stalest r6 queries
     # (alphabetical within equal staleness).
+    "txt_bm25_search",          # rewritten: dl carried through explode
     "a_ks_drift",
     "a_moments_skew_kurt",
-    "a_mutual_info",
 )
 
 

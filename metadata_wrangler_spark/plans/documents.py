@@ -1786,29 +1786,37 @@ def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: the query-term filter is a literal IN-list, so it
     pushes to the parquet scan via dictionary/stats pruning and only
     matching postings ever leave the scan; tf is one hash-aggregate
-    on (doc_id, term); df and the corpus stats are tiny aggregates
-    that enter as broadcast one-row joins (scalar-subquery shape,
-    no driver collect). The final top-10 is a TakeOrdered over the
-    per-doc sums — no global sort materializes. At 100 TB the only
-    large shuffle is the (doc_id, term)-keyed tf aggregate, which
-    carries query-matching tokens only.
+    on (doc_id, term) that CARRIES the document length through the
+    explode (dl is constant per doc, so max() in the same aggregate
+    reads it back for free — the round-10 sf10 ladder caught the old
+    spelling tokenizing the corpus three times: once for dl, once
+    for tf, and re-joining dl onto the scores); df and the corpus
+    stats are tiny aggregates that enter as broadcast one-row joins
+    (scalar-subquery shape, no driver collect). The final top-10 is
+    a TakeOrdered over the per-doc sums — no global sort
+    materializes. At 100 TB the only large shuffle is the
+    (doc_id, term)-keyed tf aggregate, which carries query-matching
+    tokens only.
     """
     docs = load(spark, sf_dir, "documents")
     wrds = docs.select(
         "doc_id", F.split(dedup.normalize_text(F.col("text")), " ").alias("w")
     )
-    dl = wrds.select("doc_id", F.size("w").cast("long").alias("dl"))
-    stats = dl.agg(
+    stats = wrds.select(F.size("w").cast("long").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
     tf = (
-        wrds.select("doc_id", F.explode("w").alias("term"))
+        wrds.select(
+            "doc_id",
+            F.size("w").cast("long").alias("dl"),
+            F.explode("w").alias("term"),
+        )
         .where(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (
@@ -1823,8 +1831,7 @@ def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .join(F.broadcast(dfx), "term")
         .select("doc_id", (idf * tf_component).alias("term_score"))
     )
