@@ -3225,18 +3225,31 @@ def txt_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (within ±1 bit of log2(N/df)) — no libm, bit-stable across
     engines.
 
-    Scale shape: distinct (doc, term) explode → term document
-    frequencies (vocabulary-sized hash aggregate) → join back on
-    term (the one real shuffle; at web scale the df table is itself
-    large, so it stays an equi-join, not a broadcast) → per-doc
-    aggregate. The corpus-size scalar is a 1-row broadcast.
+    Scale shape: the per-document distinct happens JVM-side inside
+    the row via ``array_distinct`` before the explode (the minhash
+    convention, operators/dedup.py — doc_id is the document key, so
+    within-row distinct IS the (doc, term) distinct and the global
+    dropDuplicates shuffle of every token pair disappears). Term
+    document frequencies are a vocabulary-sized hash aggregate; the
+    join back on term carries no hint — AQE converts it to a
+    broadcast when the vocabulary is small and leaves an equi-join
+    when, at web scale, the df table is itself large. The final
+    per-doc aggregate's map-side partials collapse to one row per
+    document before the shuffle because a document's terms are
+    emitted from a single input row. The corpus-size scalar is a
+    1-row broadcast. (Round-10 rewrite: the dropDuplicates spelling
+    paid a full 27M-token shuffle-dedup plus an 11.6M-pair hash join
+    at sf10 — 2.9 s steady vs 1.8 s for this shape, row-identical.)
     """
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
-        F.explode(F.split(dedup.normalize_text(F.col("text")), " "))
-        .alias("w"),
-    ).dropDuplicates()
+        F.explode(
+            F.array_distinct(
+                F.split(dedup.normalize_text(F.col("text")), " ")
+            )
+        ).alias("w"),
+    )
     df = t.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
     n = docs.agg(F.count(F.lit(1)).alias("nd"))
     bits = F.length(F.bin("nd")) - F.length(F.bin("dfw"))
