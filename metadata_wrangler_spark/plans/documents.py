@@ -3483,21 +3483,37 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty grades every document on a continuous scale even when no
     single pair crosses a threshold).
 
-    Scale design: shingle rows (map-side explode of the
-    distinct-shingle array), ONE aggregate for the per-shingle
-    first-occurrence id, and a join back on the shingle key that
-    reuses the aggregate's partitioning — two exchanges total on
-    counter-sized rows, no window, no self-join. The same
-    `max_doc_freq` stop-shingle lever as the Jaccard tier applies if
-    a boilerplate shingle ever dominates a hash partition (it only
-    shifts work, never correctness: min-id is insensitive to bucket
-    balance). Unlike the pairwise dedup tiers — where xxhash64 only
-    gates CANDIDATES that are then re-scored exactly — here the
-    equality class IS the result, so the key stays the raw shingle
-    string: a hash collision would silently merge two shingles'
-    min-id classes and shift n_novel. The rows are already
-    distinct-per-doc and counter-sized, so the string key costs
-    bytes, not an extra exchange.
+    Scale design (round-10 credit-assignment spelling): every
+    shingle awards its novelty credit to exactly ONE document — the
+    min-id holder — so the per-shingle first-occurrence aggregate
+    feeds a counter-sized `groupBy(id).count` and the 50M-row
+    shingle table is never JOINED back to its own aggregate (the
+    old spelling's join-back re-partitioned every shingle row
+    against the min-id table; canonical sf10 A/B back-to-back:
+    old 6.06 s → this shape 4.9 s steady, row-identical). The
+    shingle table is cached once and read twice — the
+    first-occurrence aggregate and a per-doc `groupBy(id).count`
+    for shingle totals, whose map-side partials collapse to one row
+    per document because a document's shingles are co-located (a
+    per-row `size(shs)` spelling was measured and REJECTED: the
+    second tokenize+shingle scan costs 2.4 s at sf10, more than the
+    memory-speed cache read it replaces). Both aggregate outputs
+    are per-doc-sized; their left join is AQE-broadcast at bench
+    scale. The same `max_doc_freq` stop-shingle lever as the
+    Jaccard tier applies if a boilerplate shingle ever dominates a
+    hash partition (it only shifts work, never correctness: min-id
+    is insensitive to bucket balance). Unlike the pairwise dedup
+    tiers — where xxhash64 only gates CANDIDATES that are then
+    re-scored exactly — here the equality class IS the result, so
+    the key stays the raw shingle string: a hash collision would
+    silently merge two shingles' min-id classes and shift n_novel.
+
+    Measurement trap recorded in SCALE.md: `.count()` on the left
+    join ELIMINATES the whole credit subtree (the aggregate's
+    distinct keys prove the join row-preserving), so count-based
+    probes flattered a two-scan spelling by 4.5 s — force full
+    evaluation (agg over every column) when timing plans whose
+    tails a count can prune.
 
     Reference: the wranglers' "have we already covered this
     identifier" freshness checks (`coverage_provider.py:79-92`)
@@ -3507,25 +3523,29 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = dedup.with_words(docs, "doc_id", "text").select(
         "id", F.array_distinct(dedup.shingles(3)).alias("shs")
     )
-    # sh feeds the first-occurrence aggregate AND the join back —
-    # cache it like the pairwise scorers' shingle table.
+    # cached: feeds the first-occurrence aggregate AND the per-doc
+    # totals — like the pairwise scorers' shingle table.
     sh = base.select("id", F.explode("shs").alias("s")).cache()
-    first = sh.groupBy("s").agg(F.min("id").alias("first_id"))
+    nov = (
+        sh.groupBy("s")
+        .agg(F.min("id").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("nn"))
+    )
+    sizes = sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
     return (
-        sh.join(first, "s")
-        .groupBy(F.col("id").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+        sizes.join(nov, "id", "left")
         .select(
-            "doc_id",
-            "n_shingles",
-            "n_novel",
-            F.expr("CAST((1000000 * n_novel) DIV n_shingles AS BIGINT)")
-            .alias("novelty_ppm"),
+            F.col("id").alias("doc_id"),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("nn"), F.lit(0)).cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST((1000000 * n_novel) DIV n_shingles AS BIGINT)"),
         )
     )
 
