@@ -1783,40 +1783,66 @@ def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted token score, `viaf.py` candidate sort); re-expressed
     as textbook BM25 over the documents corpus.
 
-    Scale design: the query-term filter is a literal IN-list, so it
-    pushes to the parquet scan via dictionary/stats pruning and only
-    matching postings ever leave the scan; tf is one hash-aggregate
-    on (doc_id, term) that CARRIES the document length through the
-    explode (dl is constant per doc, so max() in the same aggregate
-    reads it back for free — the round-10 sf10 ladder caught the old
-    spelling tokenizing the corpus three times: once for dl, once
-    for tf, and re-joining dl onto the scores); df and the corpus
-    stats are tiny aggregates that enter as broadcast one-row joins
-    (scalar-subquery shape, no driver collect). The final top-10 is
-    a TakeOrdered over the per-doc sums — no global sort
-    materializes. At 100 TB the only large shuffle is the
-    (doc_id, term)-keyed tf aggregate, which carries query-matching
-    tokens only.
+    Scale design (round-10 per-row tf counters): a document's tf
+    for each of the 3 query terms completes WITHIN its own row — a
+    JVM `filter` HOF per term over the token array — so the
+    27M-token explode and the (doc_id, term) hash-aggregate shuffle
+    disappear entirely; what leaves the scan is a 5-counter row per
+    document (dl + one tf per query term), cached once and read by
+    both the corpus-stats aggregate and the posting expansion (the
+    old spelling tokenized the corpus twice, once per branch —
+    canonical sf10 A/B in this round's notes). Postings then come
+    from exploding a 3-element literal struct array and dropping
+    zero counts: per-doc-sized rows whose downstream aggregates all
+    collapse map-side. df and the corpus stats are tiny aggregates
+    that enter as broadcast one-row joins (scalar-subquery shape,
+    no driver collect). The final top-10 is a TakeOrdered over the
+    per-doc sums — no global sort materializes. At 100 TB no
+    token-width shuffle exists anywhere in the plan; the widest
+    exchange is the per-document counter row.
     """
     docs = load(spark, sf_dir, "documents")
-    wrds = docs.select(
-        "doc_id", F.split(dedup.normalize_text(F.col("text")), " ").alias("w")
+    row = (
+        docs.select(
+            "doc_id",
+            F.split(dedup.normalize_text(F.col("text")), " ").alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("dl"),
+            *[
+                F.expr(f"size(filter(w, t -> t = '{t}'))")
+                .cast("long")
+                .alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+        .cache()
     )
-    stats = wrds.select(F.size("w").cast("long").alias("dl")).agg(
+    stats = row.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
     tf = (
-        wrds.select(
+        row.select(
             "doc_id",
-            F.size("w").cast("long").alias("dl"),
-            F.explode("w").alias("term"),
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"tf{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(_BM25_TERMS)
+                    ]
+                )
+            ).alias("x"),
         )
-        .where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .select("doc_id", "dl", "x.term", "x.tf")
+        .where(F.col("tf") > 0)
     )
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (
