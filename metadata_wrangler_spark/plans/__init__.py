@@ -154,12 +154,13 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     "txt_weighted_sample",
     "w_path_edit_similarity",
     "w_session_path_topk",
-    # Block 3 — one more round-10 rewrite (bm25 single-tokenize
-    # fusion), then remaining slots to the stalest r6 queries
-    # (alphabetical within equal staleness).
-    "txt_bm25_search",          # rewritten: dl carried through explode
-    "a_ks_drift",
-    "a_moments_skew_kurt",
+    # Block 3 — the round-10 continuation rewrites (window policy:
+    # a rewritten plan re-certifies the same round; these displaced
+    # the two r6-stale fillers a_ks_drift / a_moments_skew_kurt,
+    # which rotate into the r11 window instead).
+    "txt_bm25_search",          # rewritten: per-row tf counters
+    "txt_idf_rarity",           # rewritten: per-row distinct
+    "txt_ngram_novelty",        # rewritten: credit-assignment
 )
 
 
