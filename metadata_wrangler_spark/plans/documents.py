@@ -1728,6 +1728,16 @@ def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("dup", "vector", "window")
 
 
+def _eq_term(term: str):
+    """One-argument equality predicate for array ``filter`` — a
+    factory, NOT a ``lambda x, t=term`` default-arg capture: PySpark
+    counts lambda parameters to pick the HOF form, so a defaulted
+    second parameter silently selects the (element, index) variant
+    and binds the captured term to the element index (the same
+    arity trap operators/merge.py round-9 advice fixed)."""
+    return lambda x: x == F.lit(term)
+
+
 @register(
     "txt_bm25_search",
     oracle=f"""
@@ -1811,12 +1821,17 @@ def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("w").cast("long").alias("dl"),
             *[
-                F.expr(f"size(filter(w, t -> t = '{t}'))")
+                # one-arg closure via factory: a `t=t` default arg
+                # would flip PySpark's HOF arity detection to the
+                # (element, index) form and bind t to the index
+                F.size(F.filter("w", _eq_term(t)))
                 .cast("long")
                 .alias(f"tf{i}")
                 for i, t in enumerate(_BM25_TERMS)
             ],
         )
+        # released at workload boundaries by release_session_caches
+        # (catalog.clearCache), like the pairwise scorers' tables
         .cache()
     )
     stats = row.agg(
@@ -3516,7 +3531,8 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle table is never JOINED back to its own aggregate (the
     old spelling's join-back re-partitioned every shingle row
     against the min-id table; canonical sf10 A/B back-to-back:
-    old 6.06 s → this shape 4.9 s steady, row-identical). The
+    old 5.44 s/2.2x → this shape 2.50 s/1.1x, row-identical —
+    the committed record in SCALE.md/BENCH_NOTES.md). The
     shingle table is cached once and read twice — the
     first-occurrence aggregate and a per-doc `groupBy(id).count`
     for shingle totals, whose map-side partials collapse to one row
