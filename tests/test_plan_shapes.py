@@ -327,3 +327,73 @@ def test_basket_memo_is_reused_and_cached(spark):
     os_a, pairs_a, sc_a, n_a = G._basket_and_pairs(spark, SF)
     os_b, pairs_b, sc_b, n_b = G._basket_and_pairs(spark, SF)
     assert os_a is os_b and pairs_a is pairs_b  # memo hit, not rebuild
+
+
+def test_idf_rarity_has_no_pair_dedup_exchange(spark, queries):
+    """txt_idf_rarity (round-10 continuation rewrite): the per-doc
+    distinct happens within the row (array_distinct before the
+    explode), so the plan must NOT contain a (doc_id, w)-keyed
+    dedup aggregate — the only hashpartitioning keys allowed are
+    the term (df aggregate/join) and the per-doc combine."""
+    plan = explain_str(queries["txt_idf_rarity"](spark, SF))
+    keys = {
+        line.split("hashpartitioning(")[1].split(",")[0].split("#")[0]
+        for line in plan.splitlines()
+        if "hashpartitioning(" in line
+    }
+    assert keys <= {"w", "doc_id"}, keys
+    # the old spelling's global dedup was a 2-key partial aggregate;
+    # per-row distinct leaves no (doc_id, w) exchange
+    assert "hashpartitioning(doc_id#" not in plan.replace(" ", "") or all(
+        "w#" not in line.split("hashpartitioning(")[1].split(")")[0]
+        for line in plan.splitlines()
+        if "hashpartitioning(doc_id" in line
+    )
+
+
+def test_bm25_has_no_token_width_exchange(spark, queries):
+    """txt_bm25_search (round-10 continuation rewrite): tf completes
+    within the document row, so no exchange in the plan may be
+    keyed on a token/term column that would carry exploded-token
+    cardinality; the widest allowed shuffle keys are per-document
+    (doc_id) and per-term-row (term — 3 rows per doc max)."""
+    plan = explain_str(queries["txt_bm25_search"](spark, SF))
+    keys = {
+        line.split("hashpartitioning(")[1].split(",")[0].split("#")[0]
+        for line in plan.splitlines()
+        if "hashpartitioning(" in line
+    }
+    assert keys <= {"doc_id", "term"}, keys
+    # the old spelling exploded all tokens then hash-aggregated on
+    # (doc_id, term); the rewrite explodes a 3-element literal
+    # struct array only — the full-token explode is gone
+    assert plan.count("Generate explode") <= 2
+
+
+def test_ngram_novelty_has_no_join_back(spark, queries):
+    """txt_ngram_novelty (round-10 continuation rewrite): the
+    credit-assignment spelling joins two PER-DOC-sized aggregate
+    outputs; the 50M-row shingle table itself must never be a join
+    input (the old spelling re-joined every shingle row to its own
+    aggregate). Detect: every SortMergeJoin/ShuffledHashJoin/
+    BroadcastHashJoin in the plan sits ABOVE two aggregates — i.e.
+    the join keys are the doc id, never the shingle string."""
+    plan = explain_str(queries["txt_ngram_novelty"](spark, SF))
+    join_key_lines = [
+        line
+        for line in plan.splitlines()
+        if "hashpartitioning(" in line or "Join" in line
+    ]
+    assert not any(
+        "s#" in line.split("hashpartitioning(")[1].split(",")[0]
+        for line in join_key_lines
+        if "hashpartitioning(" in line and "Join" in line
+    )
+    keys = {
+        line.split("hashpartitioning(")[1].split(",")[0].split("#")[0]
+        for line in plan.splitlines()
+        if "hashpartitioning(" in line
+    }
+    # shingle key appears once (the first-occurrence aggregate),
+    # id for the counter aggregates/join — nothing else
+    assert keys <= {"s", "id"}, keys
