@@ -218,21 +218,47 @@ def grouped_select(
             # free; concentrated domains land in one bucket and cost
             # exactly what a plain stats pass would. Also
             # materializes the cache.
-            coarse = (
-                base.groupBy(
-                    *gcols,
-                    F.shiftright(F.col("__sel_v"), coarse_shift)
-                    .alias("__sel_cb"),
+            # Arrow materialization (DataFrame.toArrow + to_pylist):
+            # the coarse histogram reaches ~10^5 rows for a 31-bit
+            # domain (2^15 buckets x |groups|), and the row-pickling
+            # collect() was the slow path there (r10 measurement:
+            # ~0.25 s of the a_weighted_median wall at sf0.1; the
+            # Arrow path moves the same rows in ~50 ms). to_pylist
+            # keeps group keys exact — int64 stays int, NULL stays
+            # None — where pandas would coerce a nullable int key to
+            # float NaN.
+            #
+            # Weight sums aggregate as BIGINT via try_sum, not
+            # decimal(38,0): the decimal buffer measured 0.73 s vs
+            # 0.54 s for the same 95k-bucket aggregate (r10 A/B,
+            # sf0.1). try_sum returns NULL instead of raising under
+            # ANSI (Spark 4 default) when a bucket's weight total
+            # overflows int64 — and weights are non-null here by the
+            # `keep` filter, so NULL ⟺ overflow: any NULL bucket sum
+            # triggers one loud decimal re-aggregate (same fallback
+            # philosophy as the known_stats span check above).
+            def _coarse(sum_expr):
+                return (
+                    base.groupBy(
+                        *gcols,
+                        F.shiftright(F.col("__sel_v"), coarse_shift)
+                        .alias("__sel_cb"),
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("br"),
+                        sum_expr.alias("bw"),
+                        F.min("__sel_v").alias("lo"),
+                        F.max("__sel_v").alias("hi"),
+                    )
+                    .toArrow()
+                    .to_pylist()
                 )
-                .agg(
-                    F.count(F.lit(1)).alias("br"),
+
+            coarse = _coarse(F.try_sum("__sel_w"))
+            if any(r["bw"] is None for r in coarse):
+                coarse = _coarse(
                     F.sum(F.col("__sel_w").cast("decimal(38,0)"))
-                    .alias("bw"),
-                    F.min("__sel_v").alias("lo"),
-                    F.max("__sel_v").alias("hi"),
                 )
-                .collect()
-            )
             by_key: dict[tuple, list] = {}
             for r in coarse:
                 by_key.setdefault(

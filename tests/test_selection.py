@@ -312,3 +312,37 @@ def test_mad_robust_oracle_alignment_with_nulls(spark, tmp_path):
             assert not problems, f"{q} on NULL ladder: {problems}"
     finally:
         con.close()
+
+
+def test_nullable_integer_group_key_stays_exact_int(spark):
+    """The r10 coarse round moves its histogram over Arrow
+    (toArrow().to_pylist()). A nullable INTEGER group key must come
+    back as exact Python ints / None — the pandas path would coerce
+    the column to float64 (NaN for NULL), silently turning group
+    keys into floats in the result records."""
+    rows = [
+        {"g": g, "v": v, "w": w}
+        for g, vals in [
+            (1, [(5, 2), (9, 1), (1, 3)]),
+            (2, [(4, 1), (8, 5)]),
+            (None, [(7, 2), (3, 2)]),
+        ]
+        for v, w in vals
+    ]
+    sdf = spark.createDataFrame(rows, "g bigint, v bigint, w bigint")
+    got = grouped_select(
+        sdf, "v",
+        lambda st: {"half": (st.total_weight + 1) // 2},
+        group_cols=["g"], weight_col="w",
+    )
+    by_key = {rec["g"]: rec for rec in got}
+    assert set(by_key) == {1, 2, None}
+    for k in by_key:
+        assert k is None or type(k) is int
+    # weighted medians by hand (target = (total+1)//2):
+    # g=1 total 6, target 3: sorted 1(w3),5(w2),9(w1) -> cum 3 at 1
+    assert by_key[1]["half"] == 1
+    # g=2 total 6, target 3: 4(w1),8(w5) -> cum 6 at 8
+    assert by_key[2]["half"] == 8
+    # g=None total 4, target 2: 3(w2),7(w2) -> cum 2 at 3
+    assert by_key[None]["half"] == 3
