@@ -967,38 +967,44 @@ def f_title_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: `oclc/classify.py:816-839` (threshold 0.25 token
     overlap), `oclc/linked_data.py:1095-1104` (proportion overlap).
     """
-    from metadata_wrangler_spark.operators.dedup import md5_long
     p = load(spark, sf_dir, "part")
     # distinct tokens per doc JVM-side; per-doc sizes map-side from
-    # the array (no extra shuffle); the candidate join runs on the
-    # hashed token (bigint ≪ string shuffle bytes) with the token
-    # table cached for both sides.
-    # cached: the token table (both self-join sides) AND both size
-    # lookups derive from this projection — one scan + one
-    # split/distinct instead of four.
+    # the array (no extra shuffle).
+    # cached: the token explosion AND both size lookups derive from
+    # this projection — one scan + one split/distinct instead of
+    # three.
     base = p.select(
         "p_partkey", "p_brand",
         F.array_distinct(F.split(F.col("p_name"), " ")).alias("ws"),
     ).cache()
     sets = base.select("p_partkey", F.size("ws").alias("n_tokens"))
-    tok = base.select(
-        "p_partkey", "p_brand", F.explode("ws").alias("w")
-    ).select(
-        "p_partkey", "p_brand", md5_long(F.col("w")).alias("hw")
-    ).cache()
-    a = tok.alias("a")
-    b = tok.alias("b")
+    tok = base.select("p_partkey", "p_brand", F.explode("ws").alias("w"))
+    # Candidate pairs via bucket grouping + within-row HOF expansion
+    # (the operators/dedup._shared_counts spelling, bucketed on
+    # (token, brand)): one exchange on the bucket key instead of the
+    # equi-self-join's two plus its hash build/probe — r10 interleaved
+    # A/B, 5 medians: join 2.58 s vs 2.09 s at sf0.1, rows identical.
+    # No hashing: the bucket key never rides a join, tokens are short
+    # (≤ hash width), and raw-token grouping is exactly the oracle's
+    # equality classes. Each partkey appears at most once per
+    # (token, brand) bucket (array_distinct + one row per part), so
+    # the strict upper-triangle slice alone yields key_a < key_b.
+    g = tok.groupBy("w", "p_brand").agg(
+        F.sort_array(F.collect_list("p_partkey")).alias("ids")
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.hw") == F.col("b.hw"))
-            & (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        g.where(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS key_a, b AS key_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-        )
+        .select("p.key_a", "p.key_b")
+        .groupBy("key_a", "key_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sets.select(F.col("p_partkey").alias("key_a"),
