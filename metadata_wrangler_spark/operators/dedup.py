@@ -196,14 +196,32 @@ def ngram_jaccard_pairs(
             .select("hp")
         )
         cand_src = sh.join(F.broadcast(hot), "hp", "left_anti")
+        # Candidate pairs via the _shared_counts bucket-HOF spelling
+        # (groupBy hp -> sorted id list -> strict-upper-triangle
+        # expansion): one exchange on hp instead of the equi-self-
+        # join's two plus its hash build/probe. r10 interleaved A/B
+        # at sf1 (10x): join 14.7 s vs HOF 9.1 s full-query medians,
+        # rows identical. Pair volume is df² per cold bucket in both
+        # spellings — max_doc_freq bounds the array exactly as it
+        # bounded the join bucket.
+        g = cand_src.groupBy("hp").agg(
+            F.sort_array(F.collect_list("id")).alias("ids")
+        )
         cand = (
-            cand_src.alias("a").join(
-                cand_src.alias("b"),
-                (F.col("a.hp") == F.col("b.hp"))
-                & (F.col("a.id") < F.col("b.id")),
+            g.where(F.size("ids") > 1)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (a, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), "
+                        "b -> struct(a AS id_a, b AS id_b))))"
+                    )
+                ).alias("p")
             )
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"))
+            # a 64-bit hp collision inside one doc would yield an
+            # (x,x) row the join spelling never emits; drop it
+            .where(F.col("p.id_a") != F.col("p.id_b"))
+            .select("p.id_a", "p.id_b")
             .dropDuplicates()
         )
         # score surviving candidates on FULL shingle sets
