@@ -20,13 +20,23 @@ _K = 5
 # join spellings score |Q|·|C| pairs through interpreted per-pair
 # work (HOF fold, resp. join-row materialization x M subspaces) and
 # |Q| here grows with the corpus (every 101st vector), so their cost
-# is quadratic-in-corpus. Up to this pair budget they win (pure
-# Catalyst, no Python workers, ~2x faster than the kernel at sf1's
-# 4e6 pairs); past it the fused Arrow kernels take over — at the
-# 100x ladder (sf10: 4e8 pairs) the PQ join spelling was killed
-# after 25 minutes while the kernel runs the same pairs in seconds.
-# Tiers are row-identical by test (exact integer scores, same ties).
-_ANN_EXPR_PAIR_BUDGET = 10_000_000
+# is quadratic-in-corpus. The fused Arrow kernels take over past
+# this pair budget — at the 100x ladder (sf10: 4e8 pairs) the PQ
+# join spelling was killed after 25 minutes while the kernel runs
+# the same pairs in seconds. Tiers are row-identical by test (exact
+# integer scores, same ties).
+#
+# Budget 30k (kernel from |C| ≈ 1.7k): the r10 interleaved tier A/B
+# re-measured both queries at sf0.001 / sf0.1 / sf1 and the kernel
+# won or tied at EVERY scale (sim_pq_topk 1.56->0.97 / 1.80->0.99 /
+# 5.03->1.74 s medians; sim_quantized_topk tie / 1.41->1.21 /
+# 5.77->1.57 s) — the kernel's fixed Arrow/worker cost is amortized
+# by ~2k vectors, and the earlier "join tier ~2x faster at sf1"
+# reading did not reproduce once the tiers were interleaved in one
+# session. The join tier remains the sub-2k path (degenerate and
+# ladder-mirror corpora), where pure Catalyst avoids Python worker
+# spin-up on near-empty input.
+_ANN_EXPR_PAIR_BUDGET = 30_000
 
 
 def _past_pair_budget(emb) -> bool:
