@@ -260,6 +260,66 @@ def ivf_assign(
     )
 
 
+def ivf_partial_moments(
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+):
+    """Arrow kernel fusing the Lloyd-step map side: per batch, score
+    every vector against each centroid (accumulating over the vector
+    DIMENSION — the same left-associated IEEE chain as
+    ``_dot_plane_sql``'s fold, so the argmax cell is bit-identical
+    to ``ivf_assign``'s first-max-wins expression), then fold the
+    batch straight into per-(cell, pos) partial aggregates: member
+    count and the sum of floor(v*10000+0.5) int64 quantized
+    components. One task emits at most k*dim rows, so the shuffle
+    feeding the final (cell, pos) aggregation carries codebook-sized
+    partials instead of the dim-fanned posexplode stream — map-side
+    aggregation in the kernel itself (guide: aggregate before you
+    shuffle). Integer partial sums are associative, so the global
+    sums — and the means derived from them — are bit-identical to
+    the expression spelling at any partitioning.
+
+    Returns (generator, schema) for ``mapInPandas`` over a
+    ``vec_col``-only projection with NULL vectors already filtered.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    k, dim = C.shape
+
+    def moments(batches):
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = E.shape[0]
+            scores = np.zeros((n, k))
+            for d in range(dim):
+                scores += E[:, d:d + 1] * C[:, d]
+            cell = np.argmax(scores, axis=1)  # first max wins, like
+            # array_position(scores, array_max(scores))
+            q = np.floor(E * 10000.0 + 0.5).astype(np.int64)
+            np.add.at(sums, cell, q)
+            counts += np.bincount(cell, minlength=k)
+        nz = np.flatnonzero(counts)
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(nz.astype(np.int32), dim),
+                    "pos": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                    "cnt": np.repeat(counts[nz], dim),
+                    "qsum": sums[nz].reshape(-1),
+                }
+            )
+
+    return moments, "cell int, pos int, cnt long, qsum long"
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2939,11 +2939,14 @@ def txt_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts coalescing to 0 whose bin() length of 1 acts as add-one
     smoothing), so the weights are bit-reproducible across engines.
 
-    Scale shape: one bigram explode, four vocabulary-bounded
-    hash-aggregates (two per LM), four equi-joins back on the
-    bigram/prefix keys — the Zipf head of every count table
-    broadcasts at scale, and the raw corpus shuffles only its
-    bigram stream, exactly like the surprisal plan it extends.
+    Scale shape (round-10): the bigram stream aggregates ONCE, on
+    the (prefix, bigram) pair key — all four LM count tables
+    (target/raw x bigram/prefix) derive from that pair table by
+    window summation over the vocabulary-bounded distinct pairs —
+    and the scoring leg joins back once on the pair key. The Zipf
+    head of the count table broadcasts at scale, and the raw corpus
+    shuffles only its bigram stream, exactly like the surprisal
+    plan it extends.
     """
     docs = load(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()  # NULL-payload rule
@@ -2983,19 +2986,33 @@ def txt_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     ).select("doc_id", "is_tgt", "t.pfx", "t.bg")
     tgt_flag = F.when(F.col("is_tgt"), 1).otherwise(0)
-    bgc = big.groupBy("bg").agg(
-        F.sum(tgt_flag).alias("tb_c"),
-        F.sum(1 - tgt_flag).alias("rb_c"),
+    # Round-10 rewrite: ONE full-stream aggregation on the (pfx, bg)
+    # PAIR key; the per-bg and per-pfx totals both derive from the
+    # pair table by summation (integer sums are associative — the
+    # counts are the exact values the separate groupBy("bg") /
+    # groupBy("pfx") legs produced), computed as two window sums over
+    # the vocabulary-bounded distinct-pair table. The bigram stream
+    # is evaluated twice (pair leg + scoring leg) instead of three
+    # times, shuffles once instead of twice, and the scoring leg
+    # joins back ONCE on (pfx, bg) instead of once per key.
+    pair = big.groupBy("pfx", "bg").agg(
+        F.sum(tgt_flag).alias("t_c"),
+        F.sum(1 - tgt_flag).alias("r_c"),
     )
-    pfc = big.groupBy("pfx").agg(
-        F.sum(tgt_flag).alias("tp_c"),
-        F.sum(1 - tgt_flag).alias("rp_c"),
+    wb = W.partitionBy("bg")
+    wp = W.partitionBy("pfx")
+    cnt = pair.select(
+        "pfx",
+        "bg",
+        F.sum("t_c").over(wb).alias("tb_c"),
+        F.sum("r_c").over(wb).alias("rb_c"),
+        F.sum("t_c").over(wp).alias("tp_c"),
+        F.sum("r_c").over(wp).alias("rp_c"),
     )
     bitlen = lambda c: F.length(F.bin(F.coalesce(c, F.lit(0))))  # noqa: E731
     w = (
         big.where(~F.col("is_tgt"))
-        .join(bgc, "bg")
-        .join(pfc, "pfx")
+        .join(cnt, ["pfx", "bg"])
         .select(
             "doc_id",
             (

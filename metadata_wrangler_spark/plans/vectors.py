@@ -563,43 +563,40 @@ def sim_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sampled k-means job" the IVF tier's docstring defers to,
     actually shipped.
 
-    Scale shape: posexplode fans each vector into dim rows, then ONE
-    hash aggregation on (cell, pos) with map-side partial combine —
-    no driver-side vectors, no collect. Iterating K steps is a
-    driver loop over this plan with the new centroids re-broadcast
-    each round (same checkpoint cadence as operators/closure.py);
-    at 100 TB you train on a deterministic hash-sample
+    Scale shape (round-10 fused kernel): one Arrow pass
+    (`operators.similarity.ivf_partial_moments`) scores, assigns AND
+    folds each batch into per-(cell, pos) int64 partial aggregates —
+    the shuffle feeding the final (cell, pos) aggregation carries at
+    most tasks x k x dim partial rows instead of the posexplode's
+    dim-fanned full stream, and the 16x64 HOF score evaluation per
+    row becomes numpy multiply-adds. Iterating K steps is a driver
+    loop over this plan with the new centroids re-broadcast each
+    round (same checkpoint cadence as operators/closure.py); at
+    100 TB you train on a deterministic hash-sample
     (txt_mixture_sample's gate) and assign the full corpus once.
 
-    Means use the engine's order-independent decimal accumulation
-    (plans/relational.dsum) so the refreshed centroids are
-    bit-identical across engines and partitionings.
+    Means derive from integer partial sums (associative), so the
+    refreshed centroids are bit-identical across engines and
+    partitionings; the final re-quantization uses the explicit floor
+    trick, NOT a DECIMAL cast: double→decimal tie rounding differs
+    between engines on boundary values; floor(x*1e6+0.5) is the
+    same IEEE chain everywhere.
     """
     emb = load(spark, sf_dir, "embeddings")
-    assigned = similarity.ivf_assign(emb, _CENTROIDS).select(
-        "embedding", "cell"
+    gen, schema = similarity.ivf_partial_moments(_CENTROIDS)
+    partial = (
+        emb.where(F.col("embedding").isNotNull())
+        .select("embedding")
+        .mapInPandas(gen, schema)
     )
-    dims = assigned.select(
-        "cell", F.posexplode(F.col("embedding")).alias("pos", "v")
-    )
-    val = F.col("v").cast("double")
     return (
-        dims.groupBy("cell", "pos")
+        partial.groupBy("cell", "pos")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            # final re-quantization via the explicit floor trick, NOT
-            # a DECIMAL cast: double→decimal tie rounding differs
-            # between engines on boundary values; floor(x*1e6+0.5) is
-            # the same IEEE chain everywhere.
+            F.sum("cnt").alias("n_members"),
             (
                 F.floor(
-                    (
-                        F.sum(
-                            F.floor(val * 10000 + F.lit(0.5)).cast("bigint")
-                        )
-                        / F.lit(10000.0)
-                    )
-                    / F.count(F.lit(1))
+                    (F.sum("qsum") / F.lit(10000.0))
+                    / F.sum("cnt")
                     * 1000000
                     + F.lit(0.5)
                 ).cast("bigint")

@@ -34,6 +34,9 @@ ARROW_STAGES = {
     "sim_recall_eval",
     # per-bucket pairwise Arrow scorer (cosine_pairs_arrow)
     "sim_knn_graph",
+    # fused Lloyd-step kernel: assign + per-(cell,pos) int64 partial
+    # aggregates in one Arrow pass (ivf_partial_moments, round 10)
+    "sim_ivf_train_step",
 }
 
 

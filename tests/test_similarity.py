@@ -236,6 +236,46 @@ def test_multitable_arrow_buckets_match_expression_spelling(spark):
     sexp = sorted(tuple(r) for r in expr.collect())
     assert sgot == sexp
 
+def test_ivf_partial_moments_match_posexplode_spelling(spark):
+    """The PRODUCTION fused Lloyd-step kernel (ivf_partial_moments —
+    the one sim_ivf_train_step ships) must reproduce the
+    ivf_assign + posexplode + hash-aggregate spelling the oracle is
+    generated from, bit-for-bit: same argmax cell per vector (the
+    left-fold score chain), same per-(cell, pos) member counts and
+    quantized sums at ANY partitioning (int64 partials are
+    associative)."""
+    from pyspark.sql import functions as F
+
+    from metadata_wrangler_spark.operators import similarity as sim
+    from metadata_wrangler_spark.plans.vectors import _CENTROIDS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr = (
+        sim.ivf_assign(emb, _CENTROIDS)
+        .select("cell", F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.floor(F.col("v").cast("double") * 10000 + F.lit(0.5))
+                .cast("bigint")
+            ).alias("qsum"),
+        )
+    )
+    gen, schema = sim.ivf_partial_moments(_CENTROIDS)
+    kernel = (
+        emb.where(F.col("embedding").isNotNull())
+        .select("embedding")
+        .repartition(7)  # partials fold across an odd partitioning
+        .mapInPandas(gen, schema)
+        .groupBy("cell", "pos")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("qsum").alias("qsum"))
+    )
+    sgot = sorted(tuple(r) for r in kernel.collect())
+    sexp = sorted(tuple(r) for r in expr.collect())
+    assert sgot == sexp
+
+
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
 def test_knn_graph_edges_subset_of_bucket_pairs(spark, sf_dir):
     """sim_knn_graph invariants: every vector with ≥1 co-occupant
