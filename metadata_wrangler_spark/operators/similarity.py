@@ -260,6 +260,27 @@ def ivf_assign(
     )
 
 
+# Tier budget for the fused corpus-scan ANN spellings (multi-table
+# LSH collision scan, and since round 10 the IVF cell scan), in
+# (query x corpus) PAIRS — the unit both tiers' dominant
+# cost scales in. Measured economics (sf10 ladder, 200k vectors x
+# 1980 queries = 4x10^8 pairs, local[32]): the fused scan runs the
+# whole corpus in ~27 s (6.8x10^-8 s/pair — dim+L fused
+# multiply-adds at numpy speed), while the bucket-join spelling took
+# 130 s on the SAME data because this corpus' collision selectivity
+# (~0.65) makes candidate pruning recover almost nothing while its
+# shuffle + per-corpus-row candidate grouping constants stay. Below
+# the budget (<= ~70 s of scan work) the fused tier therefore wins
+# at ANY selectivity: scoring the full pair matrix costs at most
+# (dim+L)/(selectivity*dim) times the candidates-only work, and the
+# bucket tier's join machinery costs more than that slack. Past the
+# budget the bucket join is the right plan — at warehouse scale the
+# corpus bucket table is written once as parquet BUCKETED BY
+# (table_no, bucket), so candidate generation is storage-pruned and
+# never rescans the corpus per query batch.
+FUSED_PAIR_BUDGET = 1_000_000_000
+
+
 def ivf_partial_moments(
     centroids: list[list[float]],
     vec_col: str = "embedding",
@@ -329,17 +350,140 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred=None,
+    corpus_count_hint: int | None = None,
+    fused_pair_budget: int = FUSED_PAIR_BUDGET,
 ) -> DataFrame:
     """IVF approximate cosine top-k: corpus vectors live in their
     argmax-centroid cell; each query probes its ``nprobe`` best
     cells. Exact cosine re-ranks the candidates.
 
-    Scale shape: the corpus-side cell assignment is computed once and
-    written as cell-partitioned parquet, after which a query batch
-    reads only its probed cells (partition pruning — the IVF "inverted
-    lists"). The probe explode happens on the (small, broadcast)
-    query side only; the join stays an equi-join on cell id.
+    Adaptive two-tier (round 10 — the multitable-LSH fused-scan
+    economics applied to IVF; see ``FUSED_PAIR_BUDGET``):
+
+    * **Fused cell-scan tier** (|Q|·|C| within budget): the probed
+      cells of every (bounded, driver-collected) query are a
+      function of the CELL alone, so candidate generation needs no
+      join at all — one ``mapInPandas`` over the corpus assigns each
+      batch's cells (the same left-fold argmax as ``ivf_assign``),
+      scores each cell block against the queries probing that cell,
+      and emits per-query batch top-k. The per-candidate-pair
+      interpreted HOF dot of the join tier — the dominant sf10 cost
+      — becomes numpy multiply-adds; the corpus vector never leaves
+      its scan task.
+    * **Cell-join tier** (past budget): the original equi-join on
+      cell id with broadcast probe rows. At cluster scale the cell
+      assignment is written once as cell-partitioned parquet and a
+      query batch reads only its probed cells (partition pruning —
+      the IVF "inverted lists").
+
+    Tiers are row-identical (same fold order, same argmax/probe tie
+    rules, same window); zero-norm vectors (0/0 → NaN cosine) are
+    dropped in BOTH tiers so the probe never changes results on
+    degenerate input (the ADVICE round-9 rule).
     """
+    import numpy as np
+    import pandas as pd
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    n_cells = len(centroids)
+
+    if query_pred is not None:
+        qdf = corpus.where(query_pred(F.col(id_col)))
+    else:
+        qdf = queries
+    qdf = qdf.where(F.col(vec_col).isNotNull())
+
+    # Bounded query matrix — the broadcast side by contract (the
+    # same collect the multitable fused tier ships).
+    qrows = qdf.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank int"
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    nq, dim = qm.shape
+
+    # ---- tier probe (FUSED_PAIR_BUDGET economics) ----
+    n_corpus = corpus_count_hint
+    if n_corpus is None:
+        cap = max(fused_pair_budget // nq, 1)
+        n_corpus = corpus.select(id_col).limit(cap + 1).count()
+    if n_corpus * nq <= fused_pair_budget:
+        C = np.asarray(centroids, dtype=np.float64)  # (n_cells, dim)
+        # query-side centroid scores + norms: the same left-fold
+        # chains as _dot_plane_sql / norm(), driver-side.
+        qs_mat = np.zeros((nq, n_cells))
+        for d in range(dim):
+            qs_mat += qm[:, d:d + 1] * C[:, d]
+        qn = np.zeros(nq)
+        for d in range(dim):
+            qn += qm[:, d] * qm[:, d]
+        qn = np.sqrt(qn)
+        # probe cells: ORDER BY score DESC, cell ASC — a stable
+        # ascending argsort of -score keeps cell order on ties.
+        probes = np.argsort(-qs_mat, axis=1, kind="stable")[:, :nprobe]
+        qidx_by_cell = [
+            np.flatnonzero((probes == c).any(axis=1))
+            for c in range(n_cells)
+        ]
+
+        def fused(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cm = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                nb = len(c_ids)
+                s = np.zeros((nb, n_cells))
+                for d in range(dim):
+                    s += cm[:, d:d + 1] * C[:, d]
+                cell = np.argmax(s, axis=1)  # first max wins
+                cn = np.zeros(nb)
+                for d in range(dim):
+                    cn += cm[:, d] * cm[:, d]
+                cn = np.sqrt(cn)
+                out = {"query_id": [], "corpus_id": [], "cosine": []}
+                for c in np.unique(cell):
+                    qi = qidx_by_cell[c]
+                    if not len(qi):
+                        continue
+                    ci = np.flatnonzero(cell == c)
+                    sub = cm[ci]
+                    acc = np.zeros((len(ci), len(qi)))
+                    for d in range(dim):
+                        acc += sub[:, d][:, None] * qm[qi, d][None, :]
+                    cos = acc / (cn[ci][:, None] * qn[qi][None, :])
+                    cos = (np.sign(cos)
+                           * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6)
+                    cos[c_ids[ci][:, None] == q_ids[qi][None, :]] = -np.inf
+                    sub_ids = c_ids[ci]
+                    kk = min(k, len(ci))
+                    for j in range(len(qi)):
+                        col = cos[:, j]
+                        order = np.lexsort((sub_ids, -col))[:kk]
+                        keep = order[np.isfinite(col[order])]
+                        out["query_id"].extend([q_ids[qi[j]]] * len(keep))
+                        out["corpus_id"].extend(sub_ids[keep])
+                        out["cosine"].extend(col[keep])
+                yield pd.DataFrame(out)
+
+        scored = (
+            corpus.where(F.col(vec_col).isNotNull())
+            .select(id_col, vec_col)
+            .mapInPandas(
+                fused, schema="query_id long, corpus_id long, cosine double"
+            )
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank")
+        )
+
+    # ---- cell-join tier ----
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     if query_pred is not None:
         # corpus-side cells AND the query slice read `assigned`;
@@ -365,7 +509,6 @@ def ivf_cosine_topk(
     # exploded probe rows into a per-query window — a whole extra
     # exchange + window stage for a ≤ n_centroids-element ranking
     # that fits in one array.
-    n_cells = len(centroids)
     probe_cells = F.expr(
         f"transform(slice(array_sort("
         f"zip_with(cell_scores, sequence(0, {n_cells - 1}), "
@@ -388,8 +531,11 @@ def ivf_cosine_topk(
         .select("query_id", "corpus_id", sim_r.alias("cosine"))
         # a corpus vector sits in exactly one cell, so (query, corpus)
         # pairs are already distinct — no dedup shuffle needed.
+        # Zero-norm vectors (0/0 → NaN cosine) are dropped exactly as
+        # the fused tier's isfinite keep-mask drops them (ADVICE
+        # round-9 rule: the tier probe never changes results).
+        .where(~F.isnan(F.col("cosine")))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -447,24 +593,6 @@ def multitable_bucket_pass(
     return buckets, f"{out_id} long, table_no int, bucket int"
 
 
-# Tier budget for the fused collision-scan spelling of multi-table
-# LSH, in (query x corpus) PAIRS — the unit both tiers' dominant
-# cost scales in. Measured economics (sf10 ladder, 200k vectors x
-# 1980 queries = 4x10^8 pairs, local[32]): the fused scan runs the
-# whole corpus in ~27 s (6.8x10^-8 s/pair — dim+L fused
-# multiply-adds at numpy speed), while the bucket-join spelling took
-# 130 s on the SAME data because this corpus' collision selectivity
-# (~0.65) makes candidate pruning recover almost nothing while its
-# shuffle + per-corpus-row candidate grouping constants stay. Below
-# the budget (<= ~70 s of scan work) the fused tier therefore wins
-# at ANY selectivity: scoring the full pair matrix costs at most
-# (dim+L)/(selectivity*dim) times the candidates-only work, and the
-# bucket tier's join machinery costs more than that slack. Past the
-# budget the bucket join is the right plan — at warehouse scale the
-# corpus bucket table is written once as parquet BUCKETED BY
-# (table_no, bucket), so candidate generation is storage-pruned and
-# never rescans the corpus per query batch.
-FUSED_PAIR_BUDGET = 1_000_000_000
 
 
 def lsh_cosine_topk_multitable(

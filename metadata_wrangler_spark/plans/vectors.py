@@ -374,19 +374,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every corpus vector is assigned to its nearest coarse centroid
     (argmax dot over {_N_CENTROIDS} cells); each query probes its
-    2 best cells. Candidate generation is an equi-join on cell id —
-    the corpus side is scanned once; at cluster scale the cell
-    assignment is written once as cell-partitioned parquet and a
-    query batch reads only its probed cells (partition pruning =
-    the IVF inverted lists). Complements the LSH tiers: same join
-    shape, but the partition follows the corpus's own geometry
-    rather than random hyperplanes.
+    2 best cells. Candidate generation is adaptive (round 10, the
+    multitable fused-scan economics): within the pair budget one
+    Arrow pass assigns cells AND scores each cell block against the
+    queries probing it — no candidate join, no per-pair interpreted
+    HOF dot; past the budget it is the original equi-join on cell
+    id, where at cluster scale the cell assignment is written once
+    as cell-partitioned parquet and a query batch reads only its
+    probed cells (partition pruning = the IVF inverted lists).
+    Complements the LSH tiers: same shape, but the partition follows
+    the corpus's own geometry rather than random hyperplanes.
     """
     emb = load(spark, sf_dir, "embeddings")
     corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    # Vector count is a parquet-metadata lookup — the tier probe's
+    # stats input, same pattern as sim_lsh_multitable_topk's hint.
     return similarity.ivf_cosine_topk(
         corpus, None, _CENTROIDS, k=_K, nprobe=_NPROBE,
         query_pred=lambda c: c % 101 == 0,
+        corpus_count_hint=emb.count(),
     )
 
 

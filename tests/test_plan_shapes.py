@@ -37,6 +37,9 @@ ARROW_STAGES = {
     # fused Lloyd-step kernel: assign + per-(cell,pos) int64 partial
     # aggregates in one Arrow pass (ivf_partial_moments, round 10)
     "sim_ivf_train_step",
+    # fused IVF cell-scan tier: assign + per-cell block scoring in
+    # one Arrow pass under the pair budget (round 10)
+    "sim_ivf_topk",
 }
 
 

@@ -236,6 +236,29 @@ def test_multitable_arrow_buckets_match_expression_spelling(spark):
     sexp = sorted(tuple(r) for r in expr.collect())
     assert sgot == sexp
 
+def test_ivf_topk_tiers_row_identical(spark):
+    """The IVF tier probe must only pick an implementation, never a
+    result: the fused cell-scan kernel (budget default) and the
+    cell-join tier (budget forced to 0) return identical rows —
+    same probed cells, same candidates, same rounded cosines, same
+    rank tie-breaks."""
+    from metadata_wrangler_spark.catalog import load
+    from metadata_wrangler_spark.plans.vectors import _CENTROIDS
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    pred = lambda c: c % 101 == 0  # noqa: E731
+    fused = similarity.ivf_cosine_topk(
+        emb, None, _CENTROIDS, k=5, nprobe=2, query_pred=pred
+    )
+    join = similarity.ivf_cosine_topk(
+        emb, None, _CENTROIDS, k=5, nprobe=2, query_pred=pred,
+        fused_pair_budget=0,
+    )
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, join.collect())
+    )
+
+
 def test_ivf_partial_moments_match_posexplode_spelling(spark):
     """The PRODUCTION fused Lloyd-step kernel (ivf_partial_moments —
     the one sim_ivf_train_step ships) must reproduce the
