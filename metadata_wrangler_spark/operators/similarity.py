@@ -165,6 +165,8 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     probe_hamming: int = 0,
     query_pred=None,
+    corpus_count_hint: int | None = None,
+    fused_pair_budget: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the hyperplane
     bucket, exact cosine re-ranks within the bucket.
@@ -173,13 +175,152 @@ def lsh_cosine_topk(
     probes buckets within that Hamming distance of its own (sign
     bits near a hyperplane are the ones that flip for near
     neighbours). Recall rises steeply for a linear cost in probes —
-    still an equi-join, the probe set is exploded on the (small)
-    query side, never the corpus side.
+    the probe set grows on the (small) query side only, never the
+    corpus side.
 
-    At scale, bucket the corpus ONCE (write bucketed parquet /
-    cluster by bucket) and this becomes a bucket-pruned scan per
-    query batch instead of a full pass.
+    Adaptive two-tier (round 10, the multitable/IVF fused-scan
+    economics — see ``FUSED_PAIR_BUDGET``): within the pair budget,
+    candidate generation needs no join — the probed-bucket →
+    query-list map is computed driver-side from the bounded query
+    matrix, and one ``mapInPandas`` corpus pass computes each
+    batch's bucket codes (the same left-fold sign chain as
+    ``_bucket_sql``) and scores each bucket block against its
+    probing queries in numpy; the per-candidate-pair interpreted
+    HOF dot of the join tier disappears. Past the budget: the
+    original bucket equi-join — at scale, bucket the corpus ONCE
+    (write bucketed parquet / cluster by bucket) and it becomes a
+    bucket-pruned scan per query batch instead of a full pass.
+    Tiers are row-identical; zero-norm (NaN-cosine) rows drop in
+    BOTH tiers (ADVICE round-9 rule).
     """
+    import numpy as np
+    import pandas as pd
+
+    if probe_hamming > 2:
+        raise ValueError(
+            "probe_hamming > 2 is not implemented (probe count grows "
+            f"as C(bits, d); got {probe_hamming})"
+        )
+    if fused_pair_budget is None:
+        fused_pair_budget = FUSED_PAIR_BUDGET
+    n_bits = len(planes)
+    masks = [0]
+    if probe_hamming > 0:
+        masks += [1 << i for i in range(n_bits)]
+    if probe_hamming > 1:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+
+    qdf = (
+        corpus.where(query_pred(F.col(id_col)))
+        if query_pred is not None
+        else queries
+    )
+    qdf = qdf.where(F.col(vec_col).isNotNull())
+    # Bounded query matrix — the broadcast side by contract.
+    qrows = qdf.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank int"
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    nq, dim = qm.shape
+
+    # ---- tier probe (FUSED_PAIR_BUDGET economics) ----
+    n_corpus = corpus_count_hint
+    if n_corpus is None:
+        cap = max(fused_pair_budget // nq, 1)
+        n_corpus = corpus.select(id_col).limit(cap + 1).count()
+    if n_corpus * nq <= fused_pair_budget:
+        plane_arrs = [np.asarray(p, dtype=np.float64) for p in planes]
+        # query bucket codes + norms: the same left-fold chains as
+        # _bucket_sql / norm(), driver-side.
+        code_q = np.zeros(nq, dtype=np.int64)
+        for bit, p in enumerate(plane_arrs):
+            acc = np.zeros(nq)
+            for i in range(dim):
+                acc += qm[:, i] * p[i]
+            code_q |= (acc >= 0.0).astype(np.int64) << bit
+        qn = np.zeros(nq)
+        for i in range(dim):
+            qn += qm[:, i] * qm[:, i]
+        qn = np.sqrt(qn)
+        # probed-bucket → query-index lists. Distinct masks give a
+        # query distinct probe codes, and a corpus row holds ONE
+        # code, so every (query, corpus) pair arises at most once —
+        # identical to the exploded-probe equi-join's semantics.
+        qidx_by_code: dict = {}
+        for m in masks:
+            for qx in range(nq):
+                qidx_by_code.setdefault(int(code_q[qx]) ^ m, []).append(qx)
+        qidx_by_code = {
+            c: np.asarray(v, dtype=np.int64)
+            for c, v in qidx_by_code.items()
+        }
+
+        def fused(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cm = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                nb = len(c_ids)
+                code_c = np.zeros(nb, dtype=np.int64)
+                for bit, p in enumerate(plane_arrs):
+                    acc = np.zeros(nb)
+                    for i in range(dim):
+                        acc += cm[:, i] * p[i]
+                    code_c |= (acc >= 0.0).astype(np.int64) << bit
+                cn = np.zeros(nb)
+                for i in range(dim):
+                    cn += cm[:, i] * cm[:, i]
+                cn = np.sqrt(cn)
+                out = {"query_id": [], "corpus_id": [], "cosine": []}
+                for code in np.unique(code_c):
+                    qi = qidx_by_code.get(int(code))
+                    if qi is None:
+                        continue
+                    ci = np.flatnonzero(code_c == code)
+                    sub = cm[ci]
+                    acc = np.zeros((len(ci), len(qi)))
+                    for i in range(dim):
+                        acc += sub[:, i][:, None] * qm[qi, i][None, :]
+                    cos = acc / (cn[ci][:, None] * qn[qi][None, :])
+                    cos = (np.sign(cos)
+                           * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6)
+                    cos[c_ids[ci][:, None] == q_ids[qi][None, :]] = -np.inf
+                    sub_ids = c_ids[ci]
+                    kk = min(k, len(ci))
+                    for j in range(len(qi)):
+                        col = cos[:, j]
+                        order = np.lexsort((sub_ids, -col))[:kk]
+                        keep = order[np.isfinite(col[order])]
+                        out["query_id"].extend([q_ids[qi[j]]] * len(keep))
+                        out["corpus_id"].extend(sub_ids[keep])
+                        out["cosine"].extend(col[keep])
+                yield pd.DataFrame(out)
+
+        scored = (
+            corpus.where(F.col(vec_col).isNotNull())
+            .select(id_col, vec_col)
+            .mapInPandas(
+                fused, schema="query_id long, corpus_id long, cosine double"
+            )
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine", "rank")
+        )
+
+    # ---- bucket-join tier ----
     cb = hyperplane_buckets(corpus, planes, id_col, vec_col).withColumnsRenamed(
         {id_col: "corpus_id", vec_col: "cvec"}
     )
@@ -198,21 +339,10 @@ def lsh_cosine_topk(
         qb = hyperplane_buckets(
             queries, planes, id_col, vec_col
         ).withColumnsRenamed({id_col: "query_id", vec_col: "qvec"})
-    if probe_hamming > 2:
-        raise ValueError(
-            "probe_hamming > 2 is not implemented (probe count grows "
-            f"as C(bits, d); got {probe_hamming})"
-        )
     if probe_hamming > 0:
-        probes = [F.col("bucket")]
-        for i in range(len(planes)):
-            probes.append(F.col("bucket").bitwiseXOR(F.lit(1 << i)))
-        if probe_hamming > 1:
-            for i in range(len(planes)):
-                for j in range(i + 1, len(planes)):
-                    probes.append(
-                        F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-                    )
+        probes = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks[1:]
+        ]
         qb = qb.withColumn("bucket", F.explode(F.array(*probes)))
     cb = cb.withColumn("cn", norm(F.col("cvec")))
     qb = qb.withColumn("qn", norm(F.col("qvec")))
@@ -222,8 +352,11 @@ def lsh_cosine_topk(
         cb.join(F.broadcast(qb), "bucket")
         .where(F.col("query_id") != F.col("corpus_id"))
         .select("query_id", "corpus_id", sim_r.alias("cosine"))
+        # Zero-norm vectors (0/0 → NaN cosine) are dropped exactly as
+        # the fused tier's isfinite keep-mask drops them (ADVICE
+        # round-9 rule: the tier probe never changes results).
+        .where(~F.isnan(F.col("cosine")))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

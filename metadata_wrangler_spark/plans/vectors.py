@@ -171,6 +171,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_topk(
         emb, None, _PLANES, k=_K,
         query_pred=lambda c: c % 101 == 0,
+        corpus_count_hint=emb.count(),
     )
 
 
@@ -230,6 +231,7 @@ def sim_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_topk(
         emb, None, _PLANES, k=_K, probe_hamming=1,
         query_pred=lambda c: c % 101 == 0,
+        corpus_count_hint=emb.count(),
     )
 
 
@@ -1453,6 +1455,7 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = similarity.lsh_cosine_topk(
         emb, None, _PLANES, k=_K, query_pred=lambda c: c % 101 == 0,
+        corpus_count_hint=emb.count(),
     ).select("query_id", "corpus_id", F.col("rank").alias("a_rank"))
     return (
         exact.join(

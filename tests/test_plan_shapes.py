@@ -40,6 +40,10 @@ ARROW_STAGES = {
     # fused IVF cell-scan tier: assign + per-cell block scoring in
     # one Arrow pass under the pair budget (round 10)
     "sim_ivf_topk",
+    # fused single-table LSH bucket-scan tier, same economics
+    # (round 10); pipe_semantic_search's candidate stage is the
+    # same operator
+    "sim_lsh_topk", "sim_lsh_probe_topk", "pipe_semantic_search",
 }
 
 

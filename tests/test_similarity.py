@@ -236,6 +236,32 @@ def test_multitable_arrow_buckets_match_expression_spelling(spark):
     sexp = sorted(tuple(r) for r in expr.collect())
     assert sgot == sexp
 
+@pytest.mark.parametrize("probe_hamming", [0, 1, 2])
+def test_lsh_topk_tiers_row_identical(spark, probe_hamming):
+    """The single-table LSH tier probe must only pick an
+    implementation, never a result: the fused bucket-scan kernel
+    (budget default) and the bucket-join tier (budget forced to 0)
+    return identical rows at every probe_hamming level — same
+    bucket codes, same probe sets, same rounded cosines, same rank
+    tie-breaks."""
+    from metadata_wrangler_spark.catalog import load
+    from metadata_wrangler_spark.plans.vectors import _PLANES
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    pred = lambda c: c % 101 == 0  # noqa: E731
+    fused = similarity.lsh_cosine_topk(
+        emb, None, _PLANES, k=5, probe_hamming=probe_hamming,
+        query_pred=pred,
+    )
+    join = similarity.lsh_cosine_topk(
+        emb, None, _PLANES, k=5, probe_hamming=probe_hamming,
+        query_pred=pred, fused_pair_budget=0,
+    )
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, join.collect())
+    )
+
+
 def test_ivf_topk_tiers_row_identical(spark):
     """The IVF tier probe must only pick an implementation, never a
     result: the fused cell-scan kernel (budget default) and the
