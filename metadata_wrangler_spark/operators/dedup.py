@@ -534,3 +534,119 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# contamination fraction kernel
+# ---------------------------------------------------------------------------
+
+# per-worker-process cache of the deserialized eval-shingle array,
+# keyed by the broadcast id so a rebuilt query (new broadcast) never
+# reuses a stale set; bounded so long-lived reused workers don't
+# accumulate one array per bench invocation
+_EVAL_ARR_CACHE: dict = {}
+
+
+def contamination_counts(
+    train: DataFrame,
+    eval_shingles,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(doc_id, n_windows, n_hits) for every training document with at
+    least one word n-gram window (counted WITH multiplicity) present
+    in ``eval_shingles`` (a list of strings or a pyarrow (Chunked)Array)
+    — the fused-kernel twin of the explode + broadcast-join spelling in
+    plans/documents.txt_contamination_frac.
+
+    One Arrow pass over the training corpus: normalization stays a
+    JVM projection (exactly ``normalize_text``, so tokenization
+    semantics cannot drift), then the kernel splits on the single
+    literal space that normalization guarantees, builds the n-gram
+    window strings with offset-shifted slices of the flattened token
+    array (`binary_join_element_wise`, C++), and probes them with
+    `is_in` against the eval array (C++ hash set) — no per-window
+    Python string ever exists. The eval side is broadcast-bounded by
+    the same contract the join spelling relies on (benchmark suites
+    are MBs against a 100 TB corpus); it ships as Arrow IPC bytes —
+    ONE picklable object, so a worker deserializes it zero-copy in
+    C++ once per process instead of unpickling millions of Python
+    strings — and is cached per worker process, not per batch.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(eval_shingles, pa.ChunkedArray):
+        eval_arr = eval_shingles.combine_chunks()
+    elif isinstance(eval_shingles, pa.Array):
+        eval_arr = eval_shingles
+    else:
+        eval_arr = pa.array(eval_shingles, type=pa.string())
+    eval_arr = eval_arr.cast(pa.string())
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(
+        sink, pa.schema([("sh", pa.string())])
+    ) as writer:
+        writer.write_batch(pa.record_batch([eval_arr], names=["sh"]))
+    bc = train.sparkSession.sparkContext.broadcast(
+        sink.getvalue().to_pybytes()
+    )
+    key = bc._jbroadcast.id()  # stable across tasks, unique per broadcast
+
+    nt = train.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(F.col(text_col)).alias("nt"),
+    )
+
+    def gen(batches):
+        ev = _EVAL_ARR_CACHE.get(key)
+        if ev is None:
+            ev = pa.ipc.open_stream(
+                pa.py_buffer(bc.value)
+            ).read_all().column("sh").combine_chunks()
+            while len(_EVAL_ARR_CACHE) >= 2:
+                _EVAL_ARR_CACHE.pop(next(iter(_EVAL_ARR_CACHE)))
+            _EVAL_ARR_CACHE[key] = ev
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = pa.array(pdf["nt"], type=pa.string())
+            toks = pc.split_pattern(arr, " ")
+            offs = toks.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            nw = np.maximum(lens - (n - 1), 0).astype(np.int64)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            total = int(offs[-1])
+            if total >= n and nw.sum() > 0 and len(ev):
+                flat = toks.flatten()
+                parts = [flat.slice(k, total - (n - 1)) for k in range(n)]
+                wins = pc.binary_join_element_wise(*parts, "_")
+                # valid window starts: within-doc only — start index
+                # no later than the doc's last full window
+                starts = np.repeat(offs[:-1], nw)
+                within = np.arange(len(starts)) - np.repeat(
+                    np.cumsum(nw) - nw, nw
+                )
+                valid = wins.take(pa.array(starts + within))
+                hit = pc.is_in(valid, value_set=ev).to_numpy(
+                    zero_copy_only=False
+                )
+                drep = np.repeat(np.arange(len(doc_ids)), nw)
+                hits = np.bincount(
+                    drep[hit], minlength=len(doc_ids)
+                ).astype(np.int64)
+            else:
+                hits = np.zeros(len(doc_ids), dtype=np.int64)
+            keep = hits >= 1
+            yield pd.DataFrame({
+                "doc_id": doc_ids[keep],
+                "n_windows": nw[keep],
+                "n_hits": hits[keep],
+            })
+
+    return nt.mapInPandas(
+        gen, schema="doc_id long, n_windows long, n_hits long"
+    )

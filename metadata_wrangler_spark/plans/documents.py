@@ -2463,30 +2463,46 @@ def txt_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to dd_decontaminate — the eval shingle
     set is distinct-reduced and BROADCAST (benchmark suites are MBs
     against a 100 TB corpus), so the sweep is ONE training-corpus
-    scan: a broadcast LEFT join marks each window in-pipeline and a
-    single per-doc hash-aggregate counts windows and hits together
-    (count of the marker column skips its NULLs). The round-10 sf10
-    ladder measured the old two-branch spelling at 3.2x its oracle —
-    the shingle explode (the dominant cost) ran twice, once per
-    aggregate; fusing it halves the scan work. The training side
-    never shuffles at full width: the only exchange is the per-doc
-    aggregate's, and the left join against the DISTINCT eval set is
-    1:1 so window multiplicity is preserved.
+    scan. Round 10: that scan is now the fused Arrow kernel
+    `operators/dedup.contamination_counts` — normalization stays the
+    identical JVM projection, then window construction and the
+    eval-set probe run in C++ (`binary_join_element_wise` + a
+    per-process-cached hash index) instead of the shingle-explode +
+    broadcast-join + per-doc aggregate, whose per-window JVM string
+    build dominated the sf10 wall at 2.5x the oracle. The join
+    spelling is kept below (`_contamination_frac(arrow_kernel=False)`)
+    and the tiers are row-identical by test — the kernel probes the
+    SAME distinct eval-shingle strings, counts windows with the same
+    multiplicity, and both sides rely on the same broadcast-bounded
+    eval contract.
     """
+    return _contamination_frac(spark, sf_dir)
+
+
+def _contamination_frac(
+    spark: SparkSession, sf_dir: str, arrow_kernel: bool = True
+) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ev = docs.where(F.expr(_DECON_EVAL_PRED))
     tr_docs = docs.where(~F.expr(_DECON_EVAL_PRED))
-    tr = dedup.with_words(tr_docs, "doc_id", "text").select(
-        "id", F.explode(dedup.shingles(_DECON_N)).alias("sh")
-    )
     evs = (
         dedup.distinct_shingles(ev, "doc_id", "text", _DECON_N)
         .select("sh")
         .distinct()
-        .withColumn("_hit", F.lit(1))
+    )
+    if arrow_kernel:
+        return dedup.contamination_counts(
+            tr_docs, evs.toArrow().column("sh"), n=_DECON_N
+        ).select(
+            "doc_id", "n_windows", "n_hits",
+            F.expr("(1000000 * n_hits) DIV n_windows")
+            .alias("contamination_ppm"),
+        )
+    tr = dedup.with_words(tr_docs, "doc_id", "text").select(
+        "id", F.explode(dedup.shingles(_DECON_N)).alias("sh")
     )
     return (
-        tr.join(F.broadcast(evs), "sh", "left")
+        tr.join(F.broadcast(evs.withColumn("_hit", F.lit(1))), "sh", "left")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

@@ -147,3 +147,20 @@ def test_contamination_frac_matches_pure_python(spark):
         for r in plans.QUERIES["txt_contamination_frac"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_contamination_frac_tiers_row_identical(spark):
+    """The contamination tier choice must only pick an implementation,
+    never a result: the fused Arrow window-probe kernel (default) and
+    the kept explode + broadcast-join spelling return identical rows —
+    same normalization, same window multiplicity, same eval-set
+    equality classes, same ppm integer arithmetic. sf0.01 exercises
+    multi-batch kernel input."""
+    from metadata_wrangler_spark.plans.documents import _contamination_frac
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        kern = _contamination_frac(spark, sf, arrow_kernel=True)
+        join = _contamination_frac(spark, sf, arrow_kernel=False)
+        assert sorted(map(tuple, kern.collect())) == sorted(
+            map(tuple, join.collect())
+        )

@@ -44,6 +44,9 @@ ARROW_STAGES = {
     # (round 10); pipe_semantic_search's candidate stage is the
     # same operator
     "sim_lsh_topk", "sim_lsh_probe_topk", "pipe_semantic_search",
+    # fused contamination window-probe kernel (round 10): window
+    # build + eval-set probe in one Arrow pass, join tier kept
+    "txt_contamination_frac",
 }
 
 
@@ -261,9 +264,17 @@ def test_no_unbounded_single_partition_window_anywhere(spark, queries):
 
 def test_contamination_and_overlap_broadcast_small_sides(spark, queries):
     """The eval shingle set (contamination) and per-source totals
-    (overlap matrix) ride broadcast joins — the training corpus
-    must not shuffle at full width for either."""
+    (overlap matrix) must never shuffle the training corpus at full
+    width: the contamination kernel tier is one scan + MapInPandas
+    (no join, no exchange before the final project), its kept join
+    tier rides a broadcast, and the overlap matrix broadcasts its
+    per-source totals."""
+    from metadata_wrangler_spark.plans.documents import _contamination_frac
+
     plan = explain_str(queries["txt_contamination_frac"](spark, SF))
+    assert "MapInPandas" in plan and "Join" not in plan
+    assert "Exchange" not in plan
+    plan = explain_str(_contamination_frac(spark, SF, arrow_kernel=False))
     assert "BroadcastHashJoin" in plan
     plan = explain_str(queries["dd_source_overlap"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
