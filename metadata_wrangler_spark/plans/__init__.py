@@ -99,16 +99,19 @@ VERIFICATION_PRIORITY: tuple[str, ...] = (
     # round no registered query's last driver check predates r6.
     #
     # Block 1 — plans rewritten or operator-touched during round 10
-    # (window policy: a rewritten plan re-certifies the same round):
-    # the queue lifecycle/pagerank checkpoint-once rewrites, the ANN
-    # compression-tier kernel probes, the matview meta fix, the
-    # cached_get drain fix, and the zero-norm bucket-tier fix.
-    "d_queue_lifecycle",        # state checkpointed once + SHJ merge
-    "g_pagerank",               # inputs checkpointed once + SHJ
-    "ev_matview_refresh",       # refresh commits applied_batch meta
-    "s_cached_fetch",           # cached_get drains undrained hits
-    "pipe_provider_end_to_end", # same operator (cached_get)
-    "sim_lsh_multitable_topk",  # bucket tier drops NaN like fused
+    # (window policy: a rewritten plan re-certifies the same round).
+    # More round-10 rewrites exist than the 9 non-r5 slots; these are
+    # the structurally riskiest, stalest-first. Displaced to r11 (all
+    # r9-driver-checked, their r10 touches regression-tested locally):
+    # g_pagerank (checkpoint-once), ev_matview_refresh (meta fix),
+    # s_cached_fetch (drain fix; pipe_provider covers the operator),
+    # sim_lsh_multitable_topk (NaN rule, no-op on gate corpora).
+    "d_queue_lifecycle",        # r6: state checkpointed once + SHJ
+    "dd_ngram_jaccard_pruned",  # r6: bucket-HOF candidate expansion
+    "sim_recall_eval",          # r6: approx leg = fused LSH tier
+    "f_title_token_jaccard",    # r7: bucket-HOF pair expansion
+    "sim_ivf_topk",             # r7: fused cell-scan tier
+    "pipe_provider_end_to_end", # r9: cached_get drains undrained hits
     # Block 2 — the ENTIRE r5-stale block (41 queries, incl. the
     # round-10 kernel-tier rewrites sim_pq_topk/sim_quantized_topk):
     # last driver-verified in round 5, covered since by the pytest
