@@ -207,7 +207,7 @@ def ngram_jaccard_pairs(
         g = cand_src.groupBy("hp").agg(
             F.sort_array(F.collect_list("id")).alias("ids")
         )
-        cand = (
+        pairs = (
             g.where(F.size("ids") > 1)
             .select(
                 F.explode(
@@ -222,18 +222,56 @@ def ngram_jaccard_pairs(
             # (x,x) row the join spelling never emits; drop it
             .where(F.col("p.id_a") != F.col("p.id_b"))
             .select("p.id_a", "p.id_b")
-            .dropDuplicates()
         )
-        # score surviving candidates on FULL shingle sets
-        shared = (
-            cand.join(sh.alias("a"), cand.id_a == F.col("a.id"))
-            .join(
-                sh.alias("b"),
-                (F.col("b.id") == cand.id_b)
-                & (F.col("a.hp") == F.col("b.hp")),
-            )
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_shared"))
+        # Score decomposition (round 10): the full-set shared count
+        # splits exactly into cold + hot terms. The bucket expansion
+        # above already emits one row per shared COLD shingle, so the
+        # old dropDuplicates becomes a COUNT (same exchange, and the
+        # dedup is free); the HOT term is |hot_A ∩ hot_B| computed
+        # from per-doc hot-shingle arrays (each bounded by the
+        # broadcast-small hot set) that ride the per-doc sizes joins
+        # the plan pays anyway. This deletes the old scoring subtree
+        # — candidate ⨝ shingles ⨝ shingles, an intermediate of
+        # Σ_pairs |A| rows — from the plan entirely.
+        cold = pairs.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_cold")
+        )
+        hots = (
+            sh.join(F.broadcast(hot), "hp")
+            .groupBy("id")
+            .agg(F.collect_set("hp").alias("hots"))
+        )
+        per_doc = sizes.join(hots.hint("shuffle_hash"), "id", "left")
+        pa = per_doc.select(
+            F.col("id").alias("id_a"),
+            F.col("n_sh").alias("sh_a"),
+            F.col("hots").alias("hots_a"),
+        )
+        pb = per_doc.select(
+            F.col("id").alias("id_b"),
+            F.col("n_sh").alias("sh_b"),
+            F.col("hots").alias("hots_b"),
+        )
+        n_hot = F.when(
+            F.col("hots_a").isNull() | F.col("hots_b").isNull(), F.lit(0)
+        ).otherwise(F.size(F.array_intersect("hots_a", "hots_b")))
+        # shuffle_hash, never broadcast: per-doc hot arrays are
+        # corpus-sized payloads (a stop-shingle-dense corpus makes
+        # every doc's array ≈ its full shingle set — Catalyst's size
+        # estimate under-counts arrays and auto-broadcast blew past
+        # maxResultSize at 100x), while the pair stream is already
+        # key-partitioned work a hash join handles without sorts
+        scored = (
+            cold.join(pa.hint("shuffle_hash"), "id_a")
+            .join(pb.hint("shuffle_hash"), "id_b")
+            .withColumn("n_shared", F.col("n_cold") + n_hot)
+        )
+        jac = F.col("n_shared") / (
+            F.col("sh_a") + F.col("sh_b") - F.col("n_shared")
+        )
+        return (
+            scored.where(jac >= threshold)
+            .select("id_a", "id_b", jac.alias("jaccard"))
         )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sh_b"))

@@ -709,16 +709,19 @@ def pipe_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("div_rank") <= _SEARCH_K)
         .select("query_id", "corpus_id", "cosine", "div_rank")
     )
+    # join FIRST, build the snippet after: the regex normalization +
+    # split/slice runs on the |Q|·k joined rows, not on every corpus
+    # document (Catalyst prunes columns down through a projection but
+    # never defers row-wise expression work past a join — measured
+    # r10: the full-corpus normalize was most of this pipeline's wall)
     docs = load(spark, sf_dir, "documents")
     meta = docs.select(
-        F.col("doc_id").alias("corpus_id"),
-        "lang",
-        "source",
-        F.array_join(
-            F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8), " "
-        ).alias("snippet"),
+        F.col("doc_id").alias("corpus_id"), "lang", "source", "text",
     )
     return final.join(meta, "corpus_id").select(
         "query_id", "corpus_id", "cosine", "div_rank",
-        "lang", "source", "snippet",
+        "lang", "source",
+        F.array_join(
+            F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8), " "
+        ).alias("snippet"),
     )
