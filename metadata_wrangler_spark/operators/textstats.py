@@ -299,3 +299,69 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
         "has_pii",
         (F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0,
     )
+
+
+def bpe_pair_partials(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(pair, n) per-task PARTIAL counts of every adjacent character
+    pair inside word tokens — the fused-kernel twin of the
+    words-explode + in-word-pair-explode + hash-aggregate spelling in
+    plans/documents.txt_bpe_merge_step. Sum the partials by pair to
+    get the exact global counts (associative integer sums).
+
+    One Arrow pass: normalization stays the identical JVM projection
+    (``normalize_text`` — tokenization semantics cannot drift), then
+    the kernel splits on the single literal space normalization
+    guarantees and slices the 2-codepoint pairs in C++
+    (``utf8_slice_codeunits`` — codepoint-indexed, exactly Spark's
+    character-based ``substring``), cascading the length filter so
+    total slice work is Σ(len-1) = the pair count, never
+    max_len × words. Each task folds its batches into ONE bounded
+    dict (the pair vocabulary is |alphabet|²) and emits vocabulary-
+    sized partials, so the shuffle feeding the final aggregation
+    carries counters, never the per-position pair stream — map-side
+    aggregation in the kernel itself (guide §2.3/§4.2, the same
+    shape as ``similarity.ivf_partial_moments``).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    nt = docs.select(normalize_text(F.col(text_col)).alias("nt"))
+
+    def gen(batches):
+        counts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = pa.array(pdf["nt"], type=pa.string())
+            toks = pc.split_pattern(arr, " ")
+            cur = toks.flatten()  # null docs contribute no tokens
+            cur_lens = pc.utf8_length(cur)
+            subs = []
+            i = 0
+            while True:
+                mask = pc.greater_equal(cur_lens, i + 2)
+                cur = cur.filter(mask)
+                if not len(cur):
+                    break
+                cur_lens = cur_lens.filter(mask)
+                subs.append(
+                    pc.utf8_slice_codeunits(cur, start=i, stop=i + 2)
+                )
+                i += 1
+            if not subs:
+                continue
+            vc = pa.chunked_array(subs).value_counts()
+            for pair, n in zip(
+                vc.field("values").to_pylist(),
+                vc.field("counts").to_pylist(),
+            ):
+                counts[pair] = counts.get(pair, 0) + n
+        if counts:
+            yield pd.DataFrame(
+                {"pair": list(counts), "n": list(counts.values())}
+            )
+
+    return nt.mapInPandas(gen, schema="pair string, n long")

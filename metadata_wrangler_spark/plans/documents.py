@@ -3659,35 +3659,29 @@ def txt_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.ivf_train — each step is one job and only
     the merged pair comes back to the driver).
 
-    Scale design: two map-side explodes (words, then in-word
-    character pairs via ``substring`` over an index sequence — no
-    per-pair string concat) into ONE hash aggregate with map-side
-    combine; the pair-vocabulary is bounded by |alphabet|², so the
-    shuffle carries counters, never text. Top-k is
-    TakeOrderedAndProject — no global sort, no single-partition
-    window.
+    Scale design (round 11 — guide §4.2/§2.3, the same shape as
+    ``ivf_partial_moments``): ONE Arrow pass
+    (``textstats.bpe_pair_partials``) slices the in-word pairs in
+    C++ and folds each task's batches into a bounded per-task count
+    dict — the pair-vocabulary is |alphabet|², so the shuffle
+    carries vocabulary-sized counters, never the per-position pair
+    stream the old two-explode spelling fanned out (one row per
+    character position). The final aggregate sums integer partials
+    (associative — counts, and therefore the oracle hash, are
+    unchanged). Top-k is TakeOrderedAndProject — no global sort, no
+    single-partition window.
 
     Reference: the reference normalizes author/title tokens before
     matching (`oclc/classify.py:640-754`); subword induction is the
     modern continuation of that normalization stack.
     """
+    from metadata_wrangler_spark.operators import textstats
+
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(
-            F.split(dedup.normalize_text(F.col("text")), " ")
-        ).alias("wd")
-    ).where(F.length("wd") >= 2)
-    pairs = words.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(wd) - 1),"
-                " i -> substring(wd, i, 2))"
-            )
-        ).alias("pair")
-    )
+    partials = textstats.bpe_pair_partials(docs, text_col="text")
     return (
-        pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
+        partials.groupBy("pair")
+        .agg(F.sum("n").alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
