@@ -221,22 +221,36 @@ def lsh_cosine_topk(
         else queries
     )
     qdf = qdf.where(F.col(vec_col).isNotNull())
-    # Bounded query matrix — the broadcast side by contract.
-    qrows = qdf.select(id_col, vec_col).collect()
+    # Bounded query matrix — the broadcast side, with the contract
+    # ENFORCED: the collect is capped (limit pushdown, never an
+    # unbounded driver fetch) and an over-cap query set routes to
+    # the join tier, which never ships the matrix.
+    qrows, over_cap = _collect_query_matrix(qdf, id_col, vec_col)
     if not qrows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, corpus_id long, cosine double, rank int"
         )
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    nq, dim = qm.shape
+    if over_cap:
+        import warnings
 
-    # ---- tier probe (FUSED_PAIR_BUDGET economics) ----
-    n_corpus = corpus_count_hint
-    if n_corpus is None:
-        cap = max(fused_pair_budget // nq, 1)
-        n_corpus = corpus.select(id_col).limit(cap + 1).count()
-    if n_corpus * nq <= fused_pair_budget:
+        warnings.warn(
+            f"lsh_cosine_topk: query set exceeds ANN_QUERY_CAP="
+            f"{ANN_QUERY_CAP}; falling back to the bucket-join tier "
+            "(the fused tier requires a driver-bounded query matrix)",
+            stacklevel=2,
+        )
+    else:
+        q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        nq, dim = qm.shape
+
+        # ---- tier probe (FUSED_PAIR_BUDGET economics) ----
+        n_corpus = corpus_count_hint
+        if n_corpus is None:
+            cap = max(fused_pair_budget // nq, 1)
+            n_corpus = corpus.select(id_col).limit(cap + 1).count()
+        over_cap = n_corpus * nq > fused_pair_budget
+    if not over_cap:
         plane_arrs = [np.asarray(p, dtype=np.float64) for p in planes]
         # query bucket codes + norms: the same left-fold chains as
         # _bucket_sql / norm(), driver-side.
@@ -413,6 +427,33 @@ def ivf_assign(
 # never rescans the corpus per query batch.
 FUSED_PAIR_BUDGET = 1_000_000_000
 
+# Hard cap on the driver-collected query matrix of the fused ANN
+# tiers (round-11, VERDICT item: the "bounded by contract" query side
+# — every plan call site filters `id % 101 == 0` over a
+# broadcast-sized set — becomes an ENFORCED bound instead of an
+# assumption). 2^17 rows x 64 dims x 8 B = 64 MB of float64 on the
+# driver and in each task's closure — the outer edge of §3's
+# "broadcast the small side" economics. The collect itself is issued
+# through limit(cap + 1), so an over-contract query set costs one
+# bounded fetch, never an unbounded driver materialization: the
+# single-table LSH/IVF operators then fall back LOUDLY to their join
+# tier (which never ships the matrix), and the multitable operator —
+# whose both tiers score against the driver matrix — raises with the
+# contract spelled out rather than risking a driver OOM.
+ANN_QUERY_CAP = 131_072
+
+
+def _collect_query_matrix(qdf, id_col: str, vec_col: str):
+    """Bounded driver collect of the ANN query side: returns
+    ``(rows, over_cap)`` where ``rows`` holds at most
+    ``ANN_QUERY_CAP`` rows (and ``over_cap`` means the real query
+    set is larger — the caller must route to a driver-free tier or
+    raise)."""
+    rows = qdf.select(id_col, vec_col).limit(ANN_QUERY_CAP + 1).collect()
+    if len(rows) > ANN_QUERY_CAP:
+        return rows[:ANN_QUERY_CAP], True
+    return rows, False
+
 
 def ivf_partial_moments(
     centroids: list[list[float]],
@@ -526,23 +567,35 @@ def ivf_cosine_topk(
         qdf = queries
     qdf = qdf.where(F.col(vec_col).isNotNull())
 
-    # Bounded query matrix — the broadcast side by contract (the
-    # same collect the multitable fused tier ships).
-    qrows = qdf.select(id_col, vec_col).collect()
+    # Bounded query matrix — the broadcast side, with the contract
+    # ENFORCED exactly as in lsh_cosine_topk: capped collect, loud
+    # join-tier fallback past ANN_QUERY_CAP.
+    qrows, over_cap = _collect_query_matrix(qdf, id_col, vec_col)
     if not qrows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, corpus_id long, cosine double, rank int"
         )
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    nq, dim = qm.shape
+    if over_cap:
+        import warnings
 
-    # ---- tier probe (FUSED_PAIR_BUDGET economics) ----
-    n_corpus = corpus_count_hint
-    if n_corpus is None:
-        cap = max(fused_pair_budget // nq, 1)
-        n_corpus = corpus.select(id_col).limit(cap + 1).count()
-    if n_corpus * nq <= fused_pair_budget:
+        warnings.warn(
+            f"ivf_cosine_topk: query set exceeds ANN_QUERY_CAP="
+            f"{ANN_QUERY_CAP}; falling back to the cell-join tier "
+            "(the fused tier requires a driver-bounded query matrix)",
+            stacklevel=2,
+        )
+    else:
+        q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        nq, dim = qm.shape
+
+        # ---- tier probe (FUSED_PAIR_BUDGET economics) ----
+        n_corpus = corpus_count_hint
+        if n_corpus is None:
+            cap = max(fused_pair_budget // nq, 1)
+            n_corpus = corpus.select(id_col).limit(cap + 1).count()
+        over_cap = n_corpus * nq > fused_pair_budget
+    if not over_cap:
         C = np.asarray(centroids, dtype=np.float64)  # (n_cells, dim)
         # query-side centroid scores + norms: the same left-fold
         # chains as _dot_plane_sql / norm(), driver-side.
@@ -788,7 +841,19 @@ def lsh_cosine_topk_multitable(
     # spelling cached the corpus bucket table just so the query
     # slice could reuse it, paying a cache materialization plus an
     # extra broadcast-build job every run.
-    qrows = qdf.select(id_col, vec_col).collect()
+    qrows, over_cap = _collect_query_matrix(qdf, id_col, vec_col)
+    if over_cap:
+        # BOTH tiers of this operator score against the driver-held
+        # query matrix, so there is no driver-free fallback: fail
+        # loudly (bounded fetch above — the driver never held more
+        # than cap+1 rows) instead of building an unbounded matrix.
+        raise ValueError(
+            "lsh_cosine_topk_multitable: query set exceeds "
+            f"ANN_QUERY_CAP={ANN_QUERY_CAP} rows; the multitable "
+            "operator requires a broadcast-bounded query side — "
+            "slice the query batch, or use lsh_cosine_topk whose "
+            "bucket-join tier scales with an unbounded query table"
+        )
     if not qrows:
         # empty query set: a valid empty result, not a crash
         return corpus.sparkSession.createDataFrame(

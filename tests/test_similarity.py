@@ -423,3 +423,60 @@ def test_multitable_tiers_row_identical_with_zero_norm_vectors(spark, sf_dir):
     assert all(math.isfinite(r[2]) for r in rows_f)
     assert all(r[1] < 10_000_001 for r in rows_f)
     assert all(r[0] != 10_000_001 for r in rows_f)
+
+
+def test_ann_query_cap_lsh_and_ivf_fall_back_to_join_tier(
+    spark, monkeypatch
+):
+    """ANN_QUERY_CAP enforcement (round 11): an over-cap query set
+    must route the single-table LSH and IVF operators to their join
+    tier — loudly, and with identical rows (the cap is a tier pick,
+    never a result change). The driver-side fetch itself is bounded
+    by limit(cap + 1), so this also pins that the fallback path
+    builds its query side from the DataFrame, not the collect."""
+    corpus = _vecs(
+        spark,
+        [(i, [1.0 + 0.01 * i, 0.5 - 0.02 * i]) for i in range(8)],
+    )
+    queries = corpus.where(F.col("vec_id") < 3)
+    planes = [[1.0, -1.0], [0.5, 0.5]]
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    base_lsh = sorted(
+        map(tuple, similarity.lsh_cosine_topk(
+            corpus, queries, planes, k=3
+        ).collect())
+    )
+    base_ivf = sorted(
+        map(tuple, similarity.ivf_cosine_topk(
+            corpus, queries, cents, k=3, nprobe=1
+        ).collect())
+    )
+    assert base_lsh and base_ivf
+    monkeypatch.setattr(similarity, "ANN_QUERY_CAP", 1)
+    with pytest.warns(UserWarning, match="ANN_QUERY_CAP"):
+        capped_lsh = similarity.lsh_cosine_topk(
+            corpus, queries, planes, k=3
+        )
+    with pytest.warns(UserWarning, match="ANN_QUERY_CAP"):
+        capped_ivf = similarity.ivf_cosine_topk(
+            corpus, queries, cents, k=3, nprobe=1
+        )
+    assert sorted(map(tuple, capped_lsh.collect())) == base_lsh
+    assert sorted(map(tuple, capped_ivf.collect())) == base_ivf
+
+
+def test_ann_query_cap_multitable_raises(spark, monkeypatch):
+    """The multitable operator scores against the driver matrix in
+    BOTH tiers, so an over-cap query set must raise with the
+    contract spelled out instead of building an unbounded matrix."""
+    corpus = _vecs(
+        spark,
+        [(i, [1.0 + 0.01 * i, 0.5 - 0.02 * i]) for i in range(8)],
+    )
+    queries = corpus.where(F.col("vec_id") < 3)
+    tables = [[[1.0, -1.0]], [[0.5, 0.5]]]
+    monkeypatch.setattr(similarity, "ANN_QUERY_CAP", 1)
+    with pytest.raises(ValueError, match="ANN_QUERY_CAP"):
+        similarity.lsh_cosine_topk_multitable(
+            corpus, queries, tables, k=3
+        )
