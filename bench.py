@@ -207,9 +207,11 @@ SCALE_SUBSTITUTES = {
 }
 
 
-def _samples(n: int, fn) -> list[float]:
+def _samples(n: int, fn, setup=None) -> list[float]:
     out = []
     for _ in range(n):
+        if setup is not None:
+            setup()  # untimed: runs outside the measured span
         t0 = time.time()
         fn()
         out.append(round(time.time() - t0, 3))
@@ -234,6 +236,23 @@ def _best_of(n: int, fn) -> float:
     the spread itself is part of the committed artifact.
     """
     return _median(_samples(n, fn))
+
+
+def _best_of_released(n: int, fn, spark) -> float:
+    """Median of n runs with every sf-scoped cache RELEASED (untimed)
+    before each sample — the per-query sequential protocol (round-10
+    verdict, bench governance): query-internal `.cache()` calls
+    materialize during the untimed warm pass, and a timed run that
+    reads those warm intermediates flatters the vs-oracle ratio, so
+    each sequential sample recomputes from the parquet inputs.
+    Cross-query cache reuse stays a WORKLOAD property of the
+    concurrent batch (which keeps the old treatment); only the
+    per-query attribution series pays its own cache builds."""
+    from metadata_wrangler_spark.plans import release_session_caches
+
+    return _median(
+        _samples(n, fn, setup=lambda: release_session_caches(spark))
+    )
 
 
 def _time_oracles(names: list[str], oracles: dict[str, str]) -> dict[str, float]:
@@ -366,8 +385,10 @@ def main() -> int:
     # — so they are what "queries" reports; the concurrent batch's
     # overlapping spans go to "queries_concurrent".
     sequential = {
-        name: _best_of(
-            RUNS, lambda name=name: queries[name](spark, SF_DIR).toPandas()
+        name: _best_of_released(
+            RUNS,
+            lambda name=name: queries[name](spark, SF_DIR).toPandas(),
+            spark,
         )
         for name in present
     }
@@ -396,8 +417,10 @@ def main() -> int:
     )[len(ext_runs) // 2]
 
     extended = {
-        name: _best_of(
-            RUNS, lambda name=name: queries[name](spark, SF_DIR).toPandas()
+        name: _best_of_released(
+            RUNS,
+            lambda name=name: queries[name](spark, SF_DIR).toPandas(),
+            spark,
         )
         for name in ext_present
     }
@@ -453,7 +476,8 @@ def main() -> int:
             f" headline value = concurrent batch wall, {n_threads}"
             " threads, FAIR pools; oracle sequential median-of-"
             f"{RUNS}, same protocol both engines; 'queries' ="
-            " uncontended one-at-a-time spans (same protocol as"
+            " uncontended one-at-a-time spans, session caches"
+            " released untimed before each sample (same protocol as"
             " 'oracle_queries'); '*_concurrent' = overlapping spans"
             " inside the committed batch run; extended_batch_wall ="
             " same concurrent protocol over the extended set"
