@@ -56,10 +56,33 @@ def test_lev_ratio_has_no_pair_dedup_exchange(spark):
     """The candidate stream must flow join -> verify -> project with
     no shuffle: every Exchange in the plan is the broadcast build of
     the banded table (the old spelling's dropDuplicates added a
-    hashpartitioning Exchange over the multi-million-row pairs)."""
-    plan = _explain_str(QUERIES["f_levenshtein_ratio"](spark, SF))
+    hashpartitioning Exchange over the multi-million-row pairs).
+
+    The broadcast threshold is PINNED for the assertion (round-10
+    ADVICE): without it the "no hashpartitioning" check silently
+    depends on sf0.001 size ESTIMATES staying under the session
+    default — a stats or config change would flip the join to SMJ
+    and fail this test with no real regression in what it pins."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    )
+    try:
+        plan = _explain_str(QUERIES["f_levenshtein_ratio"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "hashpartitioning" not in plan, plan
     assert "BroadcastHashJoin" in plan
+    # Ordering assumption made explicit (round-10 ADVICE): the
+    # measured win relies on Catalyst keeping the cheap first-match
+    # band conjunct BEFORE the levenshtein CASE in the join
+    # condition (left-to-right conjunct evaluation is behavior, not
+    # contract — if an optimizer change reorders it, this assertion
+    # flags the silent regression).
+    cond = next(
+        line for line in plan.splitlines() if "Join condition:" in line
+    )
+    assert 0 <= cond.find("band_no") < cond.find("levenshtein"), cond
 
 
 def test_lev_ratio_nonconforming_names_match_oracle(spark, tmp_path):
