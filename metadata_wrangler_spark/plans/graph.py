@@ -289,8 +289,6 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     are rank/2 and no dangling-mass redistribution is needed (a
     production variant adds the dangling sum as a broadcast scalar).
     """
-    from metadata_wrangler_spark.operators.lineage import free_checkpoint
-
     edges = build_edges(spark, sf_dir).select("src", "dst").repartition(
         "src"
     ).localCheckpoint(eager=False)
@@ -331,12 +329,19 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    # materialize the |V|-row result, then release the input
-    # checkpoints synchronously (closure-family lifetime discipline)
-    out = ranks.select("node", "rank").localCheckpoint(eager=True)
-    free_checkpoint(edges)
-    free_checkpoint(nodes)
-    return out
+    # Round 11: return the LAZY plan. The old spelling materialized
+    # the |V|-row result into an eager localCheckpoint just so the
+    # input checkpoints could be freed synchronously — a full extra
+    # result-sized pass (write blocks, then re-read them for the
+    # caller's action) on every invocation. Unlike the closure-family
+    # fixpoints (whose per-ROUND checkpoints go stale and MUST be
+    # freed as the loop advances), this plan's two input checkpoints
+    # stay live exactly as long as the returned plan is reachable —
+    # freeing them under it would break re-reads — so lifetime falls
+    # to the ContextCleaner / release_session_caches, the documented
+    # reclaim path for returned plans. sf10 interleaved A/B, rows
+    # identical: 6.00 -> 5.44 s median (oracle 5.2 s).
+    return ranks.select("node", "rank")
 
 
 # --- Triangle counting (degree-ordered) -----------------------------------

@@ -60,14 +60,19 @@ def main() -> None:
         best_s = float("inf")
         for _ in range(2):
             t0 = time.monotonic()
-            n = len(fn(spark, sf_dir).collect())
+            # Arrow materialization, matching bench.py's protocol
+            # (round-11: the old row-pickled .collect() charged Spark
+            # a ~4 s/1.5M-row driver-pickling tax DuckDB's fetchall
+            # does not pay — g_pagerank's "2.3x steady state" was
+            # mostly this measurement artifact, not the plan)
+            n = len(fn(spark, sf_dir).toPandas())
             best_s = min(best_s, time.monotonic() - t0)
         sql = oracles.get(name)
         best_d = float("inf")
         if sql:
             for _ in range(2):
                 t0 = time.monotonic()
-                con.execute(sql).fetchall()
+                con.execute(sql).fetchdf()
                 best_d = min(best_d, time.monotonic() - t0)
         rows.append((name, best_s, best_d, n))
 
