@@ -2698,16 +2698,29 @@ def a_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.floor(F.col("o_totalprice")).cast("bigint").alias("qv"),
     )
-    # row-level powers in decimal — qv^4 exceeds int64 (the oracle's
-    # per-row spelling is HUGEINT for the same reason)
+    # Row-level powers: qv² and qv³ are EXACT in int64 for the whole
+    # currency-unit domain (qv ≤ 2^21 ⇒ qv³ < 2^63; order totals are
+    # ~2^20-scale, and ANSI mode — Spark 4's default — raises loudly
+    # on any overflow rather than wrapping). Only qv⁴ exceeds int64,
+    # so exactly ONE decimal multiply per row remains (qv2·qv2); the
+    # old spelling ran three decimal multiplies per row and was the
+    # serialized-scan cost at sf0.1 (§2.3 narrower types: 2.35 →
+    # 1.60 s noop A/B; tie at sf1/sf10 where the scan parallelizes).
+    # The SUMS stay decimal(38,0): Σqv² alone can pass 2^63 at
+    # warehouse row counts, and the oracle accumulates HUGEINT for
+    # the same reason. A two-int64 (hi/lo limb) accumulator was
+    # probed and REJECTED: the limb partial sums themselves overflow
+    # int64 past ~2^23 rows (a²≤2^40 per row), so exact carry-free
+    # integer addition cannot bound them at scale.
     qv = F.col("qv")
-    qd = qv.cast("decimal(10,0)")
+    q = q.withColumn("qv2", qv * qv)
+    qv2 = F.col("qv2")
     s = q.groupBy("priority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(qv.cast(d38)).alias("s1"),
-        F.sum((qd * qv).cast(d38)).alias("s2"),
-        F.sum((qd * qv * qv).cast(d38)).alias("s3"),
-        F.sum((qd * qv * qv * qv).cast(d38)).alias("s4"),
+        F.sum(qv2.cast(d38)).alias("s2"),
+        F.sum((qv2 * qv).cast(d38)).alias("s3"),
+        F.sum((qv2.cast("decimal(19,0)") * qv2).cast(d38)).alias("s4"),
     )
     nd = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / nd

@@ -57,6 +57,12 @@ def get_spark(app_name: str = "metadata_wrangler_spark",
         # truly-empty partitions.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Spark 4's default, pinned because correctness depends on
+        # it: the bigint power chains (a_moments_skew_kurt's qv³)
+        # are exact only while in-range, and ANSI turns any
+        # out-of-contract overflow into a loud ARITHMETIC_OVERFLOW
+        # instead of a silent wraparound.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
