@@ -95,17 +95,23 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _shingle_tables(
-    docs: DataFrame, id_col: str, text_col: str, n: int
+    docs: DataFrame, id_col: str, text_col: str, n: int,
+    cache: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(sh, sizes): the hashed distinct-shingle rows and per-doc
     shingle counts shared by the pairwise scorers.
 
-    ``sh`` is `.cache()`'d — both sides of the candidate self-join
-    and the scoring joins read it. The cache is session-LRU-managed
-    (MEMORY_AND_DISK, evictable); a long-lived driver that wants the
-    storage back immediately should `spark.catalog.clearCache()`
-    after collecting, since the returned plans are lazy and own no
-    unpersist scope.
+    ``cache=True`` persists ``sh`` — pass it when the CALLER reads
+    the shingle table more than once (the pruned tier's doc-freq
+    aggregate + candidate source + hot-array build). The exact tiers
+    read it exactly once (the bucket-HOF expansion replaced the old
+    self-join, whose two sides were why the cache existed), and for
+    a single consumer the cache is pure overhead: round-11 A/B at
+    sf0.1 with per-sample cache release, 2.49 → 2.21 s. When used,
+    the cache is session-LRU-managed (MEMORY_AND_DISK, evictable); a
+    long-lived driver that wants the storage back immediately should
+    `spark.catalog.clearCache()` after collecting, since the
+    returned plans are lazy and own no unpersist scope.
     """
     base = with_words(docs, id_col, text_col).select(
         "id", F.array_distinct(shingles(n)).alias("shs")
@@ -118,7 +124,9 @@ def _shingle_tables(
     # the affine rehashes replicated verbatim in the oracle SQL.
     sh = base.select(
         "id", F.explode("shs").alias("sh")
-    ).select("id", F.xxhash64(F.col("sh")).alias("hp")).cache()
+    ).select("id", F.xxhash64(F.col("sh")).alias("hp"))
+    if cache:
+        sh = sh.cache()
     return sh, sizes
 
 
@@ -167,13 +175,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-Jaccard near-duplicate pairs.
 
-    Plan shape: candidate generation is an equi-join on the HASHED
-    shingle (60-bit bigint — an order of magnitude less shuffle
-    bytes than the raw n-gram string), never a cross join; the
-    shingle table is explicitly cached because both join sides read
-    it (and AQE's ReusedExchange keeps the shuffle single); per-doc
-    shingle counts come map-side from the shingle ARRAY, no third
-    pass. Returns (id_a, id_b, jaccard), id_a < id_b.
+    Plan shape: candidate generation buckets the HASHED shingle
+    (60-bit bigint — an order of magnitude less shuffle bytes than
+    the raw n-gram string) and expands pairs with the strict-upper-
+    triangle HOF, never a cross join; the shingle table is cached
+    ONLY in the pruned tier, whose three consumers re-read it (the
+    exact tier reads it once — caching there was measured pure
+    overhead); per-doc shingle counts come map-side from the shingle
+    ARRAY, no third pass. Returns (id_a, id_b, jaccard), id_a < id_b.
 
     Scale note: a ubiquitous stop-shingle is quadratic in its bucket
     occupancy (true of any shared-token candidate scheme). At web
@@ -186,7 +195,9 @@ def ngram_jaccard_pairs(
     are lost — by construction boilerplate, not content. The MinHash
     tier is the unconditional-cost path.
     """
-    sh, sizes = _shingle_tables(docs, id_col, text_col, n)
+    sh, sizes = _shingle_tables(
+        docs, id_col, text_col, n, cache=max_doc_freq is not None
+    )
     if max_doc_freq is None:
         shared = _shared_counts(sh)
     else:
