@@ -47,6 +47,10 @@ ARROW_STAGES = {
     # fused contamination window-probe kernel (round 10): window
     # build + eval-set probe in one Arrow pass, join tier kept
     "txt_contamination_frac",
+    # fused bigram-pair count kernel (round 11): per-task bounded
+    # partial counters replace the two-explode pair stream
+    # (operators/textstats.py bpe_pair_partials)
+    "txt_bpe_merge_step",
 }
 
 
