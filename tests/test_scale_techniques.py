@@ -650,7 +650,12 @@ def test_free_checkpoint_contract(spark):
     ck = df.localCheckpoint(eager=True)
     assert _cached_partitions(spark) > base
     assert free_checkpoint(ck) is True
-    assert _cached_partitions(spark) == base
+    # <= base, not == base: a shared pytest session's ContextCleaner
+    # can asynchronously reclaim ANOTHER test's leftover blocks while
+    # this test runs (observed: count landed one BELOW the snapshot),
+    # so equality is racy; the contract under test is only that this
+    # checkpoint's own blocks are gone.
+    assert _cached_partitions(spark) <= base
 
 
 def test_free_checkpoint_warns_once_without_jvm_bridge(spark, caplog):
