@@ -2379,13 +2379,21 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks week over week.
 
     Scale shape: two per-user conditional-min aggregates and a join
-    (user-cardinality throughout); the distribution summary ranks
-    the per-user deltas — converted-user cardinality, orders of
-    magnitude below events but still data-sized — with the
-    range-bucketed distributed prefix rank (operators/prefix.py)
-    and a one-row broadcast total. The oracle's flat window over
-    deltas is the semantic spec.
+    (user-cardinality throughout); the summary needs only n / min /
+    max and the values at TWO global ranks, so it is a SELECTION
+    problem (round-11, guide §2.4): it rides the histogram-refinement
+    selection operator (operators/selection.py) — n/min/max fall out
+    of the stats pass and both percentile targets resolve from the
+    same bounded histograms. The round-10 spelling range-shuffled,
+    checkpointed and rank-annotated every delta row through the
+    prefix operator only to discard all but two ranks; selection
+    scans the cached 2-column delta frame twice and shuffles a few
+    thousand counters. Value-at-rank is tie-break invariant (ties
+    share a value), so the oracle's ROW_NUMBER spelling selects the
+    same values.
     """
+    import math
+
     ev = load(spark, sf_dir, "events")
     e = ev.select(
         "user_id",
@@ -2402,38 +2410,36 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ep") > F.col("t_view"))
         .groupBy("user_id").agg(F.min("ep").alias("t_buy"))
     )
-    from metadata_wrangler_spark.operators.prefix import global_order_stats
+    from metadata_wrangler_spark.operators.selection import grouped_select
 
     conv = p.join(v, "user_id").select(
-        "user_id", (F.col("t_buy") - F.col("t_view")).alias("delta_s")
+        (F.col("t_buy") - F.col("t_view")).alias("delta_s")
     )
-    # One row per CONVERTING USER — scales with users, so the global
-    # rank comes from the range-bucketed distributed prefix operator
-    # and the total from a one-row broadcast, not from the flat
-    # row_number()/count() global windows this plan shipped with.
-    d = global_order_stats(
-        conv, [F.asc("delta_s"), F.asc("user_id")], total_col="n"
-    ).select("delta_s", "rn", "n")
-    med = F.min(
-        F.when(
-            F.col("rn") == F.floor((F.col("n") - 1) * 0.5)
-            .cast("bigint") + 1,
-            F.col("delta_s"),
-        )
+    # conv is a DERIVED frame (events scan + two aggregates + two
+    # joins) scanned by both selection rounds — the cache_input case.
+    sel = grouped_select(
+        conv, "delta_s",
+        lambda st: {
+            "median_s": int(math.floor((st.n - 1) * 0.5)) + 1,
+            "p90_s": int(math.floor((st.n - 1) * 0.9)) + 1,
+        },
+        cache_input=True,
+        # domain contract: a second-granularity gap between two
+        # in-range event timestamps is < 2^31 (68 years) — same
+        # bound as ev_gap_percentiles' gaps.
+        domain_bits=31,
     )
-    p90 = F.min(
-        F.when(
-            F.col("rn") == F.floor((F.col("n") - 1) * 0.9)
-            .cast("bigint") + 1,
-            F.col("delta_s"),
-        )
-    )
-    return d.agg(
-        F.max("n").cast("bigint").alias("n_converted"),
-        F.min("delta_s").cast("bigint").alias("min_s"),
-        med.cast("bigint").alias("median_s"),
-        p90.cast("bigint").alias("p90_s"),
-        F.max("delta_s").cast("bigint").alias("max_s"),
+    if sel:
+        m = sel[0]
+        row = [(m["n"], m["vmin"], m["median_s"], m["p90_s"], m["vmax"])]
+    else:
+        # no converting user: the oracle's flat aggregate still
+        # returns one all-NULL row.
+        row = [(None, None, None, None, None)]
+    return spark.createDataFrame(
+        row,
+        "n_converted bigint, min_s bigint, median_s bigint,"
+        " p90_s bigint, max_s bigint",
     )
 
 
