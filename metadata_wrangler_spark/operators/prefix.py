@@ -174,6 +174,167 @@ def global_order_stats(
 _DRIVER_TOTALS_MAX = 65536
 
 
+#: per-chunk row bound inside the rank-moment kernel: with values
+#: bounded by 2^33 (the 1e-4-quantized business-value contract), a
+#: chunk's Σ rank·v fits int64 with >4 bits to spare
+#: (2^13 rows · 2^13 max rank · 2^33 value = 2^59).
+_RANK_CHUNK = 8192
+_RANK_V_SAFE = 1 << 33
+
+
+def grouped_rank_value_sums(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: Sequence[str] = (),
+    npart: int | None = None,
+) -> list[dict]:
+    """Per-group exact (n, Σv, Σ rank·v) where rank is the 1-based
+    position of the row in the ASCENDING sort of ``value_col`` inside
+    its group — the moment a rank-formula statistic (Gini, Spearman
+    numerators, trapezoid AUC) actually needs, WITHOUT materializing
+    a rank per row.
+
+    Σ rank·v is tie-order invariant (rows tied on v swap equal
+    addends), so no tiebreak column is ever shuffled or sorted and
+    the result is independent of where range boundaries fall: for
+    bucket b with per-group local positions j = 1..m and prior-bucket
+    row count off, Σ (off+j)·v = Σ j·v + off·Σ v — the bucket
+    decomposition this operator evaluates.
+
+    Shape (guide §2.3/§2.4, one data shuffle): range-partition by
+    (group, value) — ties may split across a boundary, harmless per
+    the invariance above — locally sort, and fold each partition into
+    per-(bucket, group) integer partials inside one Arrow kernel
+    (chunked so every numpy dot stays exact in int64; values past
+    2^33 take a pure-Python exact path). The ≤ npart × |groups|
+    partial rows come back through Arrow and compose on the driver —
+    bounded metadata, never data-sized (same contract class as
+    grouped_select's histograms). Compare global_order_stats, which
+    this replaces for aggregate-only consumers: that operator pays a
+    second (hash) exchange for its window, a localCheckpoint
+    materialization, and a broadcast join-back the aggregate then
+    throws away.
+
+    Returns one dict per group: group key columns, ``n`` (row count),
+    ``sx`` (Σv) and ``srx`` (Σ rank·v) as exact Python ints. Rows
+    with NULL ``value_col`` are excluded; a NULL group key is a real
+    group.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    if npart is None:
+        npart = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    gcols = list(group_cols)
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *gcols, F.col(value_col).cast("bigint").alias("__grs_v")
+    )
+    b = (
+        base.repartitionByRange(
+            npart, *[F.asc(g) for g in gcols], F.asc("__grs_v")
+        )
+        .sortWithinPartitions(*gcols, "__grs_v")
+        .withColumn("__grs_b", F.spark_partition_id())
+    )
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    in_fields = {f.name: f for f in base.schema.fields}
+    out_schema = StructType(
+        [StructField("__grs_b", IntegerType(), False)]
+        + [in_fields[g] for g in gcols]
+        + [
+            StructField("n", LongType(), False),
+            # exact arbitrary-precision sums travel as strings: the
+            # per-bucket Σ rank·v already needs >int64 headroom at
+            # warehouse row counts, and string→int on ≤ npart×|groups|
+            # driver rows is free.
+            StructField("sx", StringType(), False),
+            StructField("srx", StringType(), False),
+        ]
+    )
+
+    def _fold(it):
+        import pandas as pd
+
+        # (bucket, group key) -> [n, sx, srx] as Python ints; batches
+        # arrive partition-local and (group, v)-sorted.
+        acc: dict[tuple, list] = {}
+        for pdf in it:
+            if pdf.empty:
+                continue
+            bid = int(pdf["__grs_b"].iloc[0])
+            if gcols:
+                grouped = pdf.groupby(gcols, sort=False, dropna=False)
+            else:
+                grouped = [((), pdf)]
+            for key, g in grouped:
+                if gcols and not isinstance(key, tuple):
+                    key = (key,)
+                norm = tuple(
+                    None if (k is None or k != k) else k for k in key
+                )
+                v = g["__grs_v"].to_numpy()
+                st = acc.setdefault((bid, norm), [0, 0, 0])
+                prior = st[0]
+                m = len(v)
+                if (
+                    m
+                    and -_RANK_V_SAFE < int(v.min())
+                    and int(v.max()) < _RANK_V_SAFE
+                ):
+                    for s in range(0, m, _RANK_CHUNK):
+                        c = v[s:s + _RANK_CHUNK]
+                        cs = int(c.sum(dtype=np.int64))
+                        jv = int(
+                            np.dot(
+                                np.arange(1, len(c) + 1, dtype=np.int64),
+                                c,
+                            )
+                        )
+                        st[1] += cs
+                        st[2] += jv + (prior + s) * cs
+                else:
+                    # out-of-contract magnitudes: exact pure-Python
+                    # fold (never hit by quantized business values).
+                    for i, x in enumerate(v.tolist()):
+                        st[1] += x
+                        st[2] += (prior + i + 1) * x
+                st[0] = prior + m
+        rows = [
+            (bid, *key, n, str(sx), str(srx))
+            for (bid, key), (n, sx, srx) in acc.items()
+        ]
+        cols = ["__grs_b", *gcols, "n", "sx", "srx"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    partials = b.mapInPandas(_fold, out_schema).toArrow().to_pylist()
+    by_key: dict[tuple, list] = {}
+    for r in partials:
+        key = tuple(r[g] for g in gcols)
+        by_key.setdefault(key, []).append(
+            (r["__grs_b"], r["n"], int(r["sx"]), int(r["srx"]))
+        )
+    out = []
+    for key, buckets in by_key.items():
+        buckets.sort()
+        off, n_tot, sx_tot, srx_tot = 0, 0, 0, 0
+        for _bid, n, sx, srx in buckets:
+            srx_tot += srx + off * sx
+            sx_tot += sx
+            off += n
+            n_tot += n
+        rec = dict(zip(gcols, key))
+        rec["n"], rec["sx"], rec["srx"] = n_tot, sx_tot, srx_tot
+        out.append(rec)
+    return out
+
+
 def _null_last_key(row, gcols):
     """Sort key over group values + bucket id, NULL-safe: None sorts
     before any value (matching F.asc's nulls-first), bucket id last."""

@@ -2379,44 +2379,47 @@ def a_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT/DECIMAL integer arithmetic and emitted as exact ppm —
     no float accumulation anywhere.
 
-    Scale shape: the per-priority rank rides the GROUPED
-    range-bucketed prefix operator (operators/prefix.py,
-    group_cols=priority). A plain Window.partitionBy(priority) is
-    "parallel across groups" in name only — 5 priority classes over
-    the full fact table means one task sorts a fifth of the data;
-    the grouped prefix keeps every task at ~n/P rows regardless of
-    group cardinality. One balanced shuffle, then one hash
-    aggregate.
+    Scale shape (round-11): the statistic needs ONLY the per-group
+    moments (n, Σqv, Σ rank·qv), so it rides the rank-moment partial
+    operator (operators/prefix.py grouped_rank_value_sums): one
+    range shuffle of (priority, qv), one Arrow fold to ≤ P×|groups|
+    integer partials, driver-side exact composition. The round-10
+    spelling annotated every order row with its rank through the
+    grouped prefix operator (range shuffle + localCheckpoint + a
+    second hash exchange for the window + broadcast offsets join)
+    and then aggregated the full rank-annotated stream away. Ranks
+    over ties are summed, never reported, so Σ rank·qv is tie-order
+    invariant and no tiebreak column is shuffled; all arithmetic is
+    exact arbitrary-precision integers, matching the oracle's
+    HUGEINT chain bit for bit.
     """
-    from metadata_wrangler_spark.operators.prefix import global_order_stats
+    from metadata_wrangler_spark.operators.prefix import (
+        grouped_rank_value_sums,
+    )
 
     o = load(spark, sf_dir, "orders")
     q = o.select(
-        "o_orderkey",
         "o_orderpriority",
         F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
         .cast("bigint").alias("qv"),
     ).where(F.col("qv").isNotNull())  # NULL values carry no rank
-    r = global_order_stats(
-        q,
-        [F.asc("qv"), F.asc("o_orderkey")],
-        group_cols=["o_orderpriority"],
-        rank_col="rn",
+    moments = grouped_rank_value_sums(
+        q, "qv", group_cols=["o_orderpriority"]
     )
-    d20 = "decimal(20,0)"
-    agg = r.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("qv").cast(d20)).alias("sx"),
-        F.sum(F.col("rn").cast(d20) * F.col("qv").cast(d20)).alias("srx"),
-    )
-    return agg.select(
-        "priority",
-        "n_orders",
-        (F.col("sx").cast("bigint") / 10000.0).alias("total_value"),
-        F.expr(
-            "CAST((1000000 * (2 * srx - (n_orders + 1) * sx))"
-            " DIV (CAST(n_orders AS DECIMAL(20,0)) * sx) AS BIGINT)"
-        ).alias("gini_ppm"),
+    rows = []
+    for m in moments:
+        n, sx, srx = m["n"], m["sx"], m["srx"]
+        # same integer chain as the oracle: numerator ≥ 0 by the
+        # Chebyshev sum inequality (ascending ranks), so floor
+        # division ≡ DuckDB // ≡ Spark DIV here.
+        gini_ppm = (1000000 * (2 * srx - (n + 1) * sx)) // (n * sx)
+        rows.append(
+            (m["o_orderpriority"], n, float(sx) / 10000.0, gini_ppm)
+        )
+    return spark.createDataFrame(
+        rows,
+        "priority string, n_orders bigint, total_value double,"
+        " gini_ppm bigint",
     )
 
 

@@ -152,6 +152,72 @@ def test_global_order_stats_descending_and_rankless(spark):
     assert got == want
 
 
+def test_grouped_rank_value_sums_matches_flat_window(spark):
+    """The rank-moment partials must reproduce the flat windowed
+    (n, Σv, Σ rank·v) exactly — heavy value skew so range boundaries
+    split tie runs (the tie-order-invariance claim), NULL group key
+    as a real group, NULL values excluded, odd bucket counts."""
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators.prefix import (
+        grouped_rank_value_sums,
+    )
+
+    df = spark.range(0, 900).select(
+        F.col("id"),
+        F.when(F.col("id") % 11 == 0, F.lit(None))
+        .otherwise((F.col("id") % 3).cast("string")).alias("g"),
+        # NULL values excluded; a third of the rest share v=7, so
+        # bucket boundaries land inside a tie run somewhere
+        F.when(F.col("id") % 17 == 0, F.lit(None))
+        .when(F.col("id") < 300, F.lit(7))
+        .otherwise((F.col("id") * 13) % 50 + 1).alias("v"),
+    )
+    w = W.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["g"], ): (r["n"], r["sx"], r["srx"])
+        for r in df.where(F.col("v").isNotNull())
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sx"),
+            F.sum(F.col("rn") * F.col("v")).alias("srx"),
+        )
+        .collect()
+    }
+    for npart in (1, 5, 13):
+        got = {
+            (m["g"], ): (m["n"], m["sx"], m["srx"])
+            for m in grouped_rank_value_sums(
+                df, "v", group_cols=["g"], npart=npart
+            )
+        }
+        assert got == want, f"npart={npart}"
+
+
+def test_grouped_rank_value_sums_ungrouped_big_values_empty(spark):
+    """Ungrouped mode; out-of-contract magnitudes (≥2^33) take the
+    exact pure-Python path; empty input returns no groups."""
+    from metadata_wrangler_spark.operators.prefix import (
+        grouped_rank_value_sums,
+    )
+
+    big = 1 << 40
+    df = spark.range(1, 101).select(
+        (F.col("id") * F.lit(big)).alias("v")
+    )
+    [m] = grouped_rank_value_sums(df, "v", npart=4)
+    n = 100
+    assert m["n"] == n
+    assert m["sx"] == big * n * (n + 1) // 2
+    # ranks align with id: Σ i²·big
+    assert m["srx"] == big * n * (n + 1) * (2 * n + 1) // 6
+
+    empty = df.where(F.lit(False))
+    assert grouped_rank_value_sums(empty, "v", npart=4) == []
+
+
 def test_global_order_stats_plan_has_no_single_partition_window(spark):
     """The operator's own plan must pass the audit it exists to
     satisfy: every window partitioned, offsets via broadcast join."""
