@@ -137,6 +137,20 @@ def global_order_stats(
     # broadcast builds (measured 28 jobs for a two-pass MAD plan,
     # most of them offset plumbing). High-cardinality groups fall
     # back to the distributed triangular join unchanged.
+    #
+    # Round-11 rejected probes, measured sf1 interleaved A/Bs
+    # (medians of 5, rows identical both times): (1) annotating
+    # rank/cums in ONE Arrow kernel over the checkpointed buckets
+    # with driver-baked offsets — kills the window's hash
+    # re-exchange and this join, but the Python boundary costs more
+    # than both (a_abc_pareto 1.55→1.72 s, a_ks_drift 1.12→1.31,
+    # w_ntile 0.79→0.87; best case a tie); (2) inlining the offsets
+    # as literal CASE chains on (_B, group) — a ~160-branch CASE is
+    # a linear scan PER ROW where the broadcast join is a hash
+    # probe (a_abc_pareto 1.81→2.02 s, w_ntile 1.02→1.22,
+    # w_percent_rank_cume 1.01→1.17). Aggregate-only consumers that
+    # never need per-row ranks should use grouped_rank_value_sums
+    # below instead of this operator.
     trows = totals.limit(_DRIVER_TOTALS_MAX + 1).collect()
     if len(trows) <= _DRIVER_TOTALS_MAX:
         offsets = _driver_offsets(
@@ -172,7 +186,6 @@ def global_order_stats(
 # with npart≈shuffle.partitions this admits ~2k groups at P=32 —
 # far past "low-cardinality", the grouped mode's documented domain.
 _DRIVER_TOTALS_MAX = 65536
-
 
 #: per-chunk row bound inside the rank-moment kernel: with values
 #: bounded by 2^33 (the 1e-4-quantized business-value contract), a

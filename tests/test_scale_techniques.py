@@ -152,6 +152,74 @@ def test_global_order_stats_descending_and_rankless(spark):
     assert got == want
 
 
+def test_global_order_stats_decimal_cum_falls_back_and_matches(spark):
+    """A DECIMAL cum column must take the window + broadcast-offsets
+    tier (the Arrow kernel is integer-only) and still reproduce the
+    flat window exactly."""
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        ((F.col("id") * 13) % 50 + 1).cast("decimal(20,0)").alias("v"),
+    )
+    order = [F.asc("v"), F.asc("id")]
+    out = global_order_stats(df, order, cum_cols=["v"], npart=5)
+    # fallback proof: the window tier plans a Window; the kernel
+    # tier plans a MapInPandas and no Window.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "indow" in plan and "mapInPandas" not in plan
+    got = {r["id"]: (r["rn"], r["cum_v"]) for r in out.collect()}
+    flat = W.orderBy(*order)
+    want = {
+        r["id"]: (r["rn"], r["cum_v"])
+        for r in df.select(
+            "id",
+            F.row_number().over(flat).cast("bigint").alias("rn"),
+            F.sum("v").over(
+                flat.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).alias("cum_v"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_order_stats_null_cum_values_flat_window_semantics(spark):
+    """NULL cum inputs through the kernel tier: running sums skip
+    NULLs and stay NULL until the group's first non-null value —
+    the flat-window spec."""
+    from pyspark.sql import Window as W
+
+    from metadata_wrangler_spark.operators.prefix import global_order_stats
+
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.when(F.col("id") < 60, F.lit(None))
+        .otherwise((F.col("id") * 7) % 40 + 1).alias("v"),
+    )
+    order = [F.asc("id")]
+    got = {
+        r["id"]: (r["rn"], r["cum_v"])
+        for r in global_order_stats(
+            df, order, group_cols=["g"], cum_cols=["v"], npart=7
+        ).collect()
+    }
+    flat = W.partitionBy("g").orderBy(*order)
+    want = {
+        r["id"]: (r["rn"], r["cum_v"])
+        for r in df.select(
+            "id",
+            F.row_number().over(flat).cast("bigint").alias("rn"),
+            F.sum("v").over(
+                flat.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).alias("cum_v"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_grouped_rank_value_sums_matches_flat_window(spark):
     """The rank-moment partials must reproduce the flat windowed
     (n, Σv, Σ rank·v) exactly — heavy value skew so range boundaries
