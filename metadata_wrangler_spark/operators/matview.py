@@ -88,12 +88,34 @@ class MaterializedDailyRollup:
         # boundary (the latent-mismatch class ADVICE.md flagged on
         # the session-window oracle) — unix_micros is exact for
         # parquet MICROS/NANOS-derived timestamps.
-        wm = int(
-            events.agg(
-                F.coalesce(F.max(_micros("ts")), F.lit(0)).alias("wm")
-            ).collect()[0]["wm"]
+        #
+        # The watermark folds into the SAME aggregate that builds the
+        # bootstrap rollup (max over per-group maxes == global max),
+        # so the bootstrap slice is scanned ONCE: the grouped partial
+        # materializes as a rollup-sized checkpoint, the watermark is
+        # a tiny collect over it, and the committed rows read the
+        # same checkpoint (round 11; the first cut ran a separate
+        # full-slice max(ts) job before the aggregate).
+        pagg = (
+            events.groupBy(
+                F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 10000 + F.lit(0.5))
+                    .cast("bigint")
+                ).alias("q_value"),
+                F.max(_micros("ts")).alias("__mx"),
+            )
+            .localCheckpoint(eager=False)
         )
-        base = _partial(events).select(
+        row = pagg.agg(
+            F.coalesce(F.max("__mx"), F.lit(0)).alias("wm")
+        ).collect()[0]
+        wm = int(row["wm"])
+        base = pagg.select(
             "day", "event_type", "n_events", "q_value",
             F.lit(wm).alias("watermark_epoch"),
             F.lit(-1).cast("bigint").alias("applied_batch"),
@@ -108,6 +130,8 @@ class MaterializedDailyRollup:
         self.table.init(
             base, meta={"watermark_epoch": wm, "applied_batch": -1}
         )
+        # committed to disk; the bootstrap partial is dead
+        free_checkpoint(pagg)
 
     def _state(self, version: int | None = None) -> tuple[int, int]:
         """(watermark_epoch, applied_batch) of ``version`` (default
