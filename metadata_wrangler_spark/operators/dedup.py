@@ -19,9 +19,12 @@ driver's ``documents`` table (see plans/documents.py):
                bits — banded into 4×8-bit keys for Hamming ≤ 3
                candidate generation (simhash_pairs).
 
-All hashing is built from ``md5`` so every stage stays inside
-whole-stage codegen (no Python UDFs) and is reproducible in ANSI SQL
-for the DuckDB oracle.
+All hashing is built from ``md5`` so every stage is reproducible in
+ANSI SQL for the DuckDB oracle. The pairwise tiers stay inside
+whole-stage codegen (no Python); the MinHash signature fold is a
+declared Arrow kernel (``minhash_signatures``) whose md5/rehash
+arithmetic is bit-identical to the SQL spelling it replaced
+(``minhash_signatures_sql``, kept as the equivalence oracle).
 """
 
 from __future__ import annotations
@@ -383,15 +386,87 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """Per-document MinHash signature.
+    """Per-document MinHash signature, computed in ONE Arrow pass.
 
     Hash family: one md5 per shingle (h = md5_long(sh) mod p), then
     h_k = (a_k·h + b_k) mod p — the standard universal-hash rehash
-    family. One hash evaluation per shingle row instead of
-    ``num_hashes``; the whole signature still costs one shuffle
-    (explode → groupBy(min per slot)).
+    family, bit-identical to the SQL spelling the oracle mirrors
+    (``minhash_signatures_sql``; equivalence pinned by test).
+
+    A signature is a PER-DOCUMENT quantity, so no shuffle is needed
+    at all: the kernel normalizes, shingles, md5-hashes and folds
+    the ``num_hashes`` affine mins per document inside the scan
+    partition (md5 via hashlib — the same function Spark's ``md5``
+    calls — and the rehash mins as numpy segmented reductions).
+    Replaces shingle-explode → md5/conv projection → hash-aggregate
+    (num_hashes min buffers over the exploded stream): round-11
+    interleaved A/B, rows identical, sf0.1 1.10 → 0.73 s, sf0.01
+    0.45 → 0.22 s; conv(hex,16,10)'s per-shingle BigInteger parse
+    and the exploded-row codegen loop were most of the cost.
     Returns (id, mh_0 … mh_{num_hashes-1}).
     """
+    params = minhash_params(num_hashes)
+    p = MINHASH_P
+    schema = "id long, " + ", ".join(
+        f"mh_{k} long" for k in range(num_hashes)
+    )
+
+    def fold(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        # Java \s (ASCII-only), matching normalize_text exactly; the
+        # trailing strip removes only ' ' runs, which is all that can
+        # remain after the collapse (Spark trim strips spaces only).
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            starts: list = []
+            hps: list = []
+            pos = 0
+            for did, text in zip(pdf["id"], pdf["text"]):
+                if text is None:
+                    continue
+                t = ws.sub(" ", text.lower()).strip(" ")
+                w = t.split(" ")
+                if len(w) < n:
+                    continue
+                shs = {"_".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+                ids.append(did)
+                starts.append(pos)
+                for s in shs:
+                    hps.append(int(md5(s.encode()).hexdigest()[:15], 16) % p)
+                pos += len(shs)
+            if not ids:
+                continue
+            hp = np.array(hps, dtype=np.int64)
+            st = np.array(starts, dtype=np.int64)
+            out = {"id": np.array(ids, dtype=np.int64)}
+            for k, (a, b) in enumerate(params):
+                # a, hp < p < 2^31 ⇒ a·hp + b < 2^62: exact in int64
+                out[f"mh_{k}"] = np.minimum.reduceat((a * hp + b) % p, st)
+            yield pd.DataFrame(out)
+
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(fold, schema=schema)
+
+
+def minhash_signatures_sql(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """The pure-SQL spelling of ``minhash_signatures`` (shingle
+    explode → md5/conv → groupBy(min per slot)) — the direct mirror
+    of the generated oracle SQL. Kept as the kernel's equivalence
+    oracle and as the fallback for Python-less deployments."""
     sh = distinct_shingles(docs, id_col, text_col, n)
     hp = (md5_long(F.col("sh")) % MINHASH_P).alias("hp")
     hashed = sh.select("id", hp)

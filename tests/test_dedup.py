@@ -238,3 +238,30 @@ def test_stop_shingle_pruning_drops_boilerplate_only_pairs(spark):
     # the true dup survives with FULL-set jaccard (boilerplate
     # shingles still count toward the score)
     assert pruned[(1, 3)] == 1.0
+
+
+def test_minhash_kernel_matches_sql_spelling(spark):
+    """The Arrow signature fold must be bit-identical to the SQL
+    spelling the oracle mirrors — including whitespace/empty/NULL
+    text, docs below the shingle width, multibyte codepoints, and
+    under forced odd partitioning (per-partition segmented mins
+    compose per document, never across)."""
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The  quick  BROWN fox jumps over the lazy dog"),
+        (3, None),
+        (4, ""),
+        (5, "two words"),                       # below n=3: no shingles
+        (6, "  leading and trailing   spaces  "),
+        (7, "tab\tand\nnewline separated words here"),
+        (8, "naïve café déjà vu encore une fois"),   # multibyte
+        (9, "a b c d e f g h i j k l m n o p q r s t"),
+    ]
+    for nparts in (1, 3, 7):
+        docs = spark.createDataFrame(
+            data, "doc_id bigint, text string"
+        ).repartition(nparts)
+        kern = dedup.minhash_signatures(docs, num_hashes=8)
+        sql = dedup.minhash_signatures_sql(docs, num_hashes=8)
+        assert kern.exceptAll(sql).count() == 0
+        assert sql.exceptAll(kern).count() == 0

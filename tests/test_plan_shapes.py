@@ -51,6 +51,12 @@ ARROW_STAGES = {
     # partial counters replace the two-explode pair stream
     # (operators/textstats.py bpe_pair_partials)
     "txt_bpe_merge_step",
+    # per-document MinHash signature fold (round 11): shuffle-free
+    # Arrow kernel, bit-identical to the SQL spelling
+    # (operators/dedup.py minhash_signatures); every consumer of
+    # minhash_lsh_pairs / minhash_signatures carries the stage
+    "dd_minhash_lsh", "dd_minhash_clusters", "dd_cluster_keep",
+    "dd_est_vs_exact", "pipe_corpus_curation",
 }
 
 
