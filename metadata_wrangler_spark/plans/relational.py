@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from metadata_wrangler_spark.catalog import load
+from metadata_wrangler_spark.operators import dedup as dedup_ops
 from metadata_wrangler_spark.operators import pagination
 from metadata_wrangler_spark.plans import register
 
@@ -1018,56 +1019,21 @@ def f_title_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: `oclc/classify.py:816-839` (threshold 0.25 token
     overlap), `oclc/linked_data.py:1095-1104` (proportion overlap).
     """
+    # Block-local Arrow kernel (round 11, operators/dedup.py
+    # token_jaccard_blocked): ONE exchange of (key, brand, name)
+    # rows replaces the whole pair-stream pipeline — the r7
+    # bucket-HOF expansion still shuffled one row per (shared
+    # token, pair) into a pair-keyed aggregate, and that stream
+    # barely aggregates on this corpus (sf0.1: 2.0M exploded rows →
+    # 1.87M distinct pairs), so its exchange + hash-agg + the two
+    # size join-backs + the cached base projection were nearly pure
+    # overhead. Interleaved A/Bs, rows/checksums identical: sf0.1
+    # 2.21 → 0.46 s, sf1 2.80 → 1.21 s, sf10 47.2 → 24.0 s medians
+    # (24.1 → 20.8 s best samples under host bursts).
     p = load(spark, sf_dir, "part")
-    # distinct tokens per doc JVM-side; per-doc sizes map-side from
-    # the array (no extra shuffle).
-    # cached: the token explosion AND both size lookups derive from
-    # this projection — one scan + one split/distinct instead of
-    # three.
-    base = p.select(
-        "p_partkey", "p_brand",
-        F.array_distinct(F.split(F.col("p_name"), " ")).alias("ws"),
-    ).cache()
-    sets = base.select("p_partkey", F.size("ws").alias("n_tokens"))
-    tok = base.select("p_partkey", "p_brand", F.explode("ws").alias("w"))
-    # Candidate pairs via bucket grouping + within-row HOF expansion
-    # (the operators/dedup._shared_counts spelling, bucketed on
-    # (token, brand)): one exchange on the bucket key instead of the
-    # equi-self-join's two plus its hash build/probe — r10 interleaved
-    # A/B, 5 medians: join 2.58 s vs 2.09 s at sf0.1, rows identical.
-    # No hashing: the bucket key never rides a join, tokens are short
-    # (≤ hash width), and raw-token grouping is exactly the oracle's
-    # equality classes. Each partkey appears at most once per
-    # (token, brand) bucket (array_distinct + one row per part), so
-    # the strict upper-triangle slice alone yields key_a < key_b.
-    g = tok.groupBy("w", "p_brand").agg(
-        F.sort_array(F.collect_list("p_partkey")).alias("ids")
-    )
-    shared = (
-        g.where(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "b -> struct(a AS key_a, b AS key_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.key_a", "p.key_b")
-        .groupBy("key_a", "key_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sets.select(F.col("p_partkey").alias("key_a"),
-                     F.col("n_tokens").alias("tokens_a"))
-    sb = sets.select(F.col("p_partkey").alias("key_b"),
-                     F.col("n_tokens").alias("tokens_b"))
-    jac = F.col("n_shared") / (F.col("tokens_a") + F.col("tokens_b")
-                               - F.col("n_shared"))
-    return (
-        shared.join(sa, "key_a").join(sb, "key_b")
-        .where(jac >= 0.5)
-        .select("key_a", "key_b", jac.alias("jaccard"))
+    return dedup_ops.token_jaccard_blocked(
+        p, key_col="p_partkey", block_col="p_brand",
+        text_col="p_name", threshold=0.5,
     )
 
 

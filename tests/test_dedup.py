@@ -265,3 +265,57 @@ def test_minhash_kernel_matches_sql_spelling(spark):
         sql = dedup.minhash_signatures_sql(docs, num_hashes=8)
         assert kern.exceptAll(sql).count() == 0
         assert sql.exceptAll(kern).count() == 0
+
+
+def test_token_jaccard_blocked_matches_join_spelling(spark):
+    """The block-local kernel must reproduce the equi-join-on-token
+    oracle classes exactly: pairs share >=1 token within a block,
+    scored |A∩B|/(|A|+|B|-|A∩B|), key_a < key_b — including NULL
+    text/block rows (never pair), duplicate tokens (distinct sets),
+    hot buckets, and any partitioning."""
+    data = [
+        (1, "B1", "red green blue"),
+        (2, "B1", "red green blue"),          # identical set
+        (3, "B1", "red green yellow"),        # 2/4 shared with 1
+        (4, "B2", "red green blue"),          # other block: no pair w/ 1
+        (5, "B1", None),                      # NULL text
+        (6, None, "red green blue"),          # NULL block
+        (7, "B1", "red red red green"),       # dup tokens -> {red, green}
+        (8, "B1", "cyan"),                    # lonely token
+        (9, "B2", "red green blue"),          # pairs with 4 only
+    ]
+    for nparts in (1, 3, 8):
+        df = spark.createDataFrame(
+            data, "k bigint, blk string, txt string"
+        ).repartition(nparts)
+        got = {
+            (r["key_a"], r["key_b"]): round(r["jaccard"], 6)
+            for r in dedup.token_jaccard_blocked(
+                df, "k", "blk", "txt", threshold=0.0
+            ).collect()
+        }
+        # reference: plain Spark join spelling
+        tok = (df.where(F.col("txt").isNotNull() & F.col("blk").isNotNull())
+                 .select("k", "blk",
+                         F.explode(F.array_distinct(
+                             F.split("txt", " "))).alias("w")))
+        sizes = tok.groupBy("k").count().withColumnRenamed("count", "n")
+        a = tok.alias("a"); b = tok.alias("b")
+        shared = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                          & (F.col("a.blk") == F.col("b.blk"))
+                          & (F.col("a.k") < F.col("b.k")))
+                  .groupBy(F.col("a.k").alias("key_a"),
+                           F.col("b.k").alias("key_b"))
+                  .agg(F.count(F.lit(1)).alias("s")))
+        ref_rows = (shared
+                    .join(sizes.select(F.col("k").alias("key_a"),
+                                       F.col("n").alias("na")), "key_a")
+                    .join(sizes.select(F.col("k").alias("key_b"),
+                                       F.col("n").alias("nb")), "key_b")
+                    .select("key_a", "key_b",
+                            (F.col("s") / (F.col("na") + F.col("nb")
+                                           - F.col("s"))).alias("j"))
+                    .collect())
+        ref = {(r["key_a"], r["key_b"]): round(r["j"], 6) for r in ref_rows}
+        assert got == ref, f"nparts={nparts}"
+    assert (1, 3) in got and got[(1, 2)] == 1.0 and (1, 4) not in got

@@ -57,6 +57,11 @@ ARROW_STAGES = {
     # minhash_lsh_pairs / minhash_signatures carries the stage
     "dd_minhash_lsh", "dd_minhash_clusters", "dd_cluster_keep",
     "dd_est_vs_exact", "pipe_corpus_curation",
+    # block-local token-set jaccard kernel (round 11): one exchange
+    # of (key, block, text) rows, pair expansion + |A∩B| counting +
+    # threshold local per block (operators/dedup.py
+    # token_jaccard_blocked)
+    "f_title_token_jaccard",
 }
 
 
