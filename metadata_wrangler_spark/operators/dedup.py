@@ -120,33 +120,93 @@ def _shingle_tables(
         "id", F.array_distinct(shingles(n)).alias("shs")
     )
     sizes = base.select("id", F.size("shs").alias("n_sh"))
-    # xxhash64, not md5_long: hp never leaves any pairwise scorer
-    # (outputs are ids + counts/ratios), so only equality classes
-    # matter and they match the oracle's md5 join — at a fraction of
-    # the per-shingle cost. MinHash keeps md5_long: its VALUES feed
-    # the affine rehashes replicated verbatim in the oracle SQL.
-    sh = base.select(
-        "id", F.explode("shs").alias("sh")
-    ).select("id", F.xxhash64(F.col("sh")).alias("hp"))
+    # The (id, n_sh, hp) rows come from ONE Arrow pass (round 11):
+    # normalize → split → distinct shingles → 64-bit hash per doc
+    # inside the scan partition. hp never leaves any pairwise scorer
+    # (outputs are ids + counts/ratios), so only 64-bit equality
+    # classes matter and they match the oracle's md5 join — the hash
+    # is blake2b-8 (hashlib), replacing xxhash64 with the same
+    # collision contract. The JVM spelling paid the concat_ws
+    # shingle-string transform + array_distinct + explode through
+    # codegen: full-query interleaved A/B (dd_ngram_jaccard, rows
+    # identical) 2.14 → 1.79 s at sf0.1. MinHash keeps md5_long: its
+    # VALUES feed the affine rehashes replicated verbatim in the
+    # oracle SQL. n_sh rides every shingle row (one int against a
+    # bigint+id row): scorers whose only use of ``sizes`` is the
+    # per-pair denominator read it off the pair expansion instead of
+    # re-deriving the document pipeline through two join-backs.
+    def fold(batches):
+        import re
+        from hashlib import blake2b
+
+        import numpy as np
+        import pandas as pd
+
+        # Java \s (ASCII-only), matching normalize_text; only ' '
+        # runs can remain after the collapse, so strip(' ') == trim
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids: list = []
+            ns: list = []
+            hps: list = []
+            for did, text in zip(pdf["id"], pdf["t"]):
+                if text is None:
+                    continue
+                t = ws.sub(" ", text.lower()).strip(" ")
+                w = t.split(" ")
+                if len(w) < n:
+                    continue
+                shs = {"_".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+                k = len(shs)
+                ids.extend([did] * k)
+                ns.extend([k] * k)
+                hps.extend(
+                    int.from_bytes(
+                        blake2b(s.encode(), digest_size=8).digest(),
+                        "big", signed=True,
+                    )
+                    for s in shs
+                )
+            yield pd.DataFrame({
+                "id": np.asarray(ids, dtype=np.int64),
+                "n_sh": np.asarray(ns, dtype=np.int64),
+                "hp": np.asarray(hps, dtype=np.int64),
+            })
+
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    ).mapInPandas(fold, schema="id long, n_sh long, hp long")
     if cache:
         sh = sh.cache()
     return sh, sizes
 
 
-def _shared_counts(sh: DataFrame) -> DataFrame:
-    """(id_a, id_b, n_shared): co-occurrence counts over shingle
-    buckets.
+def _shared_counts_sized(sh: DataFrame) -> DataFrame:
+    """(id_a, id_b, n_shared, sh_a, sh_b): co-occurrence counts over
+    shingle buckets, with each side's shingle-set size carried
+    THROUGH the expansion.
 
-    Spelling: groupBy(hp) → sorted id list → HOF pair expansion
-    (nested ``transform`` over strict upper-triangle slices) →
-    pair-keyed count. One exchange on hp instead of the equi-self-
-    join's two (plus its sort/probe); measured 2.3× faster at sf0.1
-    with bit-identical output. Bucket occupancy is bounded by
-    document frequency of the shingle — the collect_list per bucket
-    is the same rows the join's probe side would buffer, and the
-    quadratic pair blowup is identical in both spellings (pass
-    ``max_doc_freq`` upstream to bound it)."""
-    g = sh.groupBy("hp").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    Spelling: groupBy(hp) → sorted (id, n_sh) struct list → HOF pair
+    expansion (nested ``transform`` over strict upper-triangle
+    slices) → pair-keyed count. One exchange on hp instead of the
+    equi-self-join's two (plus its sort/probe) — measured 2.3×
+    faster at sf0.1 with bit-identical output — and the sizes ride
+    the struct elements, so scorers read the denominator off the
+    pair row instead of joining the per-doc sizes back: each of
+    those join-backs re-derived the whole normalize→shingle document
+    pipeline (round 11: full-query sf0.1 A/B 2.22 → 1.83 s from
+    deleting both). sort_array on (id, n) structs orders by id
+    (unique per doc), so the strict upper triangle still yields
+    id_a < id_b. Bucket occupancy is bounded by document frequency
+    of the shingle — the collect_list per bucket is the same rows
+    the join's probe side would buffer, and the quadratic pair
+    blowup is identical in both spellings (pass ``max_doc_freq``
+    upstream to bound it)."""
+    g = sh.groupBy("hp").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id"), F.col("n_sh")))
+        ).alias("ids")
+    )
     pairs = (
         g.where(F.size("ids") > 1)
         .select(
@@ -154,16 +214,17 @@ def _shared_counts(sh: DataFrame) -> DataFrame:
                 F.expr(
                     "flatten(transform(ids, (a, i) -> "
                     "transform(slice(ids, i + 2, size(ids)), "
-                    "b -> struct(a AS id_a, b AS id_b))))"
+                    "b -> struct(a.id AS id_a, b.id AS id_b, "
+                    "a.n_sh AS sh_a, b.n_sh AS sh_b))))"
                 )
             ).alias("p")
         )
         # a 64-bit hp collision inside one doc would yield an (x,x)
         # row the join spelling never emits; drop it
         .where(F.col("p.id_a") != F.col("p.id_b"))
-        .select("p.id_a", "p.id_b")
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
     )
-    return pairs.groupBy("id_a", "id_b").agg(
+    return pairs.groupBy("id_a", "id_b", "sh_a", "sh_b").agg(
         F.count(F.lit(1)).alias("n_shared")
     )
 
@@ -343,7 +404,14 @@ def ngram_jaccard_pairs(
         docs, id_col, text_col, n, cache=max_doc_freq is not None
     )
     if max_doc_freq is None:
-        shared = _shared_counts(sh)
+        shared = _shared_counts_sized(sh)
+        jac = F.col("n_shared") / (
+            F.col("sh_a") + F.col("sh_b") - F.col("n_shared")
+        )
+        return (
+            shared.where(jac >= threshold)
+            .select("id_a", "id_b", jac.alias("jaccard"))
+        )
     else:
         hot = (
             sh.groupBy("hp").agg(F.count(F.lit(1)).alias("df"))
@@ -351,7 +419,7 @@ def ngram_jaccard_pairs(
             .select("hp")
         )
         cand_src = sh.join(F.broadcast(hot), "hp", "left_anti")
-        # Candidate pairs via the _shared_counts bucket-HOF spelling
+        # Candidate pairs via the _shared_counts_sized bucket-HOF spelling
         # (groupBy hp -> sorted id list -> strict-upper-triangle
         # expansion): one exchange on hp instead of the equi-self-
         # join's two plus its hash build/probe. r10 interleaved A/B
@@ -428,14 +496,6 @@ def ngram_jaccard_pairs(
             scored.where(jac >= threshold)
             .select("id_a", "id_b", jac.alias("jaccard"))
         )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sh_b"))
-    jac = F.col("n_shared") / (F.col("sh_a") + F.col("sh_b") - F.col("n_shared"))
-    return (
-        shared.join(sa, "id_a").join(sb, "id_b")
-        .where(jac >= threshold)
-        .select("id_a", "id_b", jac.alias("jaccard"))
-    )
 
 
 def ngram_containment_pairs(
@@ -454,15 +514,12 @@ def ngram_containment_pairs(
     equi-join, never all-pairs); only the denominator differs.
     Returns (id_a, id_b, containment), id_a < id_b.
     """
-    sh, sizes = _shingle_tables(docs, id_col, text_col, n)
-    shared = _shared_counts(sh)
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sh_b"))
+    sh, _sizes = _shingle_tables(docs, id_col, text_col, n)
+    shared = _shared_counts_sized(sh)
     cont = F.col("n_shared") / F.least(F.col("sh_a"), F.col("sh_b"))
     return (
-        shared.join(sa, "id_a").join(sb, "id_b")
-        .where((F.least(F.col("sh_a"), F.col("sh_b")) > 0)
-               & (cont >= threshold))
+        shared.where((F.least(F.col("sh_a"), F.col("sh_b")) > 0)
+                     & (cont >= threshold))
         .select("id_a", "id_b", cont.alias("containment"))
     )
 

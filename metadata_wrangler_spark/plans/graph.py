@@ -399,7 +399,7 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed graphs, vs O(max_degree^2) for naive wedge counting).
     Wedges come from ONE groupBy(u) into a sorted oriented
     adjacency array expanded map-side into ordered pairs (the same
-    exchange-fusion as dd_ngram_jaccard's _shared_counts — the
+    exchange-fusion as dd_ngram_jaccard’s _shared_counts_sized — the
     array is exactly the rows a wedge self-join's SMJ would buffer
     for the key group, so memory is bounded by the oriented degree);
     the closing probe is the single remaining equi-join, and corner

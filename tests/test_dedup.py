@@ -319,3 +319,47 @@ def test_token_jaccard_blocked_matches_join_spelling(spark):
         ref = {(r["key_a"], r["key_b"]): round(r["j"], 6) for r in ref_rows}
         assert got == ref, f"nparts={nparts}"
     assert (1, 3) in got and got[(1, 2)] == 1.0 and (1, 4) not in got
+
+
+def test_shingle_table_kernel_matches_jvm_spelling(spark):
+    """The Arrow shingle pass must reproduce the JVM spelling's
+    (id, n_sh) rows and 64-bit equality classes: same doc set (NULL/
+    empty/short texts dropped), same distinct-shingle counts, and
+    identical bucket partners — checked by comparing the pair
+    outputs, which depend only on hp equality classes."""
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The  quick  BROWN fox jumps over the lazy dog"),
+        (3, None),
+        (4, ""),
+        (5, "two words"),
+        (6, "tab\tand\nnewline separated words go here"),
+        (7, "naïve café déjà vu encore une fois oui"),
+        (8, "the quick brown fox jumps over the lazy cat"),
+    ]
+    for nparts in (1, 4):
+        docs = spark.createDataFrame(
+            data, "doc_id bigint, text string"
+        ).repartition(nparts)
+        sh, _ = dedup._shingle_tables(docs, "doc_id", "text", 3)
+        # (id, n_sh) rows must match the JVM derivation exactly
+        ref_base = dedup.with_words(docs, "doc_id", "text").select(
+            "id", F.array_distinct(dedup.shingles(3)).alias("shs")
+        )
+        ref = (ref_base.where(F.size("shs") > 0)
+               .select("id", F.size("shs").alias("n_sh"),
+                       F.explode("shs").alias("sh"))
+               .select("id", "n_sh", F.xxhash64("sh").alias("hp")))
+        got_counts = {(r["id"], r["n_sh"]): r["c"] for r in
+                      sh.groupBy("id", "n_sh").count()
+                      .withColumnRenamed("count", "c").collect()}
+        ref_counts = {(r["id"], r["n_sh"]): r["c"] for r in
+                      ref.groupBy("id", "n_sh").count()
+                      .withColumnRenamed("count", "c").collect()}
+        assert got_counts == ref_counts
+        # equality classes: pair outputs agree between hash families
+        got_pairs = {(r["id_a"], r["id_b"], r["n_shared"]) for r in
+                     dedup._shared_counts_sized(sh).collect()}
+        ref_pairs = {(r["id_a"], r["id_b"], r["n_shared"]) for r in
+                     dedup._shared_counts_sized(ref).collect()}
+        assert got_pairs == ref_pairs

@@ -62,6 +62,11 @@ ARROW_STAGES = {
     # threshold local per block (operators/dedup.py
     # token_jaccard_blocked)
     "f_title_token_jaccard",
+    # shingle-table Arrow pass (round 11): normalize → distinct
+    # shingles → 64-bit hash per doc inside the scan partition
+    # (operators/dedup.py _shingle_tables); all ngram-tier scorers
+    # carry the stage
+    "dd_ngram_jaccard", "dd_ngram_containment", "dd_ngram_jaccard_pruned",
 }
 
 
