@@ -408,8 +408,24 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = build_edges(spark, sf_dir)
     # und feeds deg AND both endpoint joins; ord_e feeds the two
-    # wedge sides AND the closing probe — cache each once instead of
-    # recomputing the upstream distinct/join pipeline per branch.
+    # wedge sides AND the closing probe. ord_e is always cached
+    # (recomputing its two joins per branch never wins). und's cache
+    # is SCALE-TIERED (round 11): under ~1 MB of edge source the
+    # InMemoryRelation build barrier costs more than exchange reuse
+    # saves (honest per-query A/B at sf0.1: cached 2.57 s vs
+    # uncached 1.54 s, rows identical), while at sf10 recomputing
+    # the distinct for both consumers loses (8.6 vs 9.9 s) — so the
+    # cache follows a zero-job driver-side probe of the edge
+    # source's file size (sf1, in between, ties: 3.94/4.07/3.88
+    # across cache-both / no-cache / ord_e-only). Unknown sizes
+    # (remote storage) default to cached — the at-scale-safe side.
+    try:
+        import os as _os
+        _small = _os.path.getsize(
+            _os.path.join(sf_dir, "customer.parquet")
+        ) < (1 << 20)
+    except OSError:
+        _small = False
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -417,8 +433,9 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .cache()
     )
+    if not _small:
+        und = und.cache()
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
