@@ -3015,9 +3015,22 @@ def ev_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gap").isNotNull())
         .select("event_type", "gap")
     )
-    # gaps is a DERIVED frame (full per-user window) — exactly the
-    # cache_input case: materialize once, let both histogram rounds
-    # read the 2-column cache instead of re-running the window.
+    # gaps is a DERIVED frame (full per-user window) — the
+    # cache_input case at scale: materialize once, let both
+    # histogram rounds read the 2-column cache instead of re-running
+    # the window. SCALE-TIERED (round 11): under ~8 MB of event
+    # source the cache build costs more than the second window run
+    # it saves (honest A/B at sf0.1: cached 1.76 s vs uncached
+    # 1.52 s; sf10: cached 3.05 vs uncached 3.41 — rows identical
+    # both ways). Zero-job driver-side probe of the source file
+    # size; unknown sizes default to cached, the at-scale-safe side.
+    try:
+        import os as _os
+        _small = _os.path.getsize(
+            _os.path.join(sf_dir, "events.parquet")
+        ) < (8 << 20)
+    except OSError:
+        _small = False
     sel = grouped_select(
         gaps, "gap",
         lambda st: {
@@ -3025,7 +3038,7 @@ def ev_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90": int(math.floor((st.n - 1) * 0.9)) + 1,
         },
         group_cols=["event_type"],
-        cache_input=True,
+        cache_input=not _small,
         # a second-granularity gap between two in-range event
         # timestamps is < 2^31 (68 years) by construction — round 0
         # narrows to ≤2^15-wide windows and ONE refinement round
