@@ -94,76 +94,79 @@ VERIFICATION_WINDOW = 50
 # last driver verification is OLDEST (stalest-first rotation), with
 # every SURVEY.md §2 family keeping at least one representative.
 VERIFICATION_PRIORITY: tuple[str, ...] = (
-    # --- round-10 window: REWRITES FIRST, THEN THE ENTIRE r5-STALE
+    # --- round-11 window: REWRITES FIRST, THEN THE ENTIRE r6-STALE
     # BLOCK. Construction stays frozen at 221 queries; after this
-    # round no registered query's last driver check predates r6.
+    # round no registered query's last driver check predates r7.
     #
-    # Block 1 — plans rewritten or operator-touched during round 10
-    # (window policy: a rewritten plan re-certifies the same round).
-    # More round-10 rewrites exist than the 9 non-r5 slots; these are
-    # the structurally riskiest, stalest-first. Displaced to r11 (all
-    # r9-driver-checked, their r10 touches regression-tested locally):
-    # g_pagerank (checkpoint-once), ev_matview_refresh (meta fix),
-    # s_cached_fetch (drain fix; pipe_provider covers the operator),
-    # sim_lsh_multitable_topk (NaN rule, no-op on gate corpora).
-    "d_queue_lifecycle",        # r6: state checkpointed once + SHJ
-    "dd_ngram_jaccard_pruned",  # r6: bucket-HOF candidate expansion
-    "sim_recall_eval",          # r6: approx leg = fused LSH tier
-    "f_title_token_jaccard",    # r7: bucket-HOF pair expansion
-    "sim_ivf_topk",             # r7: fused cell-scan tier
-    "pipe_provider_end_to_end", # r9: cached_get drains undrained hits
-    # Block 2 — the ENTIRE r5-stale block (41 queries, incl. the
-    # round-10 kernel-tier rewrites sim_pq_topk/sim_quantized_topk):
-    # last driver-verified in round 5, covered since by the pytest
-    # all-oracle sweep and the three mirror ladders.
-    "a_abc_pareto",
-    "a_benford_digits",
-    "a_chi2_independence",
-    "a_countmin_heavy_hitters",
-    "a_gini_coefficient",
-    "a_hll_sketch",
-    "a_kmv_set_ops",
-    "a_simpson_diversity",
-    "d_forget_cascade_preview",
-    "dd_cluster_keep",
-    "ev_concurrency_sweep",
-    "ev_cusum_changepoint",
-    "ev_decay_halflife",
-    "ev_funnel_bounded",
-    "ev_hopping_window",
-    "ev_json_props",
-    "ev_markov_transitions",
-    "ev_sliding_distinct",
-    "ev_time_to_convert",
-    "g_neighbor_jaccard",
-    "j_scd2_pit",
-    "mm_audio_windows",
-    "p_compound_predicates",
-    "pipe_semantic_search",
-    "s_opds_updates_page",
-    "sim_diversified_topk",
-    "sim_label_centroids",
-    "sim_pq_topk",              # rewritten: fused ADC kernel tier
-    "sim_quantized_topk",       # rewritten: fused int8 GEMM tier
-    "sim_rp_topk",
-    "txt_boilerplate_strip",
-    "txt_contamination_frac",
-    "txt_dsir_weight",
-    "txt_lang_confusion",
-    "txt_lm_surprisal",
-    "txt_pmi_bigrams",
-    "txt_split_assign",
-    "txt_unigram_entropy",
-    "txt_weighted_sample",
-    "w_path_edit_similarity",
-    "w_session_path_topk",
-    # Block 3 — the round-10 continuation rewrites (window policy:
-    # a rewritten plan re-certifies the same round; these displaced
-    # the two r6-stale fillers a_ks_drift / a_moments_skew_kurt,
-    # which rotate into the r11 window instead).
-    "txt_bm25_search",          # rewritten: per-row tf counters
-    "txt_idf_rarity",           # rewritten: per-row distinct
-    "txt_ngram_novelty",        # rewritten: credit-assignment
+    # Block 1 — the four queries round 10 displaced (r10 verdict
+    # item 8: the r11 window MUST contain them) plus every plan
+    # rewritten or operator-touched during round 11 (window policy:
+    # a rewritten plan re-certifies the same round). Four low-risk
+    # round-11 touches are displaced to pytest all-oracle coverage
+    # for slot pressure — g_triangle_count / ev_gap_percentiles
+    # (cache-placement tiers only; result identity is definitional
+    # and both were oracle-checked at sf0.1 this round),
+    # sim_lsh_topk / sim_ivf_topk / dd_cluster_keep (ANN cap
+    # enforcement is a no-op on in-contract query sets, tier
+    # row-identity tests green; dd_cluster_keep and sim_ivf_topk
+    # are r10-driver-checked and consume equivalence-tested
+    # operators).
+    "g_pagerank",               # displaced r10; r11 lazy result plan
+    "ev_matview_refresh",       # displaced r10; r11 bootstrap fold
+    "s_cached_fetch",           # displaced r10 (drain fix)
+    "sim_lsh_multitable_topk",  # displaced r10; r11 ANN cap raise
+    "a_gini_coefficient",       # r11: rank-moment partial kernel
+    "ev_time_to_convert",       # r11: selection operator rewrite
+    "dd_ngram_jaccard",         # r11: shingle kernel + sized pairs
+    "dd_ngram_jaccard_pruned",  # r11: shingle kernel (shared helper)
+    "dd_ngram_containment",     # r11: shingle kernel + sized pairs
+    "dd_minhash_lsh",           # r11: Arrow signature fold
+    "dd_minhash_clusters",      # r11: Arrow signature fold
+    "f_title_token_jaccard",    # r11: block-local pair kernel
+    "pipe_corpus_curation",     # r11: Arrow signature fold (via LSH)
+    # Block 2 — the ENTIRE remaining r6-stale block (37 queries):
+    # last driver-verified in round 6, covered since by the pytest
+    # all-oracle sweep and the three mirror ladders. Two of the r6
+    # block (txt_bpe_merge_step: r11 fused pair-count kernel;
+    # a_moments_skew_kurt: r11 int64 row-level powers) are also
+    # round-11 rewrites re-certifying here.
+    "a_ks_drift",
+    "a_moments_skew_kurt",
+    "a_mutual_info",
+    "d_cdc_apply",
+    "d_status_transitions",
+    "dd_est_vs_exact",
+    "ev_activity_streaks",
+    "ev_attribution_credit",
+    "ev_burstiness",
+    "ev_seasonal_anomaly",
+    "ev_unpivot_long",
+    "f_binary_prefix",
+    "g_degree_distribution",
+    "j_anti_join_queue",
+    "j_asof_nearest",
+    "j_band_join",
+    "j_bloom_prune",
+    "j_dim_3way_broadcast",
+    "j_fk_inner_join",
+    "j_left_outer_null_split",
+    "j_semi_join",
+    "mm_frame_sample",
+    "mm_image_features",
+    "p_projection_filter",
+    "s_compaction_plan",
+    "sim_cosine_topk",
+    "sim_knn_graph",
+    "sim_label_outliers",
+    "so_except_intersect",
+    "so_schema_evolution",
+    "txt_bpe_merge_step",
+    "txt_language_id",
+    "txt_pii_scrub",
+    "txt_repetition_filter",
+    "txt_tokenizer_fertility",
+    "w_ntile",
+    "w_topk_per_group",
 )
 
 
